@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+import graft.Q._
+
+/** Relational query battery.
+  *
+  * The reference engine produces changelog rows and delegates ALL relational
+  * processing (joins, aggregates, windows, scalar functions) to the Flink SQL
+  * engine (SURVEY.md §0, §2.4-2.6; ITCase queries at
+  * flink-connector-mysql-cdc-log/src/test/java/.../MySqlConnectorITCase.java:137-244).
+  * This battery is the Spark-side equivalent of that delegated surface,
+  * expressed with the DataFrame API so Catalyst handles pushdown, pruning and
+  * join selection. Every float aggregate uses the exact decimal-sum pattern
+  * (graft.Q.dsum) so results hash-match the DuckDB oracle bit-for-bit.
+  */
+object RelQueries {
+  private val D = "DECIMAL(38,6)"
+  // Exact decimal-sum oracle fragment.
+  private def oSum(expr: String) = s"CAST(SUM(CAST($expr AS $D)) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_selective_filter_agg" -> q02,
+    "q03_join_topk" -> q03,
+    "q04_semi_join_exists" -> q04,
+    "q05_multiway_join" -> q05,
+    "q06_anti_join" -> q06,
+    "q07_window_topn" -> q07,
+    "q08_window_running" -> q08,
+    "q09_set_ops" -> q09,
+    "q10_group_having" -> q10,
+    "q11_count_distinct" -> q11,
+    "q12_conditional_agg" -> q12,
+    "q13_rollup" -> q13,
+    "q14_scalar_subquery" -> q14,
+    "q15_string_funcs" -> q15,
+    "q16_date_parts" -> q16,
+    "q17_outer_join_agg" -> q17,
+    "q18_sort_limit" -> q18,
+    "q19_events_bucketed" -> q19,
+    "q20_events_json_extract" -> q20,
+    "q21_events_sessionize" -> q21,
+    "q22_events_conditional_pivot" -> q22
+  )
+
+  // --- q01: TPC-H Q1-style pricing summary (wide agg, map-side combine) ---
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+      dsum(col("l_quantity")).as("sum_qty"),
+      dsum(col("l_extendedprice")).as("sum_base_price"),
+      dsum(disc).as("sum_disc_price"),
+      dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+      (dsum(col("l_quantity")) / cnt.cast("double")).as("avg_qty"),
+      cnt.as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // --- q02: TPC-H Q6-style selective filter + agg (predicate pushdown) ---
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        cnt.as("n_rows"))
+  }
+
+  // --- q03: shipping priority: 3-way join + agg + top-k ---
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // --- q04: order-priority count via correlated EXISTS (left-semi join) ---
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    o.join(l, col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority").agg(cnt.as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- q05: TPC-H Q5-style 6-way join (broadcast dims) ---
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --- q06: customers with no orders (left-anti / NOT EXISTS) ---
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // --- q07: top-3 orders per customer (ranking window) ---
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // --- q08: running spend per customer + days since previous order ---
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.select(col("o_custkey"), col("o_orderkey"),
+        dsumOver(col("o_totalprice"), w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_spend"),
+        datediff(col("o_orderdate").cast("date"), lag(col("o_orderdate").cast("date"), 1).over(w)).cast("bigint").as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --- q09: set operations (UNION / EXCEPT over key sets) ---
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val buyersF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")).distinct()
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val negBal = c.filter(col("c_acctbal") < 0.0).select(col("c_custkey").as("k"))
+    buyersF.union(building).distinct().except(negBal).orderBy("k")
+  }
+
+  // --- q10: GROUP BY + HAVING ---
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.groupBy("l_suppkey", "l_returnflag")
+      .agg(cnt.as("n"), dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("n") > 50)
+      .orderBy("l_suppkey", "l_returnflag")
+  }
+
+  // --- q11: COUNT(DISTINCT) per group ---
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        cnt.as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --- q12: conditional aggregation (TPC-H Q14-style promo share) ---
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val j = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    j.agg(
+      dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))).as("promo_revenue"),
+      dsum(disc).as("total_revenue"))
+      .withColumn("promo_share", lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  // --- q13: ROLLUP with grouping sets ---
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.rollup("l_returnflag", "l_linestatus")
+      .agg(cnt.as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  // --- q14: top-revenue supplier via scalar-max subquery (TPC-H Q15-style) ---
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    val rev = l.groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DEC)).as("r"))
+    val mx = rev.agg(max(col("r")).as("mr"))
+    rev.join(broadcast(mx), col("r") === col("mr"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("r").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // --- q15: scalar string function battery ---
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_size").between(10, 20))
+    p.select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_name")).as("name_l"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("tag"),
+        regexp_replace(col("p_type"), "M", "_").as("rep"),
+        reverse(col("p_brand")).as("rev_brand"))
+      .orderBy("p_partkey")
+  }
+
+  // --- q16: date part extraction + truncation ---
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(cnt.as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("yr", "mo")
+  }
+
+  // --- q17: left outer join + agg with COALESCE ---
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  // --- q18: global sort + limit with deterministic tiebreak ---
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  // --- q19: events bucketed by minute (bigint-nanos arithmetic) ---
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+      .agg(cnt.as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  // --- q20: extract numeric field from JSON-ish props via regexp ---
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.select(col("event_type"), regexp_extract(col("props"), "[0-9]+", 0).cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), max(col("k")).as("k_max"), cnt.as("n"))
+      .orderBy("event_type")
+  }
+
+  // --- q21: sessionization via lag + cumulative flags (30-min gap) ---
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapNs = 1800000000000L // 30 min in ns
+    val flagged = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+    flagged.groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"), cnt.as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // --- q22: manual pivot via conditional counts per user ---
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("purchase_value"))
+      .orderBy("user_id")
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_base_price,
+         |  ${oSum("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |  ${oSum("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+         |  ${oSum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_selective_filter_agg" ->
+      s"""SELECT ${oSum("l_extendedprice*l_discount")} AS revenue, COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q03_join_topk" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+         |  ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM customer JOIN orders ON o_custkey = c_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_semi_join_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_multiway_join" ->
+      s"""SELECT n_name, ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q08_window_running" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(SUM(CAST(o_totalprice AS $D)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+         |  date_diff('day',
+         |    LAG(CAST(o_orderdate AS DATE), 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         |    CAST(o_orderdate AS DATE)) AS days_since_prev
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q09_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     c AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0.0)
+        |SELECT k FROM ((SELECT k FROM a UNION SELECT k FROM b) EXCEPT (SELECT k FROM c)) ORDER BY k""".stripMargin,
+    "q10_group_having" ->
+      s"""SELECT l_suppkey, l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS total_qty
+         |FROM lineitem GROUP BY l_suppkey, l_returnflag
+         |HAVING COUNT(*) > 50 ORDER BY l_suppkey, l_returnflag""".stripMargin,
+    "q11_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_conditional_agg" ->
+      s"""SELECT promo_revenue, total_revenue, 100.0 * promo_revenue / total_revenue AS promo_share FROM (
+         |  SELECT ${oSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END")} AS promo_revenue,
+         |         ${oSum("l_extendedprice*(1.0-l_discount)")} AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin,
+    "q13_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${oSum("l_quantity")} AS qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q14_scalar_subquery" ->
+      s"""WITH rev AS (SELECT l_suppkey, SUM(CAST(l_extendedprice*(1.0-l_discount) AS $D)) AS r
+         |             FROM lineitem GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE r = (SELECT MAX(r) FROM rev) ORDER BY s_suppkey""".stripMargin,
+    "q15_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_name) AS name_l,
+        |  SUBSTR(p_name, 1, 8) AS name8, CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  CONCAT(p_brand, '#', p_type) AS tag, REGEXP_REPLACE(p_type, 'M', '_', 'g') AS rep,
+        |  REVERSE(p_brand) AS rev_brand
+        |FROM part WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey""".stripMargin,
+    "q16_date_parts" ->
+      s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         |  COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin,
+    "q17_outer_join_agg" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${oSum("o_totalprice")}, 0.0) AS spend
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q18_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q19_events_bucketed" ->
+      s"""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+         |  COUNT(*) AS n, ${oSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    "q20_events_json_extract" ->
+      """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  MAX(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS k_max, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR epoch_ns(ts) - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          LAG(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ts
+        |        FROM events))
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_events_conditional_pivot" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+         |  ${oSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
