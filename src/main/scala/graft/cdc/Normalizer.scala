@@ -1,0 +1,80 @@
+package graft.cdc
+
+import scala.collection.mutable
+
+/** The lock-free-consistency core: watermark-bracketed snapshot chunk
+  * normalization and the log-phase emit filter.
+  *
+  * Re-derivation of the reference's algorithmic heart
+  * (mysql/source/utils/RecordUtils.java:85-192 normalizedSplitRecords +
+  * upsertBinlog; mysql/debezium/reader/BinlogSplitReader.java:194-240
+  * shouldEmit). This replaces global read locks: each chunk is read without
+  * locking, bracketed by a low watermark LW (log offset before the read) and
+  * a high watermark HW (offset after), then the log slice [LW, HW] is
+  * replayed over the chunk's rows keyed by primary key, producing the exact
+  * chunk state as of HW. The log phase then skips events already folded into
+  * a chunk (offset <= that chunk's HW).
+  *
+  * All functions are pure and per-chunk — they run inside one Spark
+  * partition reader with state proportional to a single chunk (default 8096
+  * rows), never to the table, which is what makes the scheme viable at
+  * 100 TB / 1000 executors.
+  */
+object Normalizer {
+
+  /** Fold catch-up log events over a chunk's snapshot rows.
+    *
+    * Snapshot rows are hashed by PK; replaying [LW..HW]: c/u → put the
+    * after-image (re-enveloped as a READ, reference RecordUtils.java:158-168),
+    * d → remove (:150-153). READ records must not appear in the log slice
+    * (:176-180). Output rows all carry op='r' and tsMs=0 (snapshot
+    * normalization, RecordUtils.java:197-225).
+    *
+    * @param snapshot   chunk rows as read (no lock), keyed by `key`
+    * @param catchUp    log records with offset in (LW, HW], already filtered
+    *                   to this chunk's key range
+    * @param key        primary-key extractor for a field array
+    */
+  def normalize(
+      snapshot: Iterator[Array[Any]],
+      catchUp: Iterator[LogRecord],
+      key: Array[Any] => Long): Iterator[Array[Any]] = {
+    val state = mutable.LinkedHashMap.empty[Long, Array[Any]]
+    snapshot.foreach(r => state.put(key(r), r))
+    catchUp.foreach { rec =>
+      rec.op match {
+        case ChangeOp.Create | ChangeOp.Update => state.put(key(rec.after), rec.after)
+        case ChangeOp.Delete                   => state.remove(key(rec.before))
+        case ChangeOp.Read =>
+          throw new IllegalStateException(
+            s"READ record in log slice at offset ${rec.offset} (binlog must not contain READ)")
+        case other => throw new IllegalStateException(s"unknown op '$other'")
+      }
+    }
+    state.valuesIterator
+  }
+
+  /** Log-phase emit predicate (reference BinlogSplitReader.shouldEmit
+    * :194-225 and pure-log-phase check :227-240).
+    *
+    * An event is emitted iff:
+    *  - the reader is past the table's max high watermark (pure log phase), or
+    *  - the event's key falls in some finished chunk's range AND the event's
+    *    offset is strictly after that chunk's high watermark (events at or
+    *    before the HW were already folded into the chunk by [[normalize]]).
+    */
+  final class EmitFilter(finished: Seq[FinishedSplitInfo]) extends Serializable {
+    private val maxHw: Long =
+      if (finished.isEmpty) Long.MinValue else finished.map(_.highWatermark).max
+
+    def shouldEmit(key: Long, offset: Long): Boolean =
+      if (offset > maxHw) true // pure log phase for every chunk
+      else finished.exists(f => f.split.contains(key) && offset > f.highWatermark)
+  }
+
+  /** Startup-timestamp seek filter (reference
+    * mysql/SeekBinlogToTimestampFilter.java:35-86): drop events until the
+    * source timestamp reaches the configured start. */
+  def timestampSeek(records: Iterator[LogRecord], startMs: Long): Iterator[LogRecord] =
+    records.filter(_.tsMs >= startMs)
+}

@@ -1,0 +1,144 @@
+package graft.cdc.provider
+
+import graft.cdc._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** SPI between the Spark DSv2 source and a concrete change-data store.
+  *
+  * This is the Spark-shaped analogue of the reference's pluggable dialect
+  * (flink-cdc-log-base/.../relational/JdbcSourceChunkSplitter + dialect
+  * interfaces): the source plans chunks and micro-batches; a provider
+  * answers the small number of planning probes (min/max/count/current log
+  * offset) and streams rows for one chunk or one log slice.
+  *
+  * Contract for scale: `snapshotBase` and `log` are ITERATORS consumed
+  * inside one executor partition reader — a provider must stream (JDBC
+  * fetchSize-style, reference StatementUtils.java:190-224), never
+  * materialize a table. Planning probes run on the driver only.
+  *
+  * `snapshotBase(table, range)` may return ANY consistent-or-stale base
+  * state of the range; the reader folds the log slice `(baseOffset,
+  * upTo]` over it (Normalizer.normalize = reference RecordUtils.upsertBinlog)
+  * to produce the exact state at `upTo`. A time-travel-capable provider
+  * returns `baseOffset = 0` and lets the log do the work, or returns the
+  * exact state with `baseOffset = upTo` (no catch-up needed).
+  */
+trait ChangeLogProvider extends Serializable {
+  def tables: Seq[TableMeta]
+
+  /** Current end of the log (total-ordered Long position). */
+  def currentOffset: Long
+
+  /** Min/max of the chunk key and approximate row count for a table —
+    * driver-side planning probes (reference StatementUtils.java:40-76). */
+  def keyBounds(table: TableId): (Long, Long, Long) // (min, max, approxCount)
+
+  /** Boundary probe for uneven chunking (StatementUtils.java:99-130). */
+  def nextChunkEnd(table: TableId, from: Long, chunkSize: Int): Option[Long]
+
+  /** Base rows of a key range plus the log offset that base is valid at. */
+  def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]])
+
+  /** Log records for a table with offset in (fromExclusive, toInclusive]. */
+  def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord]
+}
+
+/** Deterministic in-memory provider: a base table state + a scripted
+  * mutation log. The workhorse for tests and the synthetic correctness
+  * fixtures (SURVEY.md §7.2 `SyntheticProvider`).
+  *
+  * `baseAt` simulates a store whose snapshot reads race with writers: a
+  * chunk read "sees" the state as of `staleOffset`, so the source's
+  * normalize step must fold the remaining log — exercising the real
+  * watermark-bracket path, not a shortcut.
+  */
+final class InMemoryChangeLogProvider(
+    meta: TableMeta,
+    base: Seq[Array[Any]],
+    initialLog: Seq[LogRecord],
+    staleOffset: Long = 0L)
+  extends ChangeLogProvider {
+
+  // growable so streaming tests/demos can append mutations mid-stream
+  // (the moral equivalent of the ITCases' "mutate DB via JDBC" step,
+  // mysql/table/MySqlConnectorITCase.java:195-207)
+  private val logBuf = scala.collection.mutable.ArrayBuffer[LogRecord](initialLog: _*)
+  def append(recs: LogRecord*): Unit = synchronized { logBuf ++= recs }
+  private def logRecords: Seq[LogRecord] = synchronized { logBuf.toSeq }
+
+  private val keyIdx = meta.schema.fieldIndex(meta.primaryKey.head)
+  private def keyOf(r: Array[Any]): Long = r(keyIdx) match {
+    case l: Long => l; case i: Int => i.toLong
+    case other   => throw new IllegalArgumentException(s"non-numeric chunk key $other")
+  }
+
+  override def tables: Seq[TableMeta] = Seq(meta)
+  override def currentOffset: Long =
+    if (logRecords.isEmpty) 0L else logRecords.map(_.offset).max
+
+  /** State of the table after applying log records with offset <= upTo. */
+  def stateAt(upTo: Long): Seq[Array[Any]] = {
+    val m = mutable.LinkedHashMap.empty[Long, Array[Any]]
+    base.foreach(r => m.put(keyOf(r), r))
+    logRecords.filter(_.offset <= upTo).sortBy(_.offset).foreach { rec =>
+      rec.op match {
+        case ChangeOp.Create | ChangeOp.Update => m.put(keyOf(rec.after), rec.after)
+        case ChangeOp.Delete                   => m.remove(keyOf(rec.before))
+        case _                                 => ()
+      }
+    }
+    m.values.toSeq
+  }
+
+  override def keyBounds(table: TableId): (Long, Long, Long) = {
+    val keys = stateAt(staleOffset).map(keyOf)
+    if (keys.isEmpty) (0L, -1L, 0L) else (keys.min, keys.max, keys.size.toLong)
+  }
+
+  override def nextChunkEnd(table: TableId, from: Long, chunkSize: Int): Option[Long] = {
+    val keys = stateAt(staleOffset).map(keyOf).filter(_ >= from).sorted.take(chunkSize)
+    if (keys.size < chunkSize) None else Some(keys.last)
+  }
+
+  override def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) =
+    (staleOffset, stateAt(staleOffset).iterator.filter(r => range.contains(keyOf(r))))
+
+  override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] =
+    logRecords.iterator
+      .filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
+      .toSeq.sortBy(_.offset).iterator
+}
+
+/** Routes per-table calls across several single-table providers — the
+  * multi-table / sharding-union capture path (reference regex table
+  * discovery, mysql/source/utils/TableDiscoveryUtils.java; ITCase
+  * testShardingTablesWithInconsistentSchema,
+  * mysql/table/MySqlConnectorITCase.java:1047). */
+final class CompositeChangeLogProvider(parts: Seq[ChangeLogProvider]) extends ChangeLogProvider {
+  private def owner(t: TableId): ChangeLogProvider =
+    parts.find(_.tables.exists(_.id == t)).getOrElse(
+      throw new IllegalArgumentException(s"no provider owns $t"))
+  override def tables: Seq[TableMeta] = parts.flatMap(_.tables)
+  override def currentOffset: Long = parts.map(_.currentOffset).foldLeft(0L)(math.max)
+  override def keyBounds(t: TableId): (Long, Long, Long) = owner(t).keyBounds(t)
+  override def nextChunkEnd(t: TableId, from: Long, n: Int): Option[Long] =
+    owner(t).nextChunkEnd(t, from, n)
+  override def snapshotBase(t: TableId, r: SnapshotSplit): (Long, Iterator[Array[Any]]) =
+    owner(t).snapshotBase(t, r)
+  override def log(t: TableId, from: Long, to: Long): Iterator[LogRecord] =
+    owner(t).log(t, from, to)
+}
+
+/** Cross-JVM-safe registry so tests and demos can hand a live provider to
+  * the DSv2 source through string options (local mode shares one JVM; on a
+  * real cluster a FileChangeLogProvider or JDBC provider is used instead). */
+object ProviderRegistry {
+  private val providers = new java.util.concurrent.ConcurrentHashMap[String, ChangeLogProvider]()
+  def register(name: String, p: ChangeLogProvider): Unit = providers.put(name, p)
+  def get(name: String): ChangeLogProvider = {
+    val p = providers.get(name)
+    require(p != null, s"no ChangeLogProvider registered under '$name'")
+    p
+  }
+}

@@ -1,0 +1,72 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.cdc.provider.{FileChangeLogProvider, InMemoryChangeLogProvider, ProviderRegistry}
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+/** File-log provider round-trip + streaming checkpoint recovery
+  * (the Spark analogue of the reference's kill-and-restore failover matrix,
+  * mysql/source/MySqlSourceITCase.java:105-135: state lives in the offset
+  * log under checkpointLocation and replays deterministically). */
+class FileProviderAndRecoverySpec extends SparkSpec {
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("weight", DoubleType)))
+  private val meta = TableMeta(TableId("inventory", "products"), schema, Seq("id"))
+  private def row(id: Long, name: String, w: Double): Array[Any] = Array(id, name, w)
+
+  test("file provider: meta/snapshot/log JSONL round-trip through the source") {
+    val root = Files.createTempDirectory("cdcfile").toString
+    val dir = Paths.get(root, "inventory.products")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"db":"inventory","table":"products","primaryKey":["id"],
+        |"schema":"id BIGINT, name STRING, weight DOUBLE","baseOffset":0}""".stripMargin)
+    Files.writeString(dir.resolve("snapshot.jsonl"),
+      """{"id":1,"name":"scooter","weight":3.14}
+        |{"id":2,"name":"car battery","weight":8.1}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("log.jsonl"),
+      """{"offset":1,"op":"u","tsMs":100,"before":{"id":1,"name":"scooter","weight":3.14},"after":{"id":1,"name":"scooter2","weight":5.18}}
+        |{"offset":2,"op":"d","tsMs":200,"before":{"id":2,"name":"car battery","weight":8.1},"after":null}
+        |{"offset":3,"op":"c","tsMs":300,"before":null,"after":{"id":3,"name":"hammer","weight":1.0}}
+        |""".stripMargin)
+
+    val p = new FileChangeLogProvider(root)
+    assert(p.currentOffset === 3)
+    assert(p.tables.head.id === TableId("inventory", "products"))
+
+    // batch read folds snapshot + log → state at offset 3
+    val df = spark.read.format("cdc-log").option("path", root).load()
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, "scooter2", 5.18), (3L, "hammer", 1.0)))
+  }
+
+  test("checkpoint recovery: restart resumes from the committed offset, no duplicates") {
+    val p = new InMemoryChangeLogProvider(meta, Seq(row(1, "a", 1.0)), Seq.empty)
+    ProviderRegistry.register("recovery", p)
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    val out = Files.createTempDirectory("cdc-out").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("cdc-log").option("provider.name", "recovery").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    runOnce() // snapshot: 1 row op='r'
+    p.append(LogRecord(10, ChangeOp.Create, meta.id, null, row(2, "b", 2.0), 1000))
+    runOnce() // restart from checkpoint → only the new insert
+    p.append(LogRecord(11, ChangeOp.Delete, meta.id, row(1, "a", 1.0), null, 2000))
+    runOnce() // second restart → only the delete
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    assert(rows === Seq((1L, "d"), (1L, "r"), (2L, "c")),
+      s"exactly-once replay violated: $rows")
+  }
+}
