@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.Q._
+import graft.operators.ChangelogOps
+
+/** Changelog-semantics queries for the DuckDB-oracle gate.
+  *
+  * The DSv2 source itself is exercised by ScalaTest (CdcSourceSpec); these
+  * queries put the op-column CONTRACT under the hash-checked gate by
+  * deriving a deterministic changelog from the `orders` table in both
+  * engines: every order is inserted; orders with k%5=2 are updated
+  * (price × 1.1, emitted as the reference's two-row '-U'/'+U' pair,
+  * RowDataDebeziumDeserializeSchema.java:133-145); orders with k%7=3 are
+  * deleted (append of the before-image with op='d', :127-132). The oracle
+  * derives the expected results independently (closed-form, no window
+  * replay), so a bug in either flattening or materialization breaks the
+  * hash match.
+  */
+object CdcQueries {
+
+  /** Deterministic changelog over orders: (k, price, st, op, op_offset, row_kind). */
+  private def changelog(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("st"))
+    val isUpd = col("k") % 5 === 2
+    val isDel = col("k") % 7 === 3
+    val ins = o.select(col("k"), col("price"), col("st"),
+      lit("c").as("op"), (col("k") * 3).as("op_offset"), lit("+I").as("row_kind"))
+    val updB = o.filter(isUpd).select(col("k"), col("price"), col("st"),
+      lit("u").as("op"), (col("k") * 3 + 1).as("op_offset"), lit("-U").as("row_kind"))
+    val updA = o.filter(isUpd).select(col("k"), (col("price") * 1.1).as("price"), col("st"),
+      lit("u").as("op"), (col("k") * 3 + 1).as("op_offset"), lit("+U").as("row_kind"))
+    // delete carries the before-image = post-update price where applicable
+    val delB = o.filter(isDel).select(col("k"),
+      when(isUpd, col("price") * 1.1).otherwise(col("price")).as("price"), col("st"),
+      lit("d").as("op"), (col("k") * 3 + 2).as("op_offset"), lit("+I").as("row_kind"))
+    ins.unionAll(updB).unionAll(updA).unionAll(delB)
+  }
+
+  private val derivedChangelogSql =
+    """SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st,
+      |       'c' AS op, o_orderkey*3 AS op_offset, '+I' AS row_kind FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, 'u', o_orderkey*3+1, '-U'
+      |FROM orders WHERE o_orderkey % 5 = 2
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice*1.1, o_orderstatus, 'u', o_orderkey*3+1, '+U'
+      |FROM orders WHERE o_orderkey % 5 = 2
+      |UNION ALL
+      |SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END,
+      |       o_orderstatus, 'd', o_orderkey*3+2, '+I'
+      |FROM orders WHERE o_orderkey % 7 = 3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the op-column flattening itself (update → 2 rows, delete → before-image)
+    "q23_cdc_changelog" -> ((s, dir) =>
+      changelog(s, dir).orderBy("op_offset", "row_kind")),
+    // last-write-wins materialization honoring op + row_kind
+    "q24_cdc_materialize" -> ((s, dir) =>
+      ChangelogOps.materializeExact(changelog(s, dir), Seq("k"))
+        .select("k", "price", "st").orderBy("k")),
+    // the ITCase aggregation shape (MySqlConnectorITCase.java:186) over
+    // materialized state: SELECT st, SUM(price) GROUP BY st
+    "q25_cdc_agg_after_apply" -> ((s, dir) => {
+      val m = ChangelogOps.materializeExact(changelog(s, dir), Seq("k"))
+      m.groupBy("st").agg(dsum(col("price")).as("total"), cnt.as("n")).orderBy("st")
+    }),
+    // net row delta per key (+1 create / -1 delete), reconciliation operator
+    "q26_cdc_net_delta" -> ((s, dir) =>
+      ChangelogOps.netRowDelta(changelog(s, dir), Seq("k"))
+        .select(col("k"), col("net_delta").cast("bigint").as("net_delta"),
+          col("n_events")).orderBy("k"))
+  )
+
+  private val D = "DECIMAL(38,6)"
+  private def oSum(e: String) = s"CAST(SUM(CAST($e AS $D)) AS DOUBLE)"
+
+  def oracle: Map[String, String] = Map(
+    "q23_cdc_changelog" ->
+      s"""SELECT * FROM ($derivedChangelogSql) ORDER BY op_offset, row_kind""",
+    // independent closed-form derivation of the final state
+    "q24_cdc_materialize" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+        |  o_orderstatus AS st
+        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+    "q25_cdc_agg_after_apply" ->
+      s"""SELECT o_orderstatus AS st,
+         |  ${oSum("CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END")} AS total,
+         |  COUNT(*) AS n
+         |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1 ORDER BY st""".stripMargin,
+    "q26_cdc_net_delta" ->
+      """SELECT o_orderkey AS k,
+        |  CAST(CASE WHEN o_orderkey % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS net_delta,
+        |  CAST(1 + 2*(CASE WHEN o_orderkey % 5 = 2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+        |FROM orders ORDER BY k""".stripMargin
+  )
+}
