@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is one explode + one hash-partitioned
+  * shuffle keyed on something small (hash / band bucket / shingle), never
+  * an O(n²) cross join. Candidate generation and verification are separate
+  * stages so the quadratic step only ever runs inside tiny buckets.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one groupBy(md5) shuffle, map-side
+    * partial aggregation. Returns (hash, n_copies, keeper) per group. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** Rows minus exact duplicates (keeper = min id per hash). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__h", contentHash(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h").orderBy(idCol)))
+      .filter(col("__rn") === 1).drop("__h", "__rn")
+
+  /** Near-duplicate pairs by exact word-n-gram Jaccard: explode distinct
+    * shingles, self-join on shingle (shuffle keyed by shingle — skew-safe
+    * because shingle frequency is bounded by vocabulary, and AQE splits
+    * hot keys), count shared, Jaccard = |∩| / (|A|+|B|−|∩|). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------------
+
+  /** k universal-hash permutations h_i(x) = (a_i·x + b_i) mod p over a base
+    * 31-bit shingle hash. p = 2^31−1 (Mersenne prime) keeps every product
+    * under 2^62 — no Long overflow, so the expressions are ANSI-mode-safe
+    * (Spark 4 throws on arithmetic overflow by default). Constants from a
+    * fixed-seed PRNG — fully deterministic. */
+  private val P31 = 2147483647L // 2^31 - 1
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextInt((P31 - 1).toInt).toLong + 1, rnd.nextInt(P31.toInt).toLong))
+  }
+
+  /** MinHash signature column: array<bigint> of length k for the document's
+    * shingle set. One explode + one groupBy(id) with k min() partials —
+    * map-side combined, no shuffle of raw text. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), n)).as("s"))
+      .withColumn("h0", pmod(hash(col("s")).cast("long"), lit(P31)))
+    val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P31))).as(s"m$i")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-signature into `bands` bands of k/bands rows;
+    * documents sharing any band land in the same bucket → candidate pair.
+    * Buckets are the shuffle key (hash of band values), so the all-pairs
+    * step never materializes. Returns candidate pairs with the estimated
+    * Jaccard (fraction of matching signature components). */
+  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val sigs = minHashSignatures(df, idCol, textCol, n, k)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * r + 1, lit(r)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_sig") === col("y.band_sig") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+          .cast("double") / k.toDouble)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // -------------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------------
+
+  /** 64-bit SimHash per document: for each bit position, sum +1/-1 votes of
+    * each distinct token's xxhash64 bit; bit set iff the vote is positive.
+    * Computed as 64 codegen'd aggregates after one explode — no UDF. */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(1L << b) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Near-dup candidates: Hamming distance ≤ maxDist via 4×16-bit band
+    * blocking (a pair within distance d ≤ 3 must agree on ≥1 of 4 bands). */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    val popcnt = (x: Column) => bit_count(x)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        popcnt(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+}

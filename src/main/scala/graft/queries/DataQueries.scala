@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline queries (dedup / text analysis / similarity
+  * search) over the `documents` and `embeddings` tables.
+  *
+  * Oracle-checked where the computation is cross-engine-deterministic
+  * (md5, rational arithmetic, decimal-exact dot products). MinHash/SimHash/
+  * IVF use engine-local hashing (xxhash64/murmur3) — those are declared
+  * without oracle SQL (driver rows-check) and quality-asserted in
+  * DedupSimilaritySpec instead (recall against the exact operators).
+  */
+object DataQueries {
+  import TextFunctions._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_doc_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text").orderBy("h")),
+
+    "q28_doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")),
+
+    "q29_doc_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")),
+
+    "q30_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.3).orderBy("id_a", "id_b")),
+
+    "q31_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        contentHash(col("text")).as("content_hash"),
+        minTokenHash(col("text")).as("vocab_fp"),
+        size(array_distinct(tokens(col("text")))).cast("bigint").as("n_vocab"))
+      .orderBy("doc_id")),
+
+    "q32_embedding_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // engine-local hashing below → rows-only driver check + spec coverage
+    "q33_minhash_lsh_candidates" -> ((s, dir) =>
+      Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 32).orderBy("id_a", "id_b")),
+
+    "q34_simhash_signatures" -> ((s, dir) =>
+      Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+
+    "q35_embedding_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 3, ncells = 8, nprobe = 2).orderBy("qid", "rank")
+    })
+  )
+
+  private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
+  private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
+  private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    "q27_doc_exact_dedup" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q28_doc_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
+         |  CAST(length(text) - length(translate(text, '.,!?', '')) AS DOUBLE)
+         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopIn))) AS DOUBLE)
+         |    / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE) AS stop_ratio,
+         |  (CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE) / CAST(100 AS DOUBLE))
+         |    * (CAST(1 AS DOUBLE) - CAST(length(text) - length(translate(text, '.,!?', '')) AS DOUBLE)
+         |        / CAST(GREATEST(length(text), 1) AS DOUBLE))
+         |    * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopIn))) AS DOUBLE)
+         |        / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_doc_langid" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) en,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($deIn))) de,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($frIn))) fr
+         |FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN GREATEST(en, de, fr) = 0 THEN 'unknown'
+         |       WHEN en >= de AND en >= fr THEN 'en'
+         |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q30_ngram_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) AS jaccard
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q31_doc_fingerprint" ->
+      """SELECT d.doc_id, md5(ANY_VALUE(text)) AS content_hash,
+        |  MIN(md5(u.t)) AS vocab_fp, CAST(COUNT(DISTINCT u.t) AS BIGINT) AS n_vocab
+        |FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(t)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q32_embedding_topk" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) i,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) xi
+        |           FROM embeddings),
+        |dots AS (SELECT a.vec_id qid, b.vec_id cid,
+        |           CAST(SUM(a.xi * b.xi) AS BIGINT) score_q
+        |         FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |         WHERE a.vec_id < 50 GROUP BY 1, 2)
+        |SELECT qid, cid, rank, score_q FROM (
+        |  SELECT qid, cid, score_q,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) rank
+        |  FROM dots)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality assertions for the probabilistic operators (MinHash-LSH,
+  * SimHash, IVF-ANN) against their exact counterparts on the sf0.001
+  * documents/embeddings tables. These can't be DuckDB-oracle-checked
+  * (engine-local hashing), so recall/precision bounds are asserted here. */
+class DedupSimilaritySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash-LSH finds the high-jaccard pairs the exact operator finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dup pairs")
+    val lsh = Dedup.minHashLshCandidates(docs, "doc_id", "text", n = 3, k = 64, bands = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val est = Dedup.minHashLshCandidates(docs, "doc_id", "text", 3, 64, 32)
+    val joined = exact.join(est, Seq("id_a", "id_b"))
+      .select(abs(col("jaccard") - col("est_jaccard")).as("err")).collect()
+    assert(joined.nonEmpty)
+    val meanErr = joined.map(_.getDouble(0)).sum / joined.length
+    assert(meanErr <= 0.15, s"mean |jaccard - est| = $meanErr")
+  }
+
+  test("simhash: near-dup docs have small hamming distance, random pairs large") {
+    val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
+    val near = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).select("id_a", "id_b")
+    val withSig = near
+      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("simhash", "sa"), "id_a")
+      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("simhash", "sb"), "id_b")
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("d")).collect().map(_.getInt(0))
+    assert(withSig.nonEmpty)
+    val avgNear = withSig.sum.toDouble / withSig.length
+    val all = sigs.select("simhash").collect().map(_.getLong(0))
+    val rndPairs = all.take(30).flatMap(a => all.takeRight(30).map(b =>
+      java.lang.Long.bitCount(a ^ b))).filter(_ > 0)
+    val avgRnd = rndPairs.sum.toDouble / rndPairs.length
+    // the corpus shares one small vocabulary, so even unrelated docs
+    // correlate (avgRnd ≈ 14, not the 32 of independent signatures) — the
+    // operator's value is the SEPARATION between near-dup and random pairs
+    assert(avgNear < avgRnd * 0.75,
+      s"no separation: near-dup avg hamming $avgNear vs random $avgRnd")
+  }
+
+  test("simHashNearDups returns exactly the low-hamming pairs (d<=16, banded)") {
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 16).collect()
+    // candidates must all satisfy the distance bound
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 16))
+  }
+
+  test("IVF top-k recall vs brute force on near-random embeddings") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, ncells = 4, nprobe = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // vectors are near-random (little cluster structure) — the point is the
+    // mechanism prunes to nprobe/ncells of the corpus and still finds a
+    // meaningful share of true neighbours
+    assert(recall >= 0.3, s"IVF recall@5 = $recall")
+    assert(ivf.nonEmpty && ivf.size <= exact.size)
+  }
+
+  test("cosineNearDupPairs: sim threshold respected, pairs canonical (a<b)") {
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      minSim = 0.3, ncells = 4).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.3))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("exact dedup: drop keeps one row per distinct text") {
+    val withDups = docs.limit(50).unionAll(docs.limit(10)) // plant exact dups
+    val deduped = Dedup.dropExactDuplicates(withDups, "doc_id", "text")
+    assert(deduped.count() === 50)
+    assert(Dedup.exactGroups(withDups, "doc_id", "text")
+      .filter(col("n_copies") > 1).count() === 10)
+  }
+}
