@@ -69,6 +69,18 @@ object DataQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 3, ncells = 8, nprobe = 2).orderBy("qid", "rank")
+    }),
+
+    // multimodal: binary pack → per-partition decode kernel (mapPartitions)
+    "q36_multimodal_decode" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps
+      val media = MultimodalOps.toMediaDataset(
+        MultimodalOps.packDocuments(t(s, dir, "documents")))
+      MultimodalOps.decodeImageMeta(media).toDF()
+        .select(col("doc_id"), col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("channels").cast("bigint").as("channels"), col("n_bytes"))
+        .orderBy("doc_id")
     })
   )
 
@@ -139,6 +151,16 @@ object DataQueries {
         |  SELECT qid, cid, score_q,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) rank
         |  FROM dots)
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // mirrors the deterministic stub decode: ASCII corpus → first/second
+    // byte = ascii codes; image modality = doc_id % 3 == 0
+    "q36_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(64 + ascii(substr(text, 1, 1)) % 512 AS BIGINT) AS width,
+        |  CAST(64 + ascii(substr(text, 2, 1)) % 512 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val media = MultimodalOps.toMediaDataset(MultimodalOps.packDocuments(docs))
+
+  test("pack: binary content + typed meta, modality deterministic by id") {
+    val rows = media.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("image", "audio", "video")(r.modality)))
+    assert(rows.forall(r => r.meta.nBytes == r.content.length.toLong))
+    val m0 = rows.find(_.doc_id == 0L).get
+    assert(m0.modality == "image") // 0 % 3 == 0 → image
+  }
+
+  test("decode kernel: per-partition, images only, deterministic dims") {
+    val metas = MultimodalOps.decodeImageMeta(media).collect()
+    val nImages = media.filter(col("modality") === "image").count()
+    assert(metas.length.toLong == nImages)
+    assert(metas.forall(m => m.width >= 64 && m.width < 576 && m.channels == 3))
+    // determinism: run twice, same result
+    val again = MultimodalOps.decodeImageMeta(media).collect()
+    assert(metas.map(m => (m.doc_id, m.width, m.height)).sortBy(_._1).toSeq ===
+      again.map(m => (m.doc_id, m.width, m.height)).sortBy(_._1).toSeq)
+  }
+
+  test("decode adds no shuffle: plan has no Exchange") {
+    val plan = MultimodalOps.decodeImageMeta(media).queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in decode plan:\n$plan")
+  }
+
+  test("feature kernel: fixed dim, deterministic, modality preserved") {
+    val f = MultimodalOps.extractFeatures(media, dim = 16).collect()
+    assert(f.nonEmpty && f.forall(_.features.length == 16))
+    val f2 = MultimodalOps.extractFeatures(media, dim = 16).collect()
+    assert(f.sortBy(_.doc_id).zip(f2.sortBy(_.doc_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("frame sampling: every 2nd fixed-size frame of video payloads") {
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 64, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.forall(_.frame.length <= 64))
+    // per-doc: ceil(ceil(nBytes/64)/2) frames
+    val vids = media.filter(col("modality") === "video").collect()
+    val expect = vids.map(v => (v.doc_id,
+      (0 until (v.content.length + 63) / 64).count(_ % 2 == 0))).toMap
+    val got = frames.groupBy(_.doc_id).view.mapValues(_.length).toMap
+    assert(got == expect.filter(_._2 > 0))
+  }
+
+  test("resize: payload shrinks, meta stays consistent") {
+    val r = MultimodalOps.resize(media, factor = 4).collect()
+    val orig = media.collect().map(m => m.doc_id -> m.content.length).toMap
+    assert(r.forall(m => m.meta.nBytes == m.content.length.toLong))
+    assert(r.forall(m => m.content.length == (orig(m.doc_id) + 3) / 4))
+  }
+}
