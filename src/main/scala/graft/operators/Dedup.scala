@@ -27,17 +27,33 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__h", "__rn")
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard: explode distinct
-    * shingles, self-join on shingle (shuffle keyed by shingle — skew-safe
-    * because shingle frequency is bounded by vocabulary, and AQE splits
-    * hot keys), count shared, Jaccard = |∩| / (|A|+|B|−|∩|). */
+    * shingles, self-join on the shingle, count shared per pair,
+    * Jaccard = |∩| / (|A|+|B|−|∩|).
+    *
+    * Scale notes (measured at sf0.1): shingles are hashed to 64-bit keys
+    * before the join, so the shuffle moves (id, long) pairs instead of
+    * strings (collision odds ~|S|²/2⁶⁴ ≈ 1e-9 here — negligible). The
+    * candidate volume is Σ_s df(s)², which is near-linear when no shingle
+    * is hot (max df 25 in this corpus). A prefix-filter (PPJoin) variant
+    * was measured 5× SLOWER here — its array_intersect verification and
+    * array-carrying shuffles cost more than the join it saves; revisit
+    * only if the df distribution grows a heavy tail (then: df-cap the
+    * candidate join and verify candidates exactly, same output). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // one groupBy(h) instead of a self-join: collect the (sorted) id list
+    // per shingle and emit each unordered pair once via nested transform —
+    // halves the shuffles and avoids recomputing the explode for both join
+    // sides. Per-group work is df(s)² with df ≤ max shingle frequency.
+    val pairs = sh.groupBy("h").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
