@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+final case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+final case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long,
+    total_value: Double)
+
+/** Structured Streaming operators over event/changelog streams.
+  *
+  * The reference delegates all stream processing to Flink SQL (SURVEY.md
+  * §2.5/§2.7 W9); this is the Spark-side equivalent surface: event-time
+  * watermarks + windowed aggregation, stateful sessionization
+  * (flatMapGroupsWithState), and streaming dedup — each one a standard
+  * building block of a streaming training-data ingest.
+  *
+  * Scale notes: all state is keyed (user/window/content-hash) and lives in
+  * the state store, partitioned by the shuffle on the grouping key; late
+  * data beyond the watermark is dropped, which bounds state size.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts with a watermark (late events beyond
+    * `lateness` are dropped; state for closed windows is evicted). */
+  def windowedCounts(events: DataFrame, tsCol: String, lateness: String,
+      window_ : String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  /** Gap-based sessionization: a session closes when no event arrives for
+    * `gapMs` (event time). Emits one row per closed session. State per
+    * user is O(1) — the reference pattern for clickstream/training-log
+    * sessionization via flatMapGroupsWithState. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      lateness: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness).as[Event].groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events → close
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) => // gap exceeded → close previous, open new
+                  out ::= Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session when the event-time watermark passes last+gap
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup by content hash within the watermark horizon —
+    * the ingest-time guard of the dedup pipeline (state = one hash per
+    * distinct doc inside the horizon). */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+      lateness: String): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicates("__h")
+      .drop("__h")
+}

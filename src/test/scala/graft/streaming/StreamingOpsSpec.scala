@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingOpsSpec extends SparkSpec {
+  import java.sql.Timestamp
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingOps.windowedCounts(in.toDF(), "ts", "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("win_sink").outputMode("update").start()
+    try {
+      in.addData(Event(1, ts(10), "click", 1.0), Event(2, ts(20), "click", 2.0),
+        Event(1, ts(70), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_sink")
+        .select(col("window.start").cast("long"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((0L, "click", 2L), (60L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap closes sessions, watermark closes the tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionize(in.toDS(), gapMs = 30000)
+      .writeStream.format("memory").queryName("sess_sink").outputMode("append").start()
+    try {
+      // session 1: events at 10s,20s; then a gap > 30s; session 2 at 100s
+      in.addData(Event(1, ts(10), "click", 1.0), Event(1, ts(20), "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(100), "click", 4.0)) // closes session 1 (gap)
+      q.processAllAvailable()
+      // advance watermark far enough to time out session 2
+      in.addData(Event(2, ts(500), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(1000), "click", 1.0)) // push watermark further
+      q.processAllAvailable()
+      val sessions = spark.table("sess_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2) / 1000, r.getLong(3)))
+      assert(sessions.contains((1L, 10L, 20L, 2L)), s"got ${sessions.mkString(",")}")
+      assert(sessions.contains((1L, 100L, 100L, 1L)), s"got ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same-content docs within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "text")
+    val q = StreamingOps.streamingDedup(df, "ts", "text", "1 minute")
+      .writeStream.format("memory").queryName("dedup_sink").outputMode("append").start()
+    try {
+      in.addData((ts(1), "hello"), (ts(2), "hello"), (ts(3), "world"))
+      q.processAllAvailable()
+      in.addData((ts(4), "hello"), (ts(5), "fresh"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_sink").select("text").collect().map(_.getString(0))
+      assert(texts.sorted.toSeq === Seq("fresh", "hello", "world"))
+    } finally q.stop()
+  }
+}
