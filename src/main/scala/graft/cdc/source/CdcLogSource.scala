@@ -32,7 +32,12 @@ final case class CdcOptions(
     startupTimestampMs: Long,
     startupSpecificOffset: Long,
     maxOffsetsPerBatch: Long,
-    metadataCols: Seq[String]) {
+    metadataCols: Seq[String],
+    /** "full" = before+after update pairs (MySQL-family, §1.3); "upsert" =
+      * no before-images: update → one +U row, delete → key-only -D row —
+      * the MongoDB change-streams shape (MongoDBConnectorDeserializationSchema
+      * .java:118-163, ChangelogMode without UPDATE_BEFORE). */
+    changelogMode: String = "full") {
 
   def resolveProvider(): ChangeLogProvider = providerKind match {
     case "registry" => ProviderRegistry.get(providerArg)
@@ -86,7 +91,8 @@ object CdcOptions {
       o.getLong("scan.startup.timestamp-millis", 0L),
       o.getLong("scan.startup.specific-offset", 0L),
       o.getLong("scan.log.max-offsets-per-batch", Long.MaxValue),
-      meta)
+      meta,
+      o.getOrDefault("changelog.mode", "full"))
   }
 
   /** physical ++ op STRING ++ requested metadata — the fork's contract of a
@@ -264,17 +270,23 @@ final class LogReader(p: LogPartition, produced: StructType)
       r.op match {
         case ChangeOp.Create =>
           Iterator(builder.build(r.after, ChangeOp.Create, r.tsMs, r.offset, "+I"))
-        // update → two rows (before then after), both op='u'
+        // full mode: update → two rows (before then after), both op='u'
         // (reference RowDataDebeziumDeserializeSchema.java:133-145); RowKind
-        // -U/+U rides in the row_kind metadata column when requested
+        // -U/+U rides in the row_kind metadata column when requested.
+        // upsert mode (MongoDB change streams, no before-image): one +U row
+        // (MongoDBConnectorDeserializationSchema.java:118-163)
+        case ChangeOp.Update if p.opts.changelogMode == "upsert" =>
+          Iterator(builder.build(r.after, ChangeOp.Update, r.tsMs, r.offset, "+U"))
         case ChangeOp.Update => Iterator(
           builder.build(r.before, ChangeOp.Update, r.tsMs, r.offset, "-U"),
           builder.build(r.after, ChangeOp.Update, r.tsMs, r.offset, "+U"))
-        // delete → append row from the BEFORE image, op='d', RowKind +I —
-        // the fork's delete-as-insert semantics
-        // (RowDataDebeziumDeserializeSchema.java:127-132)
+        // full mode: delete → append row from the BEFORE image, op='d',
+        // RowKind +I — the fork's delete-as-insert semantics
+        // (RowDataDebeziumDeserializeSchema.java:127-132).
+        // upsert mode: key-only -D row built from the documentKey
         case ChangeOp.Delete =>
-          Iterator(builder.build(r.before, ChangeOp.Delete, r.tsMs, r.offset, "+I"))
+          val kind = if (p.opts.changelogMode == "upsert") "-D" else "+I"
+          Iterator(builder.build(r.before, ChangeOp.Delete, r.tsMs, r.offset, kind))
         case other => throw new IllegalStateException(s"unexpected op '$other' in log")
       }
     }
