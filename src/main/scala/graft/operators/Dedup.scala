@@ -44,7 +44,9 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), n)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // set sizes come straight from the array — no second explode/shuffle
+    val sizes = df.select(col(idCol).as("id"),
+      size(wordShingles(col(textCol), n)).cast("bigint").as("n_sh"))
     // one groupBy(h) instead of a self-join: collect the (sorted) id list
     // per shingle and emit each unordered pair once via nested transform —
     // halves the shuffles and avoids recomputing the explode for both join
