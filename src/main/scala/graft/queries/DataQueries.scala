@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.Q.{cnt, dsum}
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity}
 
@@ -69,6 +70,43 @@ object DataQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 3, ncells = 8, nprobe = 2).orderBy("qid", "rank")
+    }),
+
+    // as-of join: each purchase enriched with the user's latest click at or
+    // before it (point-in-time join — one shuffle, no range explosion)
+    "q37_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_value"))
+        // DuckDB reads the nanos parquet at µs precision — emit µs so the
+        // oracle can match bit-for-bit (the join itself ran at full ns)
+        .withColumn("ts_us", expr("ts div 1000")).drop("ts")
+        .select("user_id", "ts_us", "event_id", "value", "asof_click_value")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // time-range join: clicks within 1h before each purchase (bucketed
+    // interval join, O(n) replication instead of per-key cross product)
+    "q38_time_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val hourUs = 3600000000L
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("p_us"), col("event_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("c_us"), col("value"))
+      val joined = graft.operators.RangeJoin.timeRangeJoin(
+        p, c, Seq("user_id"), "p_us", "c_us", lower = hourUs, upper = 0L)
+      val counts = joined.groupBy("event_id")
+        .agg(cnt.as("n_clicks_1h"), dsum(col("value")).as("click_value_1h"))
+      p.join(counts, Seq("event_id"), "left")
+        .select(col("user_id"), col("p_us"), col("event_id"),
+          coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"),
+          coalesce(col("click_value_1h"), lit(0.0)).as("click_value_1h"))
+        .orderBy("user_id", "p_us", "event_id")
     }),
 
     // multimodal: binary pack → per-partition decode kernel (mapPartitions)
@@ -152,6 +190,26 @@ object DataQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) rank
         |  FROM dots)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the independent oracle
+    "q37_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, MAX(value) AS click_value
+        |                FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
+        |       c.click_value AS asof_click_value
+        |FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, ts_us, p.event_id""".stripMargin,
+
+    "q38_time_range_join" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) c_us, value FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) p_us, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.p_us, p.event_id,
+        |  COUNT(c.c_us) AS n_clicks_1h,
+        |  COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS click_value_1h
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us
+        |GROUP BY 1, 2, 3 ORDER BY p.user_id, p.p_us, p.event_id""".stripMargin,
 
     // mirrors the deterministic stub decode: ASCII corpus → first/second
     // byte = ascii codes; image modality = doc_id % 3 == 0
