@@ -83,15 +83,18 @@ object Similarity {
     centroids
   }
 
-  /** Assign every vector to its max-cosine cell. Centroid table is tiny →
-    * broadcast cross join + ranking window keyed on the vector id. */
+  /** Assign every vector to its max-cosine cell (ties → lowest cell id).
+    * Centroid table is tiny → broadcast cross join; the argmax is a hash
+    * aggregation over max(struct(sim, −cell, payload)) — no sort, map-side
+    * partial, one shuffle on the vector id. Returns (idCol, vecCol, cell). */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
+    val scored = emb.select(col(idCol), col(vecCol)).crossJoin(broadcast(centroids))
       .withColumn("__sim", dot(col(vecCol), col("centroid")) / sqrt(norm2(col("centroid"))))
-    val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "centroid")
+    scored.groupBy(idCol)
+      .agg(max(struct(col("__sim").as("s"), (-col("cell")).as("negc"),
+        col("cell").as("cell"), col(vecCol).as("v"))).as("m"))
+      .select(col(idCol), col("m.v").as(vecCol), col("m.cell").as("cell"))
   }
 
   /** IVF ANN: probe the `nprobe` nearest cells per query, exact cosine only

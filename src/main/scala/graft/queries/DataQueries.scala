@@ -69,7 +69,7 @@ object DataQueries {
     "q35_embedding_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
-        k = 3, ncells = 8, nprobe = 2).orderBy("qid", "rank")
+        k = 3, ncells = 8, nprobe = 2, iters = 1).orderBy("qid", "rank")
     }),
 
     // as-of join: each purchase enriched with the user's latest click at or
