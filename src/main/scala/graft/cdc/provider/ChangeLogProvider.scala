@@ -42,6 +42,15 @@ trait ChangeLogProvider extends Serializable {
 
   /** Log records for a table with offset in (fromExclusive, toInclusive]. */
   def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord]
+
+  /** Schema-change (DDL) events with offset in (fromExclusive, toInclusive]
+    * — the reference records these into split state and optionally emits
+    * them (MySqlRecordEmitter.java:85-97, FlinkJsonTableChangeSerializer).
+    * Spark streams have a fixed row schema, so DDL events surface on a
+    * SEPARATE control stream (see CdcSchemaHistory) rather than widening
+    * data rows mid-stream. Default: none. */
+  def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
+    Iterator.empty
 }
 
 /** Deterministic in-memory provider: a base table state + a scripted

@@ -112,6 +112,15 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
         .filter(r => range.contains(keyOf(tf, r))))
   }
 
+  /** Optional `<table dir>/schema_log.jsonl`:
+    * {"offset":N,"ddl":"ALTER TABLE ..."} per line. */
+  override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
+    tableFiles.iterator.flatMap { tf =>
+      jsonLines(s"${tf.dir}/schema_log.jsonl") { n =>
+        (n.get("offset").asLong(), tf.meta.id, n.get("ddl").asText())
+      }.filter(e => e._1 > fromExclusive && e._1 <= toInclusive)
+    }
+
   override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] = {
     val tf = files(table)
     jsonLines(s"${tf.dir}/log.jsonl") { n =>

@@ -44,6 +44,25 @@ class FileProviderAndRecoverySpec extends SparkSpec {
     assert(rows === Set((1L, "scooter2", 5.18), (3L, "hammer", 1.0)))
   }
 
+  test("schema history: DDL events surface as a control stream + point-in-time schema") {
+    val root = Files.createTempDirectory("cdcschema").toString
+    val dir = Paths.get(root, "inventory.products")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"db":"inventory","table":"products","primaryKey":["id"],
+        |"schema":"id BIGINT, name STRING","baseOffset":0}""".stripMargin)
+    Files.writeString(dir.resolve("snapshot.jsonl"), "{\"id\":1,\"name\":\"a\"}\n")
+    Files.writeString(dir.resolve("schema_log.jsonl"),
+      """{"offset":5,"ddl":"ALTER TABLE products ADD COLUMN weight DOUBLE"}
+        |{"offset":9,"ddl":"ALTER TABLE products DROP COLUMN weight"}
+        |""".stripMargin)
+    val p = new FileChangeLogProvider(root)
+    val all = CdcSchemaHistory.changes(spark, p).collect()
+    assert(all.map(_.getLong(0)).sorted.toSeq === Seq(5L, 9L))
+    val at7 = CdcSchemaHistory.schemaAt(spark, p, 7).collect()
+    assert(at7.length === 1 && at7.head.getAs[String]("ddl").contains("ADD COLUMN"))
+  }
+
   test("checkpoint recovery: restart resumes from the committed offset, no duplicates") {
     val p = new InMemoryChangeLogProvider(meta, Seq(row(1, "a", 1.0)), Seq.empty)
     ProviderRegistry.register("recovery", p)
