@@ -44,6 +44,25 @@ object ChangelogOps {
       .drop("op", "op_offset", "row_kind")
   }
 
+  /** Streaming variant of [[materializeExact]]: a continuously-updated
+    * current-state view over an unbounded cdc-log stream (read with
+    * `metadata.columns = "op_offset,row_kind"`). One streaming aggregation
+    * keyed by PK whose state is the max-(offset, after-wins) row — use
+    * `outputMode("update")` and filter `op =!= "d"` downstream (tombstones
+    * are emitted so sinks can delete). State size = one row per live key,
+    * partitioned by the PK shuffle — the Spark-native equivalent of the
+    * Flink SQL upsert materialization the reference's ITCase aggregation
+    * relies on (MySqlConnectorITCase.java:137-244).
+    */
+  def materializeStreaming(changelog: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val payload = changelog.columns.filterNot(pkCols.contains).map(col)
+    val seq = struct(col("op_offset"), when(col("row_kind") === "-U", 0).otherwise(1))
+    changelog.groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(payload: _*), seq).as("__m"))
+      .select(pkCols.map(col) ++
+        changelog.columns.filterNot(pkCols.contains).map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** Net effect of a changelog per key: +1 for create, -1 for delete, 0 for
     * read/update pairs — useful for row-count reconciliation. */
   def netRowDelta(changelog: DataFrame, pkCols: Seq[String]): DataFrame =
