@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The co-located-join recipe for repeated large joins at 100 TB: bucket
+  * both fact tables by the join key at write time; Spark then joins them
+  * with NO shuffle exchange — the bucket layout IS the partitioning. This
+  * spec pins the plan shape so a regression (bucketing not picked up,
+  * exchange reintroduced) fails loudly. */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("join of tables bucketed on the key runs without a shuffle exchange") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+
+    // and it still computes the right thing
+    val expect = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = joined.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expect)
+  }
+}
