@@ -26,15 +26,29 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // a failed query reports -1 (not its elapsed-time-to-crash) and lands
+    // in "errors" — a broken query must never masquerade as a fast one.
+    // The System.gc() between queries is load-bearing reproducibility
+    // hygiene, not cosmetics: Spark's ContextCleaner frees executor-side
+    // broadcast/shuffle blocks only after a DRIVER GC, and a 16g heap can
+    // run 30+ queries without one — accumulated blocks then inflate later
+    // queries 3-30× (measured: q33 4.6s→25s, q30 7s→350s in-context).
+    // The pause runs outside the timed window.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      (name, elapsed, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

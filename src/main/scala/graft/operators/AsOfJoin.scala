@@ -32,24 +32,33 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
+    // All right value columns ride in ONE struct carried by a single
+    // last(ignoreNulls) — so the attached values always come from the same
+    // matched right row. (Carrying each column independently would let an
+    // older non-null value resurrect over the latest row's genuine NULL,
+    // mixing fields of different right rows.) A right row whose values are
+    // all NULL is still a non-null struct, so it correctly shadows earlier
+    // rows; rows with no match at all yield a NULL struct → NULL fields.
+    val rType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
         leftCols.map(col) ++
-        rightCols.map(c => lit(null).as(s"__r_$c")): _*)
+        Seq(lit(null).cast(rType).as("__r")): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        Seq(struct(rightCols.map(c => col(c).as(c)): _*).as("__r")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__tag") === 1)
       .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++ leftCols.map(col) ++
-        rightCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__r").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -27,18 +27,23 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__h", "__rn")
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard: explode distinct
-    * shingles, self-join on the shingle, count shared per pair,
+    * shingles, self-join on the hashed shingle, count shared per pair,
     * Jaccard = |∩| / (|A|+|B|−|∩|).
     *
-    * Scale notes (measured at sf0.1): shingles are hashed to 64-bit keys
-    * before the join, so the shuffle moves (id, long) pairs instead of
-    * strings (collision odds ~|S|²/2⁶⁴ ≈ 1e-9 here — negligible). The
-    * candidate volume is Σ_s df(s)², which is near-linear when no shingle
-    * is hot (max df 25 in this corpus). A prefix-filter (PPJoin) variant
-    * was measured 5× SLOWER here — its array_intersect verification and
-    * array-carrying shuffles cost more than the join it saves; revisit
-    * only if the df distribution grows a heavy tail (then: df-cap the
-    * candidate join and verify candidates exactly, same output). */
+    * Scale notes: shingles are hashed to 64-bit keys before the join, so
+    * the shuffle moves (id, long) pairs instead of strings (collision odds
+    * ~|S|²/2⁶⁴ — negligible). The per-shingle df(s)² candidate pairs are
+    * STREAMED out of a distributed self-join — each task covers many
+    * shingle keys and feeds pairs incrementally into the map-side partial
+    * agg on (id_a, id_b). Both join inputs are the identical subplan, so
+    * Spark plans ONE exchange and reuses it (ReuseExchange). A
+    * groupBy(h)+collect_list reformulation (round 1) materialized every
+    * pair of a hot shingle inside one row of one task — per-key work can't
+    * be split below the row level, and the straggler measured 30× slower
+    * at sf0.1 (98.7 s vs ~3 s). If df grows a heavy tail on larger
+    * corpora, df-cap the join input and verify surviving candidates
+    * exactly (same output; the cap only prunes pairs already above the
+    * shared-count bound). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
@@ -47,15 +52,9 @@ object Dedup {
     // set sizes come straight from the array — no second explode/shuffle
     val sizes = df.select(col(idCol).as("id"),
       size(wordShingles(col(textCol), n)).cast("bigint").as("n_sh"))
-    // one groupBy(h) instead of a self-join: collect the (sorted) id list
-    // per shingle and emit each unordered pair once via nested transform —
-    // halves the shuffles and avoids recomputing the explode for both join
-    // sides. Per-group work is df(s)² with df ≤ max shingle frequency.
-    val pairs = sh.groupBy("h").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -98,31 +97,39 @@ object Dedup {
 
   /** LSH banding: split the k-signature into `bands` bands of k/bands rows;
     * documents sharing any band land in the same bucket → candidate pair.
-    * Buckets are the shuffle key (hash of band values), so the all-pairs
-    * step never materializes. Returns candidate pairs with the estimated
-    * Jaccard (fraction of matching signature components). */
+    * Buckets are the shuffle key, so the all-pairs step never materializes.
+    * Returns candidate pairs with the estimated Jaccard (fraction of
+    * matching signature components).
+    *
+    * Shuffle-width design: the band join key is `xxhash64(band, band_sig)`
+    * — one 8-byte long instead of a k/bands-long array — and the k-long
+    * signatures do NOT ride through the band self-join at all; they are
+    * re-attached to the surviving candidate pairs by two id-keyed joins
+    * against the (already materialized, exchange-reused) signature table.
+    * At 100 TB the banded exchange is the dominant shuffle, so it carries
+    * (id, long) only. A band-hash collision can only ADD a candidate pair
+    * (odds ~2⁻⁶⁴ per bucket pair), never drop one — acceptable for a
+    * candidate generator whose output is estimation-filtered anyway. */
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
     // NB: the self-join does NOT recompute the signature pipeline — both
     // sides produce identical exchanges and Spark's ReuseExchange collapses
-    // them (verified: a groupBy-bucket + collect_list(struct(id, sig))
-    // reformulation measured ~25% slower because it ships the k-long
-    // signatures through the aggregation shuffle instead).
+    // them.
     val sigs = minHashSignatures(df, idCol, textCol, n, k)
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * r + 1, lit(r)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+      .select(col("id"), xxhash64(col("pos"), col("col")).as("bh"))
     val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_sig") === col("y.band_sig") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands.withColumn("est_jaccard",
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
           .cast("double") / k.toDouble)
       .select("id_a", "id_b", "est_jaccard")

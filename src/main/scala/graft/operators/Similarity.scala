@@ -18,10 +18,30 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Plain double dot product of two array<float> columns (codegen hot path). */
+  /** Plain double dot product of two array<float> columns — generic
+    * higher-order-function form, for when the dimension is not statically
+    * known. NOTE: Spark evaluates HOF lambdas interpreted (outside
+    * whole-stage codegen) and `zip_with` allocates an intermediate array
+    * per row — on per-pair hot paths use [[dotUnrolled]] instead. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, t) => acc + t)
+
+  /** Fixed-dim dot product unrolled into a flat codegen'd sum of
+    * `element_at` products: no array allocation, no lambda dispatch, stays
+    * inside whole-stage codegen. Left-to-right addition order matches the
+    * HOF fold, so results are bit-identical to [[dot]]. This is the form
+    * every per-candidate scoring path uses. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** One planning-time scalar probe for the embedding dimension — a
+    * bounded driver action at plan-construction time (the same pattern as
+    * JDBC partition-bound probes), not a per-row operation. */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -45,13 +65,26 @@ object Similarity {
   /** Brute-force dot-product top-k (embeddings are unit-normalized, so dot
     * IS cosine — the standard retrieval formulation). `score_q` is the
     * exact integer quantized dot (hash-identical across engines); ranking
-    * is (score_q desc, cid). */
+    * is (score_q desc, cid).
+    *
+    * Hot-path shape: each vector is quantized ONCE in its own projection
+    * (floor(x·2²⁴) per component — |corpus|+|queries| rows), so the
+    * O(|Q|·|N|) scoring step is a flat unrolled integer dot in whole-stage
+    * codegen with no per-pair floor/cast work and no array allocation.
+    * Identical values to [[dotQuantized]] (integer sums are order-free).
+    * This stays the exactness baseline/verifier; [[ivfTopK]] is the scale
+    * path — at 100 TB cap |Q| or route through IVF with exact rescoring. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val dim = probeDim(corpus, vecCol)
+    val S = lit(16777216.0) // 2^24
+    val quant = (v: Column) => transform(v, x => floor(x.cast("double") * S).cast("long"))
+    val q = queries.select(col(idCol).as("qid"), quant(col(vecCol)).as("qa"))
+    val c = corpus.select(col(idCol).as("cid"), quant(col(vecCol)).as("ca"))
     val scored = q.crossJoin(c).filter(col("qid") =!= col("cid"))
-      .withColumn("score_q", dotQuantized(col("qv"), col("cv")))
+      .withColumn("score_q",
+        (1 to dim).map(i => element_at(col("qa"), i) * element_at(col("ca"), i))
+          .reduce(_ + _))
     val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -65,12 +98,16 @@ object Similarity {
   /** Learn `ncells` centroids by distributed k-means (Lloyd iterations as
     * DataFrame ops). Seeds = the `ncells` lowest-id vectors (deterministic).
     * Each iteration: broadcast centroids, assign by max cosine, average.
-    * Returns (cell, centroid array<double>). */
+    * Returns (cell, centroid array<double>).
+    *
+    * The seed's own id doubles as the cell label — arbitrary but
+    * deterministic, and id-ordered so "lowest cell wins" tie-breaks agree
+    * with a 0..ncells-1 indexing. This avoids the single-partition global
+    * Window.orderBy a row_number() seeding would need. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int, iters: Int = 2): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     var centroids = emb.orderBy(idCol).limit(ncells)
-      .select((row_number().over(Window.orderBy(idCol)) - 1).as("cell"),
+      .select(col(idCol).cast("long").as("cell"),
         transform(col(vecCol), _.cast("double")).as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assignCells(emb, idCol, vecCol, centroids)
@@ -89,8 +126,12 @@ object Similarity {
     * partial, one shuffle on the vector id. Returns (idCol, vecCol, cell). */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val scored = emb.select(col(idCol), col(vecCol)).crossJoin(broadcast(centroids))
-      .withColumn("__sim", dot(col(vecCol), col("centroid")) / sqrt(norm2(col("centroid"))))
+    val dim = probeDim(emb, vecCol)
+    // centroid norms computed once on the tiny broadcast side, not per pair
+    val cents = broadcast(centroids.withColumn("__cnorm",
+      sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
+    val scored = emb.select(col(idCol), col(vecCol)).crossJoin(cents)
+      .withColumn("__sim", dotUnrolled(col(vecCol), col("centroid"), dim) / col("__cnorm"))
     scored.groupBy(idCol)
       .agg(max(struct(col("__sim").as("s"), (-col("cell")).as("negc"),
         col("cell").as("cell"), col(vecCol).as("v"))).as("m"))
@@ -102,20 +143,24 @@ object Similarity {
     * pipeline: persisted/bucketed by cell). */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, ncells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val dim = probeDim(emb, vecCol)
     val centroids = ivfCentroids(emb, idCol, vecCol, ncells, iters)
     val corpusCells = assignCells(emb, idCol, vecCol, centroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell"))
-      .withColumn("cn2", norm2(col("cv")))
+      .withColumn("cn2", dotUnrolled(col("cv"), col("cv"), dim))
     // query → nprobe candidate cells
+    val cents = broadcast(centroids.withColumn("__cnorm",
+      sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
     val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", dot(col("qv"), col("centroid")) / sqrt(norm2(col("centroid"))))
+      .crossJoin(cents)
+      .withColumn("__sim", dotUnrolled(col("qv"), col("centroid"), dim) / col("__cnorm"))
     val wq = Window.partitionBy("qid").orderBy(col("__sim").desc, col("cell"))
     val qCells = qScored.withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe).select(col("qid"), col("qv"), col("cell"))
-      .withColumn("qn2", norm2(col("qv")))
+      .withColumn("qn2", dotUnrolled(col("qv"), col("qv"), dim))
     val scored = qCells.join(corpusCells, "cell").filter(col("qid") =!= col("cid"))
-      .withColumn("score", dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("score",
+        dotUnrolled(col("qv"), col("cv"), dim) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -127,14 +172,15 @@ object Similarity {
     * embedding-dedup recipe; same-cell misses are the recall tradeoff). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minSim: Double, ncells: Int = 16): DataFrame = {
+    val dim = probeDim(emb, vecCol)
     val centroids = ivfCentroids(emb, idCol, vecCol, ncells)
     val cells = assignCells(emb, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
-      .withColumn("n2", norm2(col("v")))
+      .withColumn("n2", dotUnrolled(col("v"), col("v"), dim))
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("sim",
-        dot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))))
+        dotUnrolled(col("a.v"), col("b.v"), dim) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))))
       .filter(col("sim") >= minSim)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
