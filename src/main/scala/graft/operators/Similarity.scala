@@ -106,16 +106,30 @@ object Similarity {
     * Window.orderBy a row_number() seeding would need. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int, iters: Int = 2): DataFrame = {
-    var centroids = emb.orderBy(idCol).limit(ncells)
+    val dim = probeDim(emb, vecCol)
+    // Each iteration's centroid table is ncells tiny rows; collect it to
+    // the driver and re-plan it as a local relation — the same pattern
+    // MLlib KMeans uses (cluster centers are collected per Lloyd
+    // iteration and re-broadcast). This breaks the k-means lineage, so
+    // the (multiple) downstream consumers of the centroid table don't
+    // re-execute the whole clustering per use. Bounded by ncells×dim
+    // doubles — a planning-time transfer, independent of corpus size.
+    def materialize(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(col("cell").cast("long"), col("centroid"))
+        .as[(Long, Seq[Double])].collect().toSeq.toDF("cell", "centroid")
+    }
+    var centroids = materialize(emb.orderBy(idCol).limit(ncells)
       .select(col(idCol).cast("long").as("cell"),
-        transform(col(vecCol), _.cast("double")).as("centroid"))
+        transform(col(vecCol), _.cast("double")).as("centroid")))
     for (_ <- 0 until iters) {
-      val assigned = assignCells(emb, idCol, vecCol, centroids)
-      centroids = assigned
+      val assigned = assignCellsDim(emb, idCol, vecCol, centroids, dim)
+      centroids = materialize(assigned
         .select(col("cell"), posexplode(col(vecCol)))
         .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid")))
     }
     centroids
   }
@@ -125,8 +139,11 @@ object Similarity {
     * aggregation over max(struct(sim, −cell, payload)) — no sort, map-side
     * partial, one shuffle on the vector id. Returns (idCol, vecCol, cell). */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val dim = probeDim(emb, vecCol)
+      centroids: DataFrame): DataFrame =
+    assignCellsDim(emb, idCol, vecCol, centroids, probeDim(emb, vecCol))
+
+  private def assignCellsDim(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int): DataFrame = {
     // centroid norms computed once on the tiny broadcast side, not per pair
     val cents = broadcast(centroids.withColumn("__cnorm",
       sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
@@ -145,7 +162,7 @@ object Similarity {
       k: Int, ncells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
     val dim = probeDim(emb, vecCol)
     val centroids = ivfCentroids(emb, idCol, vecCol, ncells, iters)
-    val corpusCells = assignCells(emb, idCol, vecCol, centroids)
+    val corpusCells = assignCellsDim(emb, idCol, vecCol, centroids, dim)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell"))
       .withColumn("cn2", dotUnrolled(col("cv"), col("cv"), dim))
     // query → nprobe candidate cells
@@ -174,7 +191,7 @@ object Similarity {
       minSim: Double, ncells: Int = 16): DataFrame = {
     val dim = probeDim(emb, vecCol)
     val centroids = ivfCentroids(emb, idCol, vecCol, ncells)
-    val cells = assignCells(emb, idCol, vecCol, centroids)
+    val cells = assignCellsDim(emb, idCol, vecCol, centroids, dim)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
       .withColumn("n2", dotUnrolled(col("v"), col("v"), dim))
     cells.as("a").join(cells.as("b"),

@@ -35,6 +35,13 @@ object Q30Probe {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     time("pairs-uncached.count")(println(pairs.count()))
+    val shR = sh.repartition(col("h"))
+    val pairsR = shR.as("a").join(shR.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    time("pairs-repartitioned.count")(println(pairsR.count()))
+    time("pairs-repartitioned-again.count")(println(pairsR.count()))
     spark.stop()
   }
 }
