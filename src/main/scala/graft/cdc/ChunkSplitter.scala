@@ -26,8 +26,10 @@ object ChunkSplitter {
   /** Boundary oracle for uneven chunking: the max key of the next chunk,
     * i.e. SELECT MAX(pk) FROM (SELECT pk FROM t WHERE pk >= from ORDER BY pk
     * LIMIT chunkSize) (reference StatementUtils.java:99-130). Returns None
-    * when fewer than chunkSize keys remain past `from`. */
-  type NextChunkEnd = (Long, Int) => Option[Long]
+    * when fewer than chunkSize keys remain past `from`. Works for ANY
+    * orderable key (string / binary / composite) — the store answers the
+    * boundary query from its PK index regardless of key type. */
+  type NextChunkEnd = (ChunkKey.Key, Int) => Option[ChunkKey.Key]
 
   /** (max - min + 1) / rowCount (reference ChunkSplitter.java:284-309). */
   def distributionFactor(min: Long, max: Long, rowCount: Long): Double =
@@ -44,12 +46,12 @@ object ChunkSplitter {
     val out = ArrayBuffer.empty[SnapshotSplit]
     var start = min
     var id = 0
-    var chunkStart: Option[Long] = None // first chunk unbounded below
+    var chunkStart: Option[ChunkKey.Key] = None // first chunk unbounded below
     while (start <= max) {
       val end = start + dynamicChunkSize
-      val chunkEnd = if (end > max) None else Some(end) // last chunk unbounded above
+      val chunkEnd = if (end > max) None else Some(ChunkKey.of(end)) // last chunk unbounded above
       out += SnapshotSplit(tableId, id, chunkStart, chunkEnd)
-      chunkStart = Some(end)
+      chunkStart = Some(ChunkKey.of(end))
       start = end
       id += 1
     }
@@ -58,19 +60,27 @@ object ChunkSplitter {
   }
 
   /** Uneven case: each chunk end comes from a boundary probe
-    * (reference ChunkSplitter.java:197-245). */
-  def splitUnevenly(tableId: TableId, min: Long, max: Long, chunkSize: Int,
+    * (reference ChunkSplitter.java:197-245). Key-type-agnostic: the only
+    * operations are boundary probes and comparisons, so string / binary /
+    * composite keys chunk identically to numeric ones. */
+  def splitUnevenly(tableId: TableId, min: ChunkKey.Key, max: ChunkKey.Key, chunkSize: Int,
       nextChunkEnd: NextChunkEnd): Seq[SnapshotSplit] = {
     val out = ArrayBuffer.empty[SnapshotSplit]
     var id = 0
-    var chunkStart: Option[Long] = None
+    var chunkStart: Option[ChunkKey.Key] = None
     var from = min
     var done = false
     while (!done) {
-      nextChunkEnd(from, chunkSize).filter(_ < max) match {
+      nextChunkEnd(from, chunkSize).filter(ChunkKey.compare(_, max) < 0) match {
         case Some(end) if chunkStart.contains(end) =>
-          // boundary did not advance (heavy duplicate keys): widen until it does
-          from = end + 1
+          // boundary did not advance (heavy duplicate keys): ask the store
+          // for the boundary strictly past `end` (nextChunkEnd contract:
+          // from is inclusive; callers pass a successor probe). For the
+          // numeric fast path we can step; otherwise re-probe one key on.
+          from = ChunkKey.asLong(end) match {
+            case Some(l) => ChunkKey.of(l + 1)
+            case None    => nextChunkEnd(end, 2).getOrElse(max)
+          }
         case Some(end) =>
           out += SnapshotSplit(tableId, id, chunkStart, Some(end))
           chunkStart = Some(end); from = end; id += 1
@@ -83,15 +93,22 @@ object ChunkSplitter {
   }
 
   /** Full planning flow (reference ChunkSplitter.generateSplits:76-118 +
-    * splitTableIntoChunks:144-161). */
-  def plan(tableId: TableId, min: Long, max: Long, approxRowCount: Long,
-      cfg: Config = Config(), nextChunkEnd: NextChunkEnd): Seq[SnapshotSplit] = {
-    val factor = distributionFactor(min, max, approxRowCount)
-    if (isEvenlyDistributed(factor, cfg)) {
-      val dynamic = math.max(math.round(factor * cfg.chunkSize), 1L)
-      splitEvenly(tableId, min, max, dynamic)
-    } else {
-      splitUnevenly(tableId, min, max, cfg.chunkSize, nextChunkEnd)
+    * splitTableIntoChunks:144-161): single-column numeric keys may take the
+    * probe-free arithmetic path when evenly distributed; every other key
+    * shape (string / binary / composite) is chunked by boundary queries —
+    * the same behavior as the reference's isEvenlySplitColumn gate. */
+  def plan(tableId: TableId, min: ChunkKey.Key, max: ChunkKey.Key, approxRowCount: Long,
+      cfg: Config = Config(), nextChunkEnd: NextChunkEnd): Seq[SnapshotSplit] =
+    (ChunkKey.asLong(min), ChunkKey.asLong(max)) match {
+      case (Some(mn), Some(mx)) =>
+        val factor = distributionFactor(mn, mx, approxRowCount)
+        if (isEvenlyDistributed(factor, cfg)) {
+          val dynamic = math.max(math.round(factor * cfg.chunkSize), 1L)
+          splitEvenly(tableId, mn, mx, dynamic)
+        } else {
+          splitUnevenly(tableId, min, max, cfg.chunkSize, nextChunkEnd)
+        }
+      case _ =>
+        splitUnevenly(tableId, min, max, cfg.chunkSize, nextChunkEnd)
     }
-  }
 }

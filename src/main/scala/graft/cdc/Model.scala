@@ -53,19 +53,95 @@ final case class LogRecord(
 /** Table metadata a provider exposes (schema + primary key). */
 final case class TableMeta(id: TableId, schema: StructType, primaryKey: Seq[String])
 
+/** Generalized split-key values: a chunk key is a (possibly composite)
+  * vector of orderable scalars — the analogue of the reference's Object[]
+  * split keys (RecordUtils.splitKeyRangeContains compares arbitrary
+  * Comparable split keys; the varbinary-PK ITCase
+  * mysql/table/MySqlConnectorITCase.java:902 exercises binary keys).
+  *
+  * Elements are normalized at construction (all integrals → Long, byte[] →
+  * immutable ArraySeq[Byte]) so keys have value equality/hashing (usable as
+  * hash-map keys in [[Normalizer.normalize]]) and one total order per type:
+  * signed numeric, lexicographic String, unsigned-lexicographic bytes.
+  * Composite keys compare lexicographically element-wise — exactly SQL's
+  * ORDER BY (k1, k2, ...) semantics, which is what chunk-range scans
+  * generate. */
+object ChunkKey {
+  type Key = Vector[Any]
+
+  def normalize(v: Any): Any = v match {
+    case l: Long                 => l
+    case i: Int                  => i.toLong
+    case s: Short                => s.toLong
+    case b: Byte                 => b.toLong
+    case s: String               => s
+    case a: Array[Byte]          => scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    case a: scala.collection.immutable.ArraySeq[_] => a
+    case d: Double               => d
+    case f: Float                => f.toDouble
+    case d: java.math.BigDecimal => d
+    case other => throw new IllegalArgumentException(
+      s"unsupported chunk-key element ${other.getClass}: $other")
+  }
+
+  def of(vs: Any*): Key = vs.iterator.map(normalize).toVector
+
+  /** The numeric fast path: Some(long) iff single-element integral key —
+    * gates the reference's evenly-distributed arithmetic chunking
+    * (ChunkSplitter.java isEvenlySplitColumn: numeric split columns only). */
+  def asLong(k: Key): Option[Long] = k match {
+    case Vector(l: Long) => Some(l)
+    case _               => None
+  }
+
+  private def cmpElem(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: scala.collection.immutable.ArraySeq[_], y: scala.collection.immutable.ArraySeq[_]) =>
+      // unsigned lexicographic — matches database VARBINARY ordering
+      val xa = x.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]]
+      val ya = y.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]]
+      val n = math.min(xa.length, ya.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(xa(i) & 0xff, ya(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(xa.length, ya.length)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable chunk-key elements: ${a.getClass} vs ${b.getClass}")
+  }
+
+  def compare(a: Key, b: Key): Int = {
+    require(a.length == b.length, s"composite key arity mismatch: $a vs $b")
+    var i = 0
+    while (i < a.length) {
+      val c = cmpElem(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  implicit val ordering: Ordering[Key] = (a: Key, b: Key) => compare(a, b)
+}
+
 /** A snapshot chunk split: primary-key range [start, end).
-  * null bound = unbounded (reference MySqlSnapshotSplit,
-  * mysql/source/split/MySqlSnapshotSplit.java). Keys are compared with
-  * ChunkSplitter.compareKey. */
+  * None bound = unbounded (reference MySqlSnapshotSplit,
+  * mysql/source/split/MySqlSnapshotSplit.java). */
 final case class SnapshotSplit(
     tableId: TableId,
     splitId: Int,
-    start: Option[Long],
-    end: Option[Long]) {
+    start: Option[ChunkKey.Key],
+    end: Option[ChunkKey.Key]) {
   /** Reference RecordUtils.splitKeyRangeContains (used by the binlog emit
     * filter at mysql/debezium/reader/BinlogSplitReader.java:212-214). */
-  def contains(key: Long): Boolean =
-    start.forall(key >= _) && end.forall(key < _)
+  def contains(key: ChunkKey.Key): Boolean =
+    start.forall(ChunkKey.compare(key, _) >= 0) && end.forall(ChunkKey.compare(key, _) < 0)
+  def contains(key: Long): Boolean = contains(ChunkKey.of(key))
 }
 
 /** A finished chunk: its range plus the high watermark (log offset) the

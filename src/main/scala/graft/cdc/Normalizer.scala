@@ -35,11 +35,11 @@ object Normalizer {
     *                   to this chunk's key range
     * @param key        primary-key extractor for a field array
     */
-  def normalize(
+  def normalize[K](
       snapshot: Iterator[Array[Any]],
       catchUp: Iterator[LogRecord],
-      key: Array[Any] => Long): Iterator[Array[Any]] = {
-    val state = mutable.LinkedHashMap.empty[Long, Array[Any]]
+      key: Array[Any] => K): Iterator[Array[Any]] = {
+    val state = mutable.LinkedHashMap.empty[K, Array[Any]]
     snapshot.foreach(r => state.put(key(r), r))
     catchUp.foreach { rec =>
       rec.op match {
@@ -67,9 +67,12 @@ object Normalizer {
     private val maxHw: Long =
       if (finished.isEmpty) Long.MinValue else finished.map(_.highWatermark).max
 
-    def shouldEmit(key: Long, offset: Long): Boolean =
+    def shouldEmit(key: ChunkKey.Key, offset: Long): Boolean =
       if (offset > maxHw) true // pure log phase for every chunk
       else finished.exists(f => f.split.contains(key) && offset > f.highWatermark)
+
+    def shouldEmit(key: Long, offset: Long): Boolean =
+      shouldEmit(ChunkKey.of(key), offset)
   }
 
   /** Startup-timestamp seek filter (reference

@@ -31,11 +31,13 @@ trait ChangeLogProvider extends Serializable {
   def currentOffset: Long
 
   /** Min/max of the chunk key and approximate row count for a table —
-    * driver-side planning probes (reference StatementUtils.java:40-76). */
-  def keyBounds(table: TableId): (Long, Long, Long) // (min, max, approxCount)
+    * driver-side planning probes (reference StatementUtils.java:40-76).
+    * Keys are generalized [[ChunkKey.Key]]s: single numeric, string,
+    * binary, or composite — mirroring the reference's Object[] split keys. */
+  def keyBounds(table: TableId): (ChunkKey.Key, ChunkKey.Key, Long) // (min, max, approxCount)
 
   /** Boundary probe for uneven chunking (StatementUtils.java:99-130). */
-  def nextChunkEnd(table: TableId, from: Long, chunkSize: Int): Option[Long]
+  def nextChunkEnd(table: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key]
 
   /** Base rows of a key range plus the log offset that base is valid at. */
   def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]])
@@ -76,11 +78,8 @@ final class InMemoryChangeLogProvider(
   def append(recs: LogRecord*): Unit = synchronized { logBuf ++= recs }
   private def logRecords: Seq[LogRecord] = synchronized { logBuf.toSeq }
 
-  private val keyIdx = meta.schema.fieldIndex(meta.primaryKey.head)
-  private def keyOf(r: Array[Any]): Long = r(keyIdx) match {
-    case l: Long => l; case i: Int => i.toLong
-    case other   => throw new IllegalArgumentException(s"non-numeric chunk key $other")
-  }
+  private val keyIdxs = meta.primaryKey.map(meta.schema.fieldIndex)
+  private def keyOf(r: Array[Any]): ChunkKey.Key = ChunkKey.of(keyIdxs.map(r): _*)
 
   override def tables: Seq[TableMeta] = Seq(meta)
   override def currentOffset: Long =
@@ -88,7 +87,7 @@ final class InMemoryChangeLogProvider(
 
   /** State of the table after applying log records with offset <= upTo. */
   def stateAt(upTo: Long): Seq[Array[Any]] = {
-    val m = mutable.LinkedHashMap.empty[Long, Array[Any]]
+    val m = mutable.LinkedHashMap.empty[ChunkKey.Key, Array[Any]]
     base.foreach(r => m.put(keyOf(r), r))
     logRecords.filter(_.offset <= upTo).sortBy(_.offset).foreach { rec =>
       rec.op match {
@@ -100,13 +99,17 @@ final class InMemoryChangeLogProvider(
     m.values.toSeq
   }
 
-  override def keyBounds(table: TableId): (Long, Long, Long) = {
+  override def keyBounds(table: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = {
+    import ChunkKey.ordering
     val keys = stateAt(staleOffset).map(keyOf)
-    if (keys.isEmpty) (0L, -1L, 0L) else (keys.min, keys.max, keys.size.toLong)
+    if (keys.isEmpty) (ChunkKey.of(0L), ChunkKey.of(-1L), 0L)
+    else (keys.min, keys.max, keys.size.toLong)
   }
 
-  override def nextChunkEnd(table: TableId, from: Long, chunkSize: Int): Option[Long] = {
-    val keys = stateAt(staleOffset).map(keyOf).filter(_ >= from).sorted.take(chunkSize)
+  override def nextChunkEnd(table: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key] = {
+    import ChunkKey.ordering
+    val keys = stateAt(staleOffset).map(keyOf)
+      .filter(ChunkKey.compare(_, from) >= 0).sorted.take(chunkSize)
     if (keys.size < chunkSize) None else Some(keys.last)
   }
 
@@ -130,8 +133,8 @@ final class CompositeChangeLogProvider(parts: Seq[ChangeLogProvider]) extends Ch
       throw new IllegalArgumentException(s"no provider owns $t"))
   override def tables: Seq[TableMeta] = parts.flatMap(_.tables)
   override def currentOffset: Long = parts.map(_.currentOffset).foldLeft(0L)(math.max)
-  override def keyBounds(t: TableId): (Long, Long, Long) = owner(t).keyBounds(t)
-  override def nextChunkEnd(t: TableId, from: Long, n: Int): Option[Long] =
+  override def keyBounds(t: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = owner(t).keyBounds(t)
+  override def nextChunkEnd(t: TableId, from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] =
     owner(t).nextChunkEnd(t, from, n)
   override def snapshotBase(t: TableId, r: SnapshotSplit): (Long, Iterator[Array[Any]]) =
     owner(t).snapshotBase(t, r)

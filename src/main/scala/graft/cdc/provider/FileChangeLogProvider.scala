@@ -83,25 +83,29 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
         .foldLeft(tf.baseOffset)(math.max)
     }.foldLeft(0L)(math.max)
 
-  private def keyIdx(tf: TableFiles): Int = tf.meta.schema.fieldIndex(tf.meta.primaryKey.head)
-  private def keyOf(tf: TableFiles, r: Array[Any]): Long = r(keyIdx(tf)) match {
-    case l: Long => l; case i: Int => i.toLong
-    case other   => throw new IllegalArgumentException(s"non-numeric chunk key $other")
-  }
+  private def keyIdxs(tf: TableFiles): Seq[Int] = tf.meta.primaryKey.map(tf.meta.schema.fieldIndex)
+  private def keyOf(tf: TableFiles, r: Array[Any]): ChunkKey.Key =
+    ChunkKey.of(keyIdxs(tf).map(r): _*)
 
-  override def keyBounds(table: TableId): (Long, Long, Long) = {
+  override def keyBounds(table: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = {
     val tf = files(table)
-    var (mn, mx, n) = (Long.MaxValue, Long.MinValue, 0L)
+    var mn: ChunkKey.Key = null
+    var mx: ChunkKey.Key = null
+    var n = 0L
     jsonLines(s"${tf.dir}/snapshot.jsonl")(row(tf.meta.schema, _)).foreach { r =>
-      val k = keyOf(tf, r); mn = math.min(mn, k); mx = math.max(mx, k); n += 1
+      val k = keyOf(tf, r)
+      if (mn == null || ChunkKey.compare(k, mn) < 0) mn = k
+      if (mx == null || ChunkKey.compare(k, mx) > 0) mx = k
+      n += 1
     }
-    if (n == 0) (0L, -1L, 0L) else (mn, mx, n)
+    if (n == 0) (ChunkKey.of(0L), ChunkKey.of(-1L), 0L) else (mn, mx, n)
   }
 
-  override def nextChunkEnd(table: TableId, from: Long, chunkSize: Int): Option[Long] = {
+  override def nextChunkEnd(table: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key] = {
+    import ChunkKey.ordering
     val tf = files(table)
     val keys = jsonLines(s"${tf.dir}/snapshot.jsonl")(row(tf.meta.schema, _))
-      .map(keyOf(tf, _)).filter(_ >= from).toSeq.sorted.take(chunkSize)
+      .map(keyOf(tf, _)).filter(ChunkKey.compare(_, from) >= 0).toSeq.sorted.take(chunkSize)
     if (keys.size < chunkSize) None else Some(keys.last)
   }
 

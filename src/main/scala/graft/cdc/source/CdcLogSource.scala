@@ -1,15 +1,16 @@
 package graft.cdc.source
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import graft.cdc._
+import graft.cdc.ChunkKey.Key
 import graft.cdc.provider.{ChangeLogProvider, FileChangeLogProvider, ProviderRegistry}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,6 +33,13 @@ final case class CdcOptions(
     startupTimestampMs: Long,
     startupSpecificOffset: Long,
     maxOffsetsPerBatch: Long,
+    /** Snapshot admission control: at most this many chunks per micro-batch.
+      * The analogue of the reference's chunk-meta.group.size bounding
+      * (MySqlSourceOptions.java:178-184) — at 100 TB a table plans millions
+      * of chunks, and reading them all in ONE batch would make the first
+      * batch unbounded. Cohorts read in successive batches each pin their
+      * own high watermark; the log phase reconciles via the emit filter. */
+    maxChunksPerBatch: Int,
     metadataCols: Seq[String],
     /** "full" = before+after update pairs (MySQL-family, §1.3); "upsert" =
       * no before-images: update → one +U row, delete → key-only -D row —
@@ -91,6 +99,7 @@ object CdcOptions {
       o.getLong("scan.startup.timestamp-millis", 0L),
       o.getLong("scan.startup.specific-offset", 0L),
       o.getLong("scan.log.max-offsets-per-batch", Long.MaxValue),
+      o.getInt("scan.snapshot.max-chunks-per-batch", 1000),
       meta,
       o.getOrDefault("changelog.mode", "full"))
   }
@@ -114,15 +123,29 @@ object CdcOptions {
 // Offsets
 // ---------------------------------------------------------------------------
 
-/** Streaming offset: snapshot-phase flag + global log position + the planned
-  * chunk ranges (persisted so planInputPartitions replays deterministically
-  * after driver restart — the Spark analogue of the reference's
-  * PendingSplitsState checkpointing,
-  * mysql/source/assigners/state/PendingSplitsStateSerializer.java). */
+/** A finished chunk as carried in the offset: range + the high watermark
+  * its cohort was consistent at. */
+final case class FinishedChunk(start: Option[Key], end: Option[Key], hw: Long)
+
+/** Streaming offset: snapshot-phase flag + global log position + pending
+  * chunk ranges + finished chunks with their high watermarks + the set of
+  * tables already incorporated (persisted so planInputPartitions replays
+  * deterministically after driver restart — the Spark analogue of the
+  * reference's PendingSplitsState checkpointing,
+  * mysql/source/assigners/state/PendingSplitsStateSerializer.java, and its
+  * FinishedSnapshotSplitInfo lists shipped to the binlog reader,
+  * MySqlHybridSplitAssigner.java:192-220).
+  *
+  * `finished` entries are dropped per table once logPos passes the table's
+  * max high watermark (pure log phase) — the offset shrinks back to a flag
+  * and a position, like the reference's binlog split after
+  * chunk-meta pruning. */
 final case class CdcOffset(
     snapshotDone: Boolean,
     logPos: Long,
-    splits: Map[String, Seq[(Option[Long], Option[Long])]]) extends Offset {
+    splits: Map[String, Seq[(Option[Key], Option[Key])]],
+    finished: Map[String, Seq[FinishedChunk]] = Map.empty,
+    known: Seq[String] = Seq.empty) extends Offset {
 
   override def json(): String = {
     val m = new ObjectMapper()
@@ -134,26 +157,81 @@ final case class CdcOffset(
       val arr = ts.putArray(t)
       rs.foreach { case (s, e) =>
         val pair = arr.addArray()
-        s.fold(pair.addNull())(v => pair.add(v))
-        e.fold(pair.addNull())(v => pair.add(v))
+        CdcOffset.writeBound(pair, s)
+        CdcOffset.writeBound(pair, e)
       }
     }
+    val fs = root.putObject("finished")
+    finished.toSeq.sortBy(_._1).foreach { case (t, cs) =>
+      val arr = fs.putArray(t)
+      cs.foreach { c =>
+        val e = arr.addArray()
+        CdcOffset.writeBound(e, c.start)
+        CdcOffset.writeBound(e, c.end)
+        e.add(c.hw)
+      }
+    }
+    val ks = root.putArray("known")
+    known.sorted.foreach(ks.add)
     m.writeValueAsString(root)
   }
 }
 
 object CdcOffset {
+  /** Key-element codec: {"l":long} | {"s":string} | {"b":base64} |
+    * {"d":double} | {"n":"decimal-string"} — typed so string/binary/
+    * composite chunk keys round-trip through the offset log. */
+  private[source] def writeBound(arr: ArrayNode, bound: Option[Key]): Unit =
+    bound match {
+      case None => arr.addNull()
+      case Some(k) =>
+        val ka = arr.addArray()
+        k.foreach {
+          case l: Long   => ka.addObject().put("l", l)
+          case s: String => ka.addObject().put("s", s)
+          case b: scala.collection.immutable.ArraySeq[_] =>
+            ka.addObject().put("b", java.util.Base64.getEncoder.encodeToString(
+              b.asInstanceOf[scala.collection.immutable.ArraySeq[Byte]].toArray))
+          case d: Double => ka.addObject().put("d", d)
+          case n: java.math.BigDecimal => ka.addObject().put("n", n.toString)
+          case other => throw new IllegalStateException(s"unencodable key elem $other")
+        }
+    }
+
+  private[source] def readBound(node: JsonNode): Option[Key] =
+    if (node.isNull) None
+    else Some(node.elements().asScala.map { e =>
+      if (e.has("l")) e.get("l").asLong()
+      else if (e.has("s")) e.get("s").asText()
+      else if (e.has("b")) ChunkKey.normalize(java.util.Base64.getDecoder.decode(e.get("b").asText()))
+      else if (e.has("d")) e.get("d").asDouble()
+      else if (e.has("n")) new java.math.BigDecimal(e.get("n").asText())
+      else throw new IllegalArgumentException(s"bad key elem $e")
+    }.toVector)
+
   def parse(json: String): CdcOffset = {
     val root = new ObjectMapper().readTree(json).asInstanceOf[ObjectNode]
     val splits = root.get("splits").properties().asScala.map { e =>
       val rs = e.getValue.elements().asScala.map { pair =>
         val it = pair.elements().asScala.toSeq
-        (if (it(0).isNull) None else Some(it(0).asLong()),
-         if (it(1).isNull) None else Some(it(1).asLong()))
+        (readBound(it(0)), readBound(it(1)))
       }.toSeq
       e.getKey -> rs
     }.toMap
-    CdcOffset(root.get("snapshotDone").asBoolean(), root.get("logPos").asLong(), splits)
+    val finished =
+      if (!root.has("finished")) Map.empty[String, Seq[FinishedChunk]]
+      else root.get("finished").properties().asScala.map { e =>
+        val cs = e.getValue.elements().asScala.map { t =>
+          val it = t.elements().asScala.toSeq
+          FinishedChunk(readBound(it(0)), readBound(it(1)), it(2).asLong())
+        }.toSeq
+        e.getKey -> cs
+      }.toMap
+    val known =
+      if (!root.has("known")) Seq.empty[String]
+      else root.get("known").elements().asScala.map(_.asText()).toSeq
+    CdcOffset(root.get("snapshotDone").asBoolean(), root.get("logPos").asLong(),
+      splits, finished, known)
   }
 }
 
@@ -162,16 +240,20 @@ object CdcOffset {
 // ---------------------------------------------------------------------------
 
 /** One snapshot chunk: read base rows, fold the catch-up log slice up to
-  * `upTo` (the driver-pinned high watermark) — Normalizer.normalize is the
+  * `upTo` (the cohort's pinned high watermark) — Normalizer.normalize is the
   * reference's RecordUtils.upsertBinlog running inside a Spark partition. */
 final case class ChunkPartition(opts: CdcOptions, table: TableId, physical: StructType,
-    pk: String, start: Option[Long], end: Option[Long], upTo: Long) extends InputPartition
+    pk: Seq[String], start: Option[Key], end: Option[Key], upTo: Long) extends InputPartition
 
 /** One log slice (fromExclusive, toInclusive] for one table. Single
   * partition per table = the reference's single binlog reader; per-table
-  * parallelism comes from multiplexing tables. */
+  * parallelism comes from multiplexing tables. `finished` carries the
+  * table's finished-chunk infos (range + HW) so the reader can apply the
+  * per-chunk emit filter (reference BinlogSplitReader.shouldEmit via
+  * FinishedSnapshotSplitInfo) — empty once in pure log phase. */
 final case class LogPartition(opts: CdcOptions, table: TableId, physical: StructType,
-    fromExclusive: Long, toInclusive: Long) extends InputPartition
+    pk: Seq[String], fromExclusive: Long, toInclusive: Long,
+    finished: Seq[FinishedChunk] = Seq.empty) extends InputPartition
 
 final case class CdcReaderFactory(produced: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -236,14 +318,21 @@ final class ChunkReader(p: ChunkPartition, produced: StructType)
   extends PartitionReader[InternalRow] {
   private val provider = p.opts.resolveProvider()
   private val builder = new RowBuilder(p.physical, produced, p.table)
-  private val keyIdx = p.physical.fieldIndex(p.pk)
-  private def keyOf(r: Array[Any]): Long = r(keyIdx) match {
-    case l: Long => l; case i: Int => i.toLong
-    case o       => throw new IllegalArgumentException(s"non-numeric chunk key $o")
-  }
+  private val keyIdxs = p.pk.map(p.physical.fieldIndex)
+  private def keyOf(r: Array[Any]): Key = ChunkKey.of(keyIdxs.map(r): _*)
   private val iter: Iterator[InternalRow] = {
     val range = SnapshotSplit(p.table, 0, p.start, p.end)
     val (baseOffset, base) = provider.snapshotBase(p.table, range)
+    // Hard contract (the inverse of the reference's per-chunk LW/HW bracket,
+    // MySqlSnapshotSplitReadTask.java:139-160): the base must be consistent
+    // at an offset <= the cohort's pinned high watermark, else events
+    // committed between planning and this read would appear BOTH in the
+    // base rows and in later log batches — silent duplicates. A racing
+    // non-time-travel provider must fail loudly here.
+    if (baseOffset > p.upTo) throw new IllegalStateException(
+      s"provider returned snapshot base at offset $baseOffset > pinned high watermark " +
+        s"${p.upTo} for chunk ${p.table}[${p.start}..${p.end}); the provider must serve " +
+        "a base consistent at or before the planning offset (or time-travel to it)")
     val catchUp = provider.log(p.table, baseOffset, p.upTo)
       .filter(r => range.contains(keyOf(if (r.op == ChangeOp.Delete) r.before else r.after)))
     // snapshot rows: op='r', ts forced to 0 (reference RecordUtils.java:197-225)
@@ -260,13 +349,29 @@ final class LogReader(p: LogPartition, produced: StructType)
   extends PartitionReader[InternalRow] {
   private val provider = p.opts.resolveProvider()
   private val builder = new RowBuilder(p.physical, produced, p.table)
+  private val keyIdxs = p.pk.map(p.physical.fieldIndex)
+  private def keyOf(r: Array[Any]): Key = ChunkKey.of(keyIdxs.map(r): _*)
   private val iter: Iterator[InternalRow] = {
     val raw = provider.log(p.table, p.fromExclusive, p.toInclusive)
     // F5 timestamp seek (reference SeekBinlogToTimestampFilter.java:62-79)
     val seeked =
       if (p.opts.startupMode == "timestamp") Normalizer.timestampSeek(raw, p.opts.startupTimestampMs)
       else raw
-    seeked.flatMap { r =>
+    // F4 per-chunk emit filter (reference BinlogSplitReader.shouldEmit
+    // :194-240): drop events already folded into a finished chunk — i.e.
+    // offset <= that chunk's high watermark. Cohorts read in later batches
+    // have later HWs, so this is what makes multi-batch snapshots (and
+    // mid-stream newly-added tables) exactly-once.
+    val filtered =
+      if (p.finished.isEmpty) seeked
+      else {
+        val emit = new Normalizer.EmitFilter(p.finished.zipWithIndex.map { case (f, i) =>
+          FinishedSplitInfo(SnapshotSplit(p.table, i, f.start, f.end), f.hw)
+        })
+        seeked.filter(r =>
+          emit.shouldEmit(keyOf(if (r.op == ChangeOp.Delete) r.before else r.after), r.offset))
+      }
+    filtered.flatMap { r =>
       r.op match {
         case ChangeOp.Create =>
           Iterator(builder.build(r.after, ChangeOp.Create, r.tsMs, r.offset, "+I"))
@@ -330,7 +435,7 @@ object CdcPlanner {
       matched: Seq[TableMeta], upTo: Long): Seq[InputPartition] =
     matched.flatMap { tm =>
       planSplits(opts, provider, tm).map(sp =>
-        ChunkPartition(opts, tm.id, tm.schema, tm.primaryKey.head, sp.start, sp.end, upTo))
+        ChunkPartition(opts, tm.id, tm.schema, tm.primaryKey, sp.start, sp.end, upTo))
     }
 
   def planSplits(opts: CdcOptions, provider: ChangeLogProvider, tm: TableMeta): Seq[SnapshotSplit] = {
@@ -342,53 +447,138 @@ object CdcPlanner {
   }
 }
 
+/** The driver-side assigner state machine (reference enumerator +
+  * MySqlHybridSplitAssigner), expressed as pure offset→offset transitions:
+  *
+  *  1. snapshot phase: each trigger admits a COHORT of at most
+  *     `scan.snapshot.max-chunks-per-batch` pending chunks; the cohort's
+  *     high watermark is pinned at admission time and recorded per chunk in
+  *     the offset's `finished` list. Cohorts admitted later carry later
+  *     HWs — exactly the reference's per-chunk LW/HW brackets, discovered
+  *     at the only place Spark's micro-batch model can make deterministic:
+  *     offset planning.
+  *  2. log phase: the log advances from the initial pin; the per-chunk
+  *     emit filter (LogReader) drops events a chunk already folded.
+  *     Once logPos passes a table's max HW the table's finished list is
+  *     dropped from the offset (pure log phase).
+  *  3. newly-added tables (reference W7,
+  *     MySqlSourceReader.java:227-271): during the log phase each trigger
+  *     re-probes the provider's table list; a new regex-matched table gets
+  *     chunks planned and snapshot cohorts admitted mid-stream — its log
+  *     events before its HWs are suppressed by the same emit filter. No
+  *     restart, no suspend/wakeup RPC: the driver owns both roles.
+  */
 final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
-    produced: StructType, matched: Seq[TableMeta]) extends MicroBatchStream {
+    produced: StructType, matched: Seq[TableMeta])
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private lazy val provider = opts.resolveProvider()
-  @volatile private var lastLogPos: Long = -1L
+
+  private def matchedNow(): Seq[TableMeta] = {
+    val ms = opts.matchedTables(provider)
+    ms.foreach(tm => require(tm.schema == physical,
+      s"table ${tm.id} schema ${tm.schema} does not match the stream schema $physical " +
+        "(sharding-union contract: mid-stream tables must share the declared schema)"))
+    ms
+  }
 
   override def initialOffset(): Offset = {
     val cur = provider.currentOffset
+    val known = matched.map(_.id.toString)
     opts.startupMode match {
       case "initial" =>
         val splits = matched.map { tm =>
           tm.id.toString -> CdcPlanner.planSplits(opts, provider, tm).map(s => (s.start, s.end))
         }.toMap
-        CdcOffset(snapshotDone = false, logPos = cur, splits = splits)
-      case "earliest"        => CdcOffset(snapshotDone = true, 0L, Map.empty)
-      case "latest"          => CdcOffset(snapshotDone = true, cur, Map.empty)
-      case "timestamp"       => CdcOffset(snapshotDone = true, 0L, Map.empty)
-      case "specific-offset" => CdcOffset(snapshotDone = true, opts.startupSpecificOffset, Map.empty)
+        CdcOffset(snapshotDone = false, logPos = cur, splits = splits, known = known)
+      case "earliest"        => CdcOffset(snapshotDone = true, 0L, Map.empty, known = known)
+      case "latest"          => CdcOffset(snapshotDone = true, cur, Map.empty, known = known)
+      case "timestamp"       => CdcOffset(snapshotDone = true, 0L, Map.empty, known = known)
+      case "specific-offset" =>
+        CdcOffset(snapshotDone = true, opts.startupSpecificOffset, Map.empty, known = known)
       case other => throw new IllegalArgumentException(s"unknown scan.startup.mode '$other'")
     }
   }
 
-  override def latestOffset(): Offset = {
-    val cur = provider.currentOffset
-    // saturating add — lastLogPos + Long.MaxValue must not wrap negative
-    val cap =
-      if (lastLogPos < 0) cur
-      else if (lastLogPos > Long.MaxValue - opts.maxOffsetsPerBatch) Long.MaxValue
-      else lastLogPos + opts.maxOffsetsPerBatch
-    CdcOffset(snapshotDone = true, math.min(cur, cap), Map.empty)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Legacy no-arg variant — only called when SupportsAdmissionControl is
+    * not consulted; keep it working for direct API users. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcOffset]
+    if (!s.snapshotDone) {
+      // snapshot phase: admit the next cohort, pin its HW now
+      val cur = provider.currentOffset
+      val ordered = s.splits.toSeq.sortBy(_._1)
+      var budget = opts.maxChunksPerBatch
+      val remaining = scala.collection.mutable.LinkedHashMap[String, Seq[(Option[Key], Option[Key])]]()
+      val newlyFinished = scala.collection.mutable.LinkedHashMap[String, Seq[FinishedChunk]]()
+      ordered.foreach { case (tid, ranges) =>
+        val take = math.min(budget, ranges.size)
+        budget -= take
+        val (cohort, rest) = ranges.splitAt(take)
+        if (cohort.nonEmpty)
+          newlyFinished(tid) = cohort.map { case (st, en) => FinishedChunk(st, en, cur) }
+        if (rest.nonEmpty) remaining(tid) = rest
+      }
+      val finished = (s.finished.keySet ++ newlyFinished.keySet).map { tid =>
+        tid -> (s.finished.getOrElse(tid, Seq.empty) ++ newlyFinished.getOrElse(tid, Seq.empty))
+      }.toMap
+      CdcOffset(snapshotDone = remaining.isEmpty, s.logPos, remaining.toMap, finished, s.known)
+    } else {
+      // W7-lite: new regex-matched tables enter mid-stream — plan their
+      // chunks; the log is held for one trigger while they snapshot
+      val newTables = matchedNow().filterNot(tm => s.known.contains(tm.id.toString))
+      if (newTables.nonEmpty && opts.startupMode == "initial") {
+        val splits = newTables.map { tm =>
+          tm.id.toString -> CdcPlanner.planSplits(opts, provider, tm).map(sp => (sp.start, sp.end))
+        }.toMap
+        CdcOffset(snapshotDone = false, s.logPos, splits, s.finished,
+          s.known ++ newTables.map(_.id.toString))
+      } else {
+        val cur = provider.currentOffset
+        // admission cap relative to THIS batch's start offset — applies to
+        // the first/catch-up batch too (where it matters most). Saturating
+        // add: the default cap is Long.MaxValue.
+        val cap =
+          if (s.logPos > Long.MaxValue - opts.maxOffsetsPerBatch) Long.MaxValue
+          else s.logPos + opts.maxOffsetsPerBatch
+        val logPos = math.max(s.logPos, math.min(cur, cap))
+        // prune finished lists once the batch START is past a table's max
+        // HW (pure log phase). Pruning on the new logPos would be wrong:
+        // THIS batch covers (s.logPos, logPos] and still needs the infos
+        // to suppress events at offsets <= hw when s.logPos < hw.
+        val finished = s.finished.filter { case (_, cs) => s.logPos < cs.map(_.hw).max }
+        CdcOffset(snapshotDone = true, logPos, Map.empty, finished, s.known)
+      }
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset]
     val e = end.asInstanceOf[CdcOffset]
-    lastLogPos = e.logPos
-    val byId = matched.map(t => t.id.toString -> t).toMap
+    val byId = (matched ++ opts.matchedTables(provider)).map(t => t.id.toString -> t).toMap
+    // cohort = pending in s but not in e; upTo = the HW recorded in e.finished
     val chunks: Seq[InputPartition] =
       if (!s.snapshotDone) s.splits.toSeq.sortBy(_._1).flatMap { case (tid, ranges) =>
+        val still = e.splits.getOrElse(tid, Seq.empty).toSet
+        val hwByRange = e.finished.getOrElse(tid, Seq.empty)
+          .map(f => (f.start, f.end) -> f.hw).toMap
         val tm = byId(tid)
-        ranges.map { case (st, en) =>
-          ChunkPartition(opts, tm.id, tm.schema, tm.primaryKey.head, st, en, s.logPos)
+        ranges.filterNot(still).map { case (st, en) =>
+          ChunkPartition(opts, tm.id, tm.schema, tm.primaryKey, st, en,
+            hwByRange.getOrElse((st, en), s.logPos))
         }
       } else Seq.empty
     val logs: Seq[InputPartition] =
       if (e.logPos > s.logPos)
-        matched.map(tm => LogPartition(opts, tm.id, tm.schema, s.logPos, e.logPos))
+        e.known.sorted.flatMap(tid => byId.get(tid)).map(tm =>
+          LogPartition(opts, tm.id, tm.schema, tm.primaryKey, s.logPos, e.logPos,
+            e.finished.getOrElse(tm.id.toString, Seq.empty)))
       else Seq.empty
     (chunks ++ logs).toArray
   }

@@ -27,11 +27,12 @@ class ChunkSplitterPropertySpec extends AnyFunSuite {
     check(Prop.forAll(keysGen, Gen.choose(1, 50)) { (keys, chunkSize) =>
       val sorted = keys.sorted
       val cfg = ChunkSplitter.Config(chunkSize = chunkSize)
-      def next(from: Long, n: Int): Option[Long] = {
-        val c = sorted.filter(_ >= from).take(n)
-        if (c.size < n) None else Some(c.last)
+      def next(from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] = {
+        val c = sorted.filter(k => ChunkKey.compare(ChunkKey.of(k), from) >= 0).take(n)
+        if (c.size < n) None else Some(ChunkKey.of(c.last))
       }
-      val splits = ChunkSplitter.plan(t, sorted.head, sorted.last, sorted.size, cfg, next)
+      val splits = ChunkSplitter.plan(t, ChunkKey.of(sorted.head), ChunkKey.of(sorted.last),
+        sorted.size, cfg, next)
       val coverage = sorted.forall(k => splits.count(_.contains(k)) == 1)
       val unboundedEnds = splits.head.start.isEmpty && splits.last.end.isEmpty
       // chunks are contiguous: each end equals the next start
@@ -75,7 +76,7 @@ class ChunkSplitterPropertySpec extends AnyFunSuite {
           case _ => None
         }
       }
-      val splits = ChunkSplitter.plan(t, 0L, 60L, 21, ChunkSplitter.Config(chunkSize),
+      val splits = ChunkSplitter.plan(t, ChunkKey.of(0L), ChunkKey.of(60L), 21, ChunkSplitter.Config(chunkSize),
         (_, _) => None)
       val merged = splits.flatMap { sp =>
         Normalizer.normalize(
