@@ -59,23 +59,37 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     }
   }
 
+  private def decode(v: JsonNode, dt: DataType): Any =
+    if (v == null || v.isNull) null
+    else dt match {
+      case LongType         => v.asLong()
+      case IntegerType      => v.asInt()
+      case ShortType        => v.asInt().toShort
+      case ByteType         => v.asInt().toByte
+      case DoubleType       => v.asDouble()
+      case FloatType        => v.asDouble().toFloat
+      case BooleanType      => v.asBoolean()
+      case StringType       => v.asText()
+      case TimestampType    => v.asLong() // micros since epoch
+      case TimestampNTZType => v.asLong() // micros, unshifted frame
+      case DateType         => v.asInt() // epoch days
+      case _: DecimalType   => new java.math.BigDecimal(v.asText())
+      case BinaryType       => java.util.Base64.getDecoder.decode(v.asText())
+      case ArrayType(et, _) =>
+        import scala.jdk.CollectionConverters._
+        v.elements().asScala.map(decode(_, et)).toSeq
+      case MapType(StringType, vt, _) =>
+        import scala.jdk.CollectionConverters._
+        v.properties().asScala.map(e => e.getKey -> decode(e.getValue, vt)).toMap
+      case st: StructType =>
+        st.fields.map(f => decode(v.get(f.name), f.dataType)): Array[Any]
+      case other => throw new IllegalArgumentException(
+        s"file provider cannot decode $other")
+    }
+
   private def row(schema: StructType, node: JsonNode): Array[Any] =
     if (node == null || node.isNull) null
-    else schema.fields.map { f =>
-      val v = node.get(f.name)
-      if (v == null || v.isNull) null
-      else f.dataType match {
-        case LongType      => v.asLong()
-        case IntegerType   => v.asInt()
-        case DoubleType    => v.asDouble()
-        case FloatType     => v.asDouble().toFloat
-        case BooleanType   => v.asBoolean()
-        case StringType    => v.asText()
-        case TimestampType => v.asLong() // micros since epoch
-        case other => throw new IllegalArgumentException(
-          s"file provider supports primitive column types, got $other for ${f.name}")
-      }
-    }
+    else schema.fields.map(f => decode(node.get(f.name), f.dataType))
 
   override def currentOffset: Long =
     tableFiles.map { tf =>

@@ -276,22 +276,10 @@ private[source] final class RowBuilder(physical: StructType, produced: StructTyp
   private val dbU = UTF8String.fromString(table.db)
   private val tblU = UTF8String.fromString(table.table)
 
-  private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _)                 => null
-    case (s: String, StringType)   => UTF8String.fromString(s)
-    case (l: Long, LongType)       => l
-    case (i: Int, IntegerType)     => i
-    case (i: Int, LongType)        => i.toLong
-    case (d: Double, DoubleType)   => d
-    case (f: Float, FloatType)     => f
-    case (b: Boolean, BooleanType) => b
-    case (l: Long, TimestampType)  => l // already micros
-    case (t: java.sql.Timestamp, TimestampType) => t.getTime * 1000L + (t.getNanos / 1000) % 1000
-    case (d: java.math.BigDecimal, dec: DecimalType) =>
-      org.apache.spark.sql.types.Decimal(d, dec.precision, dec.scale)
-    case (other, t) => throw new IllegalArgumentException(
-      s"unsupported value ${other.getClass} for $t")
-  }
+  // full §1.2 battery — see graft.cdc.types.CatalystConverters (the Spark
+  // counterpart of RowDataDebeziumDeserializeSchema's converter switch)
+  private def toCatalyst(v: Any, dt: DataType): Any =
+    graft.cdc.types.CatalystConverters.toCatalyst(v, dt)
 
   def build(fields: Array[Any], op: String, tsMs: Long, offset: Long,
       rowKind: String): InternalRow = {
