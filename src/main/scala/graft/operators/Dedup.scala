@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ShingleExpressions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -46,12 +47,13 @@ object Dedup {
     * shared-count bound). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
+    // native one-pass shingle hashing (codegen'd WordShingleHashes) — same
+    // values as xxhash64 over the HOF shingle pipeline, ~10× cheaper
     val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), n)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      explode(ShingleExpressions.wordShingleHashes(col(textCol), n)).as("h"))
     // set sizes come straight from the array — no second explode/shuffle
     val sizes = df.select(col(idCol).as("id"),
-      size(wordShingles(col(textCol), n)).cast("bigint").as("n_sh"))
+      size(ShingleExpressions.wordShingleHashes(col(textCol), n)).cast("bigint").as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -85,9 +87,11 @@ object Dedup {
     * map-side combined, no shuffle of raw text. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
+    // native murmur3 shingle hashes == hash(shingle).cast(long) (parity
+    // spec-verified) — the HOF shingle pipeline never materializes
     val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), n)).as("s"))
-      .withColumn("h0", pmod(hash(col("s")).cast("long"), lit(P31)))
+      explode(ShingleExpressions.wordShingleMurmur(col(textCol), n)).as("hm"))
+      .withColumn("h0", pmod(col("hm"), lit(P31)))
     val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * a + b, lit(P31))).as(s"m$i")
     }
@@ -143,9 +147,9 @@ object Dedup {
     * each distinct token's xxhash64 bit; bit set iff the vote is positive.
     * Computed as 64 codegen'd aggregates after one explode — no UDF. */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // n=1 shingles = distinct tokens; hashes == xxhash64(token)
     val tok = df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      explode(ShingleExpressions.wordShingleHashes(col(textCol), 1)).as("h"))
     val votes = (0 until 64).map { b =>
       sum(when(col("h").bitwiseAND(1L << b) =!= 0, 1).otherwise(-1)).as(s"v$b")
     }
