@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -458,9 +458,27 @@ object CdcPlanner {
   */
 final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     produced: StructType, matched: Seq[TableMeta])
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private lazy val provider = opts.resolveProvider()
+
+  /** Trigger.AvailableNow: the bounded catch-up run processes everything
+    * up to the log position observed at query start, then stops — the
+    * standard CDC backfill pattern. Events committed after preparation are
+    * left for the next run; new-table discovery is suspended for the
+    * bounded run (it would make "available now" unbounded). */
+  @volatile private var availableNowCap: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = provider.currentOffset
+
+  /** Every offset observation — initial pin, cohort high watermarks, log
+    * advance — respects the AvailableNow bound, so a write racing the
+    * bounded run can neither extend the log phase NOR leak into a
+    * snapshot cohort's fold. */
+  private def observedOffset(): Long = {
+    val o = provider.currentOffset
+    if (availableNowCap >= 0) math.min(o, availableNowCap) else o
+  }
 
   private def matchedNow(): Seq[TableMeta] = {
     val ms = opts.matchedTables(provider)
@@ -471,7 +489,7 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
   }
 
   override def initialOffset(): Offset = {
-    val cur = provider.currentOffset
+    val cur = observedOffset()
     val known = matched.map(_.id.toString)
     opts.startupMode match {
       case "initial" =>
@@ -500,7 +518,7 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     val s = start.asInstanceOf[CdcOffset]
     if (!s.snapshotDone) {
       // snapshot phase: admit the next cohort, pin its HW now
-      val cur = provider.currentOffset
+      val cur = observedOffset()
       val ordered = s.splits.toSeq.sortBy(_._1)
       var budget = opts.maxChunksPerBatch
       val remaining = scala.collection.mutable.LinkedHashMap[String, Seq[(Option[Key], Option[Key])]]()
@@ -519,8 +537,11 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
       CdcOffset(snapshotDone = remaining.isEmpty, s.logPos, remaining.toMap, finished, s.known)
     } else {
       // W7-lite: new regex-matched tables enter mid-stream — plan their
-      // chunks; the log is held for one trigger while they snapshot
-      val newTables = matchedNow().filterNot(tm => s.known.contains(tm.id.toString))
+      // chunks; the log is held for one trigger while they snapshot.
+      // Suspended under Trigger.AvailableNow (bounded run).
+      val newTables =
+        if (availableNowCap >= 0) Seq.empty
+        else matchedNow().filterNot(tm => s.known.contains(tm.id.toString))
       if (newTables.nonEmpty && opts.startupMode == "initial") {
         val splits = newTables.map { tm =>
           tm.id.toString -> CdcPlanner.planSplits(opts, provider, tm).map(sp => (sp.start, sp.end))
@@ -528,13 +549,19 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
         CdcOffset(snapshotDone = false, s.logPos, splits, s.finished,
           s.known ++ newTables.map(_.id.toString))
       } else {
-        val cur = provider.currentOffset
+        val cur = observedOffset()
         // admission cap relative to THIS batch's start offset — applies to
         // the first/catch-up batch too (where it matters most). Saturating
-        // add: the default cap is Long.MaxValue.
+        // add: the default cap is Long.MaxValue. Spark's ReadLimit.maxRows
+        // (one log event ≈ one row) composes with the option cap.
+        val limitRows = limit match {
+          case r: ReadMaxRows => r.maxRows()
+          case _              => Long.MaxValue
+        }
+        val perBatch = math.min(opts.maxOffsetsPerBatch, limitRows)
         val cap =
-          if (s.logPos > Long.MaxValue - opts.maxOffsetsPerBatch) Long.MaxValue
-          else s.logPos + opts.maxOffsetsPerBatch
+          if (s.logPos > Long.MaxValue - perBatch) Long.MaxValue
+          else s.logPos + perBatch
         val logPos = math.max(s.logPos, math.min(cur, cap))
         // prune finished lists once the batch START is past a table's max
         // HW (pure log phase). Pruning on the new logPos would be wrong:
