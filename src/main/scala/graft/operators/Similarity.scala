@@ -95,43 +95,57 @@ object Similarity {
   // IVF
   // -------------------------------------------------------------------------
 
-  /** Learn `ncells` centroids by distributed k-means (Lloyd iterations as
-    * DataFrame ops). Seeds = the `ncells` lowest-id vectors (deterministic).
-    * Each iteration: broadcast centroids, assign by max cosine, average.
-    * Returns (cell, centroid array<double>).
-    *
-    * The seed's own id doubles as the cell label — arbitrary but
-    * deterministic, and id-ordered so "lowest cell wins" tie-breaks agree
-    * with a 0..ncells-1 indexing. This avoids the single-partition global
-    * Window.orderBy a row_number() seeding would need. */
+  /** Learn `ncells` centroids by k-means over a bounded, deterministic
+    * training sample — the standard IVF coarse-quantizer recipe (train on
+    * a sample, assign the full corpus distributed). The sample is the
+    * `maxTrainSample` lowest-hash vectors: a distributed TakeOrdered
+    * top-k (no full sort), O(sample) driver memory regardless of corpus
+    * size; Lloyd iterations then run on the driver in microseconds. At
+    * 100 TB this replaces (iters+1) full-corpus shuffles with ONE bounded
+    * top-k pass — the corpus is only ever touched again by the one
+    * distributed assignment in [[assignCells]].
+    * Returns (cell: long = 0..k-1, centroid array<double>); cells that
+    * end up empty are dropped (same as the distributed formulation).
+    * Assignment score is dot(v,c)/‖c‖ — the per-vector norm is constant
+    * within an argmax, so this IS cosine assignment. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      ncells: Int, iters: Int = 2): DataFrame = {
-    val dim = probeDim(emb, vecCol)
-    // Each iteration's centroid table is ncells tiny rows; collect it to
-    // the driver and re-plan it as a local relation — the same pattern
-    // MLlib KMeans uses (cluster centers are collected per Lloyd
-    // iteration and re-broadcast). This breaks the k-means lineage, so
-    // the (multiple) downstream consumers of the centroid table don't
-    // re-execute the whole clustering per use. Bounded by ncells×dim
-    // doubles — a planning-time transfer, independent of corpus size.
-    def materialize(df: DataFrame): DataFrame = {
-      val spark = df.sparkSession
-      import spark.implicits._
-      df.select(col("cell").cast("long"), col("centroid"))
-        .as[(Long, Seq[Double])].collect().toSeq.toDF("cell", "centroid")
-    }
-    var centroids = materialize(emb.orderBy(idCol).limit(ncells)
-      .select(col(idCol).cast("long").as("cell"),
-        transform(col(vecCol), _.cast("double")).as("centroid")))
+      ncells: Int, iters: Int = 2, maxTrainSample: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).cast("string").as("sid"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(xxhash64(col("sid")), col("sid")).limit(maxTrainSample)
+      .as[(String, Seq[Double])].collect().map(_._2.toArray)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val k0 = math.min(ncells, sample.length)
+    var cents: Array[Array[Double]] = sample.take(k0).map(_.clone())
     for (_ <- 0 until iters) {
-      val assigned = assignCellsDim(emb, idCol, vecCol, centroids, dim)
-      centroids = materialize(assigned
-        .select(col("cell"), posexplode(col(vecCol)))
-        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid")))
+      val dim = cents(0).length
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-300))
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          val s = d / norms(c)
+          if (s > bestScore) { bestScore = s; best = c } // tie → lowest cell
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.collect {
+        case c if counts(c) > 0 => sums(c).map(_ / counts(c))
+      }.toArray
     }
-    centroids
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
   }
 
   /** Assign every vector to its max-cosine cell (ties → lowest cell id).
