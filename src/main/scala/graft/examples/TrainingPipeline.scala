@@ -25,8 +25,11 @@ object TrainingPipeline {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     println(s"ingest: ${docs.count()} docs")
 
-    // 1. exact dedup (content hash)
-    val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    // 1. exact dedup (content hash). Persisted: three downstream consumers
+    // (LSH candidates, Jaccard verify, the anti-join) would otherwise each
+    // re-run the dedup lineage — the same persist a production pipeline
+    // would place at every fan-out point.
+    val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text").persist()
     println(s"after exact dedup: ${exact.count()}")
 
     // 2. near-dup pruning: LSH candidates, verified by exact Jaccard ≥ 0.5;
@@ -34,15 +37,16 @@ object TrainingPipeline {
     val candidates = Dedup.minHashLshCandidates(exact, "doc_id", "text", n = 3, k = 64, bands = 32)
     val verified = Dedup.ngramJaccardPairs(exact, "doc_id", "text", n = 3, minJaccard = 0.5)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
-    val losers = verified.select(col("id_b").as("doc_id")).distinct()
+    val losers = verified.select(col("id_b").as("doc_id")).distinct().persist()
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
     println(s"after near-dup pruning: ${nearDeduped.count()} (dropped ${losers.count()})")
 
-    // 3. quality + language gate
+    // 3. quality + language gate (fan-out point: fingerprints + multimodal)
     val gated = nearDeduped
       .withColumn("quality", qualityScore(col("text")))
       .withColumn("lang_pred", langId(col("text")))
       .filter(col("quality") > 0.3 && col("lang_pred") =!= "unknown")
+      .persist()
     println(s"after quality/lang gate: ${gated.count()}")
 
     // 4. fingerprints for downstream exact lookup

@@ -163,10 +163,14 @@ object Similarity {
       sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
     val scored = emb.select(col(idCol), col(vecCol)).crossJoin(cents)
       .withColumn("__sim", dotUnrolled(col(vecCol), col("centroid"), dim) / col("__cnorm"))
-    scored.groupBy(idCol)
-      .agg(max(struct(col("__sim").as("s"), (-col("cell")).as("negc"),
-        col("cell").as("cell"), col(vecCol).as("v"))).as("m"))
-      .select(col(idCol), col("m.v").as(vecCol), col("m.cell").as("cell"))
+    // argmax as a row_number window, NOT max(struct(...)): a struct-typed
+    // max cannot hash-aggregate (SortAggregate = two sorts + an exchange),
+    // while the window is one exchange + one sort over N×ncells rows —
+    // and identical window subplans on both sides of a downstream
+    // self-join collapse into ONE computation via ReuseExchange.
+    val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
   }
 
   /** IVF ANN: probe the `nprobe` nearest cells per query, exact cosine only
@@ -200,19 +204,41 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * IVF-blocked (pairs only compared within a cell — the standard
-    * embedding-dedup recipe; same-cell misses are the recall tradeoff). */
+    * embedding-dedup recipe; same-cell misses are the recall tradeoff).
+    *
+    * `blocks` > 1 decomposes each cell's pair space into block-pairs
+    * (side A replicated to every target block ≥ its own), making the join
+    * key (cell, block) instead of the bare cell — the cure for hot cells
+    * at scale: a cell's n² pairs spread across blocks·(blocks+1)/2
+    * parallel tasks instead of ONE (an equi-join key can't be split
+    * below the key level otherwise). Pair set is identical to blocks=1
+    * (spec-verified); replication factor ≈ blocks/2 on side A only. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, ncells: Int = 16): DataFrame = {
+      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
     val dim = probeDim(emb, vecCol)
     val centroids = ivfCentroids(emb, idCol, vecCol, ncells)
     val cells = assignCellsDim(emb, idCol, vecCol, centroids, dim)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
       .withColumn("n2", dotUnrolled(col("v"), col("v"), dim))
-    cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    val joined =
+      if (blocks <= 1)
+        cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      else {
+        val withB = cells.withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)))
+        val a = withB.withColumn("tb", explode(sequence(col("blk"), lit(blocks - 1))))
+        // cross-block pairs (a.blk < b.blk) arrive exactly once via
+        // tb = b.blk; same-block pairs dedupe by id ordering
+        a.as("a").join(withB.as("b"),
+          col("a.cell") === col("b.cell") && col("a.tb") === col("b.blk") &&
+            (col("a.blk") < col("b.blk") || col("a.id") < col("b.id")))
+      }
+    joined
       .withColumn("sim",
         dotUnrolled(col("a.v"), col("b.v"), dim) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))))
       .filter(col("sim") >= minSim)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      // cross-block pairs arrive block-ordered, not id-ordered — canonicalize
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"), col("sim"))
   }
 }

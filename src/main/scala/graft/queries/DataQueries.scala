@@ -72,6 +72,16 @@ object DataQueries {
         k = 3, ncells = 8, nprobe = 2, iters = 1).orderBy("qid", "rank")
     }),
 
+    // embedding-cosine near-dup pairs, IVF-blocked (within-cell pairs only —
+    // the standard embedding-dedup recipe). Engine-local cell assignment →
+    // rows-only driver check; pair quality asserted in DedupSimilaritySpec.
+    // The synthetic corpus has no true near-dups (max off-diag cos ≈ 0.5),
+    // so the threshold exercises the operator shape on the top similarity
+    // tail rather than finding actual duplicates.
+    "q39_cosine_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minSim = 0.35, ncells = 32).orderBy("id_a", "id_b")),
+
     // as-of join: each purchase enriched with the user's latest click at or
     // before it (point-in-time join — one shuffle, no range explosion)
     "q37_asof_join" -> ((s, dir) => {

@@ -81,6 +81,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("cosineNearDupPairs: block decomposition yields the identical pair set") {
+    def pairSet(blocks: Int) =
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        minSim = 0.3, ncells = 4, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairSet(1)
+    assert(plain.nonEmpty)
+    assert(pairSet(4) === plain, "hot-cell sharding must not change the pairs")
+  }
+
   test("exact dedup: drop keeps one row per distinct text") {
     val withDups = docs.limit(50).unionAll(docs.limit(10)) // plant exact dups
     val deduped = Dedup.dropExactDuplicates(withDups, "doc_id", "text")
