@@ -98,13 +98,18 @@ class CohortStateMachinePropertySpec extends AnyFunSuite {
       val stream = new CdcMicroBatchStream(opts, schema, produced, Seq(meta))
       val factory = stream.createReaderFactory()
 
-      // drive the offset API exactly like MicroBatchExecution would
-      var cur = stream.initialOffset().asInstanceOf[CdcOffset]
+      // drive the offset API exactly like MicroBatchExecution would; every
+      // offset round-trips through its JSON form, which is what a driver
+      // restart replays from — so this also proves the checkpoint codec
+      // preserves the state machine at EVERY batch boundary (incl.
+      // mid-snapshot, between cohorts)
+      def roundTrip(o: CdcOffset): CdcOffset = CdcOffset.parse(o.json())
+      var cur = roundTrip(stream.initialOffset().asInstanceOf[CdcOffset])
       val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long, String)]()
       var rounds = 0
       var stable = false
       while (!stable && rounds < 200) {
-        val next = stream.latestOffset(cur, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+        val next = roundTrip(stream.latestOffset(cur, ReadLimit.allAvailable()).asInstanceOf[CdcOffset])
         val parts = stream.planInputPartitions(cur, next)
         parts.foreach { p =>
           val r = factory.createReader(p)
