@@ -81,10 +81,14 @@ object CdcOptions {
   val MetaRowKind = "row_kind"
 
   def from(o: CaseInsensitiveStringMap): CdcOptions = {
+    // provider.name/.class take precedence: the session catalog injects a
+    // `path` option (the table's warehouse location) into every
+    // `CREATE TABLE ... USING cdc-log`, which must not shadow an explicit
+    // provider choice
     val (kind, arg) =
-      if (o.containsKey("path")) ("file", o.get("path"))
-      else if (o.containsKey("provider.name")) ("registry", o.get("provider.name"))
+      if (o.containsKey("provider.name")) ("registry", o.get("provider.name"))
       else if (o.containsKey("provider.class")) ("class", o.get("provider.class"))
+      else if (o.containsKey("path")) ("file", o.get("path"))
       else throw new IllegalArgumentException(
         "one of path / provider.name / provider.class is required")
     val meta = Option(o.get("metadata.columns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
