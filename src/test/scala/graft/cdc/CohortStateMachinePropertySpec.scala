@@ -112,12 +112,22 @@ class CohortStateMachinePropertySpec extends AnyFunSuite {
         val next = roundTrip(stream.latestOffset(cur, ReadLimit.allAvailable()).asInstanceOf[CdcOffset])
         val parts = stream.planInputPartitions(cur, next)
         parts.foreach { p =>
-          val r = factory.createReader(p)
-          while (r.next()) {
-            val ir = r.get()
-            emitted += ((ir.getLong(0), ir.getLong(1), ir.getUTF8String(2).toString,
-              ir.getLong(3), ir.getUTF8String(4).toString))
+          def readAll(): Seq[(Long, Long, String, Long, String)] = {
+            val r = factory.createReader(p)
+            val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long, String)]()
+            while (r.next()) {
+              val ir = r.get()
+              buf += ((ir.getLong(0), ir.getLong(1), ir.getUTF8String(2).toString,
+                ir.getLong(3), ir.getUTF8String(4).toString))
+            }
+            buf.toSeq
           }
+          // task retry / speculative execution: re-reading a partition must
+          // be deterministic (same rows) — the W3 exactly-once contract
+          val first = readAll()
+          val second = readAll()
+          assert(first == second, s"partition replay diverged for $p")
+          emitted ++= first
         }
         // while the script has pending groups, every latestOffset probe
         // commits more events and the offset keeps moving — stability
