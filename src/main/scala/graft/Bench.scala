@@ -21,7 +21,8 @@ object Bench {
     }
     Seq("q01_pricing_summary", "q05_multiway_join", "q07_window_topn",
       "q28_doc_quality", "q32_embedding_topk", "q30_ngram_jaccard_pairs",
-      "q33_minhash_lsh_candidates", "q35_embedding_ivf_topk").foreach { n =>
+      "q33_minhash_lsh_candidates", "q35_embedding_ivf_topk",
+      "q39_cosine_near_dup").foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
