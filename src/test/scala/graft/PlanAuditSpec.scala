@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guards: the scale-critical physical-plan properties the
+  * gate queries rely on, asserted so they cannot silently regress.
+  * (A correct-but-differently-planned query can be 30× slower — round 1's
+  * q30 regression was exactly a plan-shape change.) */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("filters are pushed into the parquet scan (q02 selective filter)") {
+    val p = plan("q02_selective_filter_agg")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+  }
+
+  test("dimension joins broadcast (q03 join top-k, q05 multiway)") {
+    assert(plan("q03_join_topk").contains("BroadcastHashJoin"))
+    assert(plan("q05_multiway_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q30 pair counting is a hash aggregation fed by a distributed join") {
+    val p = plan("q30_ngram_jaccard_pairs")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("similarity operators plan no SortAggregate and no cartesian product") {
+    Seq("q35_embedding_ivf_topk", "q39_cosine_near_dup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortAggregate"), s"$q planned a SortAggregate:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct:\n$p")
+    }
+  }
+
+  test("shingle hashing runs as the native expression inside codegen (q30)") {
+    val p = plan("q30_ngram_jaccard_pairs")
+    assert(p.contains("word_shingle_hashes"), p)
+  }
+
+  test("column pruning: q31 fingerprint scan reads only doc_id and text") {
+    val p = plan("q31_doc_fingerprint")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
+  }
+}
