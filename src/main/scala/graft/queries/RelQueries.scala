@@ -44,7 +44,9 @@ object RelQueries {
     "q19_events_bucketed" -> q19,
     "q20_events_json_extract" -> q20,
     "q21_events_sessionize" -> q21,
-    "q22_events_conditional_pivot" -> q22
+    "q22_events_conditional_pivot" -> q22,
+    "q40_window_range_frame" -> q40,
+    "q41_cube" -> q41
   )
 
   // --- q01: TPC-H Q1-style pricing summary (wide agg, map-side combine) ---
@@ -418,6 +420,44 @@ object RelQueries {
          |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
          |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
          |  ${oSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // RANGE frame over integer nanos: ties at equal ts are all in-frame →
+    // deterministic regardless of within-tie ordering (a ROWS frame would
+    // not hash-match across engines on tied timestamps)
+    "q40_window_range_frame" ->
+      s"""SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+         |  CAST(SUM(CAST(value AS $D)) OVER w AS DOUBLE) AS value_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+         |             RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q41_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   )
+
+  // --- q40: rolling 1-hour per-user window via a RANGE frame (§2.5) ---
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(-hourNs, Window.currentRow)
+    e.select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        dsumOver(col("value"), w).as("value_1h"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  // --- q41: CUBE grouping sets over orders (§2.5) ---
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.cube("o_orderstatus", "o_orderpriority")
+      .agg(cnt.as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
 }
