@@ -140,6 +140,63 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Portable (md5-keyed) MinHash + LSH — oracle-checkable variant
+  // -------------------------------------------------------------------------
+
+  /** Distinct word-n-gram shingles as STRINGS, with the exact "no shingles
+    * for docs shorter than n tokens" convention every SQL engine's
+    * generate_series(1, len-n+1) produces — so the pipeline is portable. */
+  private def shingleStrings(text: Column, n: Int): Column = {
+    val ts = split(text, " ")
+    array_distinct(
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature with md5 as the hash family: the i-th permutation is
+    * the lexicographic order of md5("i:" || shingle). md5 is bit-identical
+    * in every engine, so unlike [[minHashSignatures]] (engine-local
+    * xxhash64/murmur3, 4× faster) this variant is cross-engine
+    * deterministic and sits under the DuckDB-oracle hash gate. Same scale
+    * shape: one explode + one map-side-combined groupBy(id) with k min()s. */
+  def md5MinHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingleStrings(col(textCol), n)).as("s"))
+    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs over [[md5MinHashSignatures]]: band key =
+    * md5(band ":" m_i ":" m_j ...) — one 32-char string per (doc, band), so
+    * the banded self-join shuffles (id, bh) only; signatures re-attach to
+    * the surviving pairs by two id-keyed joins (ReuseExchange collapses the
+    * signature subplan). est_jaccard = matching-component fraction, an
+    * exact multiple of 1/k in both engines. */
+  def md5MinHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val sig = md5MinHashSignatures(df, idCol, textCol, n, k)
+    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+      md5(concat_ws(":", (lit(b.toString) +: (0 until r).map(j => col(s"m${b * r + j}"))): _*))
+    }: _*)).as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val matches = (0 until k).map(i =>
+      when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("id_a") === col("sa.id"))
+      .join(sig.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / k.toDouble).as("est_jaccard"))
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

@@ -75,7 +75,34 @@ object CdcQueries {
     "q26_cdc_net_delta" -> ((s, dir) =>
       ChangelogOps.netRowDelta(changelog(s, dir), Seq("k"))
         .select(col("k"), col("net_delta").cast("bigint").as("net_delta"),
-          col("n_events")).orderBy("k"))
+          col("n_events")).orderBy("k")),
+
+    // STREAMING materialization under the hash gate: the changelog is
+    // written to files, re-read with readStream (maxFilesPerTrigger=2 →
+    // several micro-batches), folded by the streaming keyed aggregation
+    // (ChangelogOps.materializeStreaming — state = one max-(offset,
+    // after-wins) row per key), and the final state is asserted equal to
+    // the batch oracle. Complete mode + memory sink so the last trigger's
+    // snapshot IS the result table; update mode + an upserting sink is the
+    // production path (StreamingMaterializeSpec covers it).
+    "q43_streaming_materialize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q43_")
+      tmp.toFile.deleteOnExit()
+      val in = tmp.resolve("in").toString
+      val cl = changelog(s, dir)
+      cl.repartition(8).write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", "2").parquet(in)
+      val qname = "q43_mat_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = ChangelogOps.materializeStreaming(stream, Seq("k"))
+        .writeStream.outputMode("complete").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qname).filter(col("op") =!= "d")
+        .select("k", "price", "st").orderBy("k")
+    })
   )
 
   private val D = "DECIMAL(38,6)"
@@ -95,6 +122,12 @@ object CdcQueries {
          |  ${oSum("CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END")} AS total,
          |  COUNT(*) AS n
          |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1 ORDER BY st""".stripMargin,
+    // same closed-form final state as q24 — reached through the streaming path
+    "q43_streaming_materialize" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+        |  o_orderstatus AS st
+        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
     "q26_cdc_net_delta" ->
       """SELECT o_orderkey AS k,
         |  CAST(CASE WHEN o_orderkey % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS net_delta,

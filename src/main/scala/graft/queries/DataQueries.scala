@@ -57,6 +57,12 @@ object DataQueries {
         .orderBy("qid", "rank")
     }),
 
+    // md5-keyed MinHash+LSH — the cross-engine-deterministic variant, fully
+    // under the DuckDB hash gate (q33 below is the xxhash64 fast path)
+    "q42_minhash_lsh_md5" -> ((s, dir) =>
+      Dedup.md5MinHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 16, bands = 8).orderBy("id_a", "id_b")),
+
     // engine-local hashing below → rows-only driver check + spec coverage
     "q33_minhash_lsh_candidates" -> ((s, dir) =>
       Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
@@ -132,6 +138,33 @@ object DataQueries {
     })
   )
 
+  /** DuckDB mirror of [[Dedup.md5MinHashLshCandidates]] (k=16, bands=8, r=2,
+    * n=3) — generated so the two sides can't drift on k/bands. */
+  private def minHashMd5OracleSql(k: Int, bands: Int): String = {
+    val r = k / bands
+    val minCols = (0 until k).map(i => s"MIN(md5('$i:'||s)) AS m$i").mkString(",\n         ")
+    val bandRows = (0 until bands).map { b =>
+      val parts = (0 until r).map(j => s"m${b * r + j}").mkString("||':'||")
+      s"SELECT doc_id, md5('$b:'||$parts) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until k).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS s
+       |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
+       |sig AS (SELECT doc_id,
+       |         $minCols
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |  CAST($matchSum AS DOUBLE) / $k.0 AS est_jaccard
+       |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
   private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
@@ -200,6 +233,8 @@ object DataQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) rank
         |  FROM dots)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
 
     // DuckDB's native ASOF JOIN is the independent oracle
     "q37_asof_join" ->

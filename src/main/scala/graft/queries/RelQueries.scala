@@ -46,7 +46,13 @@ object RelQueries {
     "q21_events_sessionize" -> q21,
     "q22_events_conditional_pivot" -> q22,
     "q40_window_range_frame" -> q40,
-    "q41_cube" -> q41
+    "q41_cube" -> q41,
+    "q44_grouping_sets" -> q44,
+    "q45_percentiles" -> q45,
+    "q46_word_count" -> q46,
+    "q47_window_funcs" -> q47,
+    "q48_unpivot" -> q48,
+    "q49_set_ops_all" -> q49
   )
 
   // --- q01: TPC-H Q1-style pricing summary (wide agg, map-side combine) ---
@@ -438,7 +444,58 @@ object RelQueries {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          |  ${oSum("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q44_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oSum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.75) AS p75,
+        |  MIN(l_quantity) AS mn, MAX(l_quantity) AS mx, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q46_word_count" ->
+      """SELECT u.t AS tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        |GROUP BY u.t HAVING COUNT(*) >= 50
+        |ORDER BY n DESC, tok""".stripMargin,
+
+    "q47_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q48_unpivot" ->
+      s"""SELECT measure, COUNT(*) AS n, ${oSum("val")} AS total
+         |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         |                      l_discount, l_tax FROM lineitem)
+         |      ON l_quantity, l_extendedprice, l_discount, l_tax
+         |      INTO NAME measure VALUE val)
+         |GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "q49_set_ops_all" ->
+      """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     p AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'),
+        |     ia AS (SELECT k FROM f INTERSECT ALL SELECT k FROM p),
+        |     ea AS (SELECT k FROM f EXCEPT ALL SELECT k FROM p)
+        |SELECT * FROM (
+        |  SELECT 'intersect_all' AS setop, k, COUNT(*) AS n FROM ia GROUP BY k
+        |  UNION ALL
+        |  SELECT 'except_all' AS setop, k, COUNT(*) AS n FROM ea GROUP BY k)
+        |ORDER BY setop, k""".stripMargin
   )
 
   // --- q40: rolling 1-hour per-user window via a RANGE frame (§2.5) ---
@@ -451,6 +508,74 @@ object RelQueries {
         count(lit(1)).over(w).as("n_1h"),
         dsumOver(col("value"), w).as("value_1h"))
       .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  // --- q44: explicit GROUPING SETS (the general grouping-set surface) ---
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(cnt.as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  // --- q45: exact discrete percentiles per group (ordered-set aggregates) ---
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.groupBy("l_returnflag").agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+        min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"), cnt.as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // --- q46: lateral explode → word count over documents ---
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(cnt.as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n") >= 50)
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  // --- q47: navigation-window battery (lead/lag/first/nth_value/ntile) ---
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o.select(col("o_custkey"), col("o_orderkey"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --- q48: unpivot/melt wide measures to long form (§2.5 set ops family) ---
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy("measure").agg(cnt.as("n"), dsum(col("val")).as("total"))
+      .orderBy("measure")
+  }
+
+  // --- q49: INTERSECT ALL / EXCEPT ALL (multiset set operations) ---
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("k"))
+    f.intersectAll(p).withColumn("setop", lit("intersect_all"))
+      .unionAll(f.exceptAll(p).withColumn("setop", lit("except_all")))
+      .groupBy("setop", "k").agg(cnt.as("n"))
+      .orderBy("setop", "k")
   }
 
   // --- q41: CUBE grouping sets over orders (§2.5) ---
