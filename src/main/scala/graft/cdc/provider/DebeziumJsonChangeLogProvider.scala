@@ -1,0 +1,277 @@
+package graft.cdc.provider
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.cdc._
+import org.apache.spark.sql.types._
+
+import java.io.{BufferedReader, FileReader}
+import java.math.BigInteger
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** Reads the standard Debezium change-event envelope (the wire format every
+  * Debezium connector emits to Kafka) from append-ordered JSONL files — the
+  * offline-testable equivalent of the reference's embedded-engine wire path
+  * (flink-connector-debezium-log/.../DebeziumSourceFunction.java:109,368 and
+  * RowDataDebeziumDeserializeSchema.java:264-623): a user who has Debezium
+  * topics archived to files (or dumped via kafka-console-consumer) can point
+  * the cdc-log source at them directly.
+  *
+  * Layout — one directory per table:
+  * {{{
+  * <root>/<db>.<table>/events.jsonl  Debezium envelopes, in capture order:
+  *                                   {"schema":{...},"payload":{"before":…,
+  *                                    "after":…,"source":{…},"op":"r|c|u|d",
+  *                                    "ts_ms":N}}
+  *                                   (schema block optional after line 1;
+  *                                   bare payload objects also accepted;
+  *                                   Kafka tombstones — null payload — skipped)
+  * <root>/<db>.<table>/meta.json     {"primaryKey":["id"], optional "db",
+  *                                    "table", "schema":"<DDL>" (fallback if
+  *                                    no envelope schema block),
+  *                                    "offsetField":"lsn" (read the log
+  *                                    offset from payload.source.<field>
+  *                                    instead of the line index)}
+  * }}}
+  *
+  * The Kafka-Connect/Debezium logical-type battery is mapped to Spark types
+  * exactly as the reference's deserializer maps it to Flink types
+  * (RowDataDebeziumDeserializeSchema.java:264-623,
+  * MySqlDeserializationConverterFactory.java:83-151): Date → DateType
+  * (epoch days), Timestamp/MicroTimestamp/NanoTimestamp → TimestampNTZ
+  * (micros), ZonedTimestamp → TimestampType, Time/MicroTime → millis/micros
+  * of day, connect Decimal → DecimalType from the declared scale/precision
+  * parameters (base64 unscaled big-endian bytes), EnumSet → ARRAY<STRING>,
+  * geometry → a JSON string carrying wkb+srid, bytes → BinaryType, and
+  * nested struct/array/map recursively.
+  *
+  * Scale contract: every read streams through a BufferedReader — O(1)
+  * memory per reader regardless of table size, the same discipline as the
+  * reference's fetch-size streaming (StatementUtils.java:190-224). Events
+  * must be append-ordered (a Debezium topic partition is); snapshot reads
+  * are the leading op='r' block with ts_ms forced to 0
+  * (RecordUtils.java:197-225 does the same).
+  */
+final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvider {
+  private val mapper = new ObjectMapper()
+
+  /** One field: declared Spark type + wire decoder for its payload node. */
+  private case class Codec(name: String, dataType: DataType, dec: JsonNode => Any) {
+    def decode(n: JsonNode): Any = if (n == null || n.isNull) null else dec(n)
+  }
+
+  private case class TableDir(meta: TableMeta, codecs: Seq[Codec], dir: String,
+      offsetField: Option[String])
+
+  /** Connect field schema → (Spark type, wire decoder). Logical `name` wins
+    * over physical `type`, mirroring the reference converter dispatch. */
+  private def codecOf(fs: JsonNode): (DataType, JsonNode => Any) = {
+    val typ = fs.get("type").asText()
+    val name = if (fs.hasNonNull("name")) fs.get("name").asText() else ""
+    def param(k: String): Option[String] =
+      Option(fs.get("parameters")).flatMap(p => Option(p.get(k))).map(_.asText())
+    name match {
+      case "io.debezium.time.Date" => (DateType, _.asInt())
+      case "io.debezium.time.Timestamp" => (TimestampNTZType, n => n.asLong() * 1000L)
+      case "io.debezium.time.MicroTimestamp" => (TimestampNTZType, _.asLong())
+      case "io.debezium.time.NanoTimestamp" =>
+        (TimestampNTZType, n => Math.floorDiv(n.asLong(), 1000L))
+      case "io.debezium.time.ZonedTimestamp" =>
+        (TimestampType, n => {
+          val i = java.time.OffsetDateTime.parse(n.asText()).toInstant
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)
+        })
+      case "io.debezium.time.Time" => (IntegerType, _.asInt()) // millis of day
+      case "io.debezium.time.MicroTime" => (LongType, _.asLong()) // micros of day
+      case "org.apache.kafka.connect.data.Decimal" =>
+        val scale = param("scale").map(_.toInt).getOrElse(0)
+        val prec = param("connect.decimal.precision").map(_.toInt).getOrElse(38)
+        (DecimalType(prec, scale),
+          n => new java.math.BigDecimal(new BigInteger(Base64.getDecoder.decode(n.asText())), scale))
+      case "io.debezium.data.VariableScaleDecimal" =>
+        (DecimalType(38, 18), n => new java.math.BigDecimal(
+          new BigInteger(Base64.getDecoder.decode(n.get("value").asText())), n.get("scale").asInt()))
+      case "io.debezium.data.Json" | "io.debezium.data.Enum" | "io.debezium.data.Xml" |
+           "io.debezium.data.Uuid" => (StringType, _.asText())
+      case "io.debezium.data.EnumSet" =>
+        (ArrayType(StringType),
+          n => if (n.asText().isEmpty) Seq.empty[String] else n.asText().split(",").toSeq)
+      case "io.debezium.data.geometry.Geometry" | "io.debezium.data.geometry.Point" =>
+        (StringType, n => {
+          val srid = if (n.hasNonNull("srid")) n.get("srid").asInt() else 0
+          s"""{"wkb":"${n.get("wkb").asText()}","srid":$srid}"""
+        })
+      case _ => typ match {
+        case "int8"    => (ByteType, n => n.asInt().toByte)
+        case "int16"   => (ShortType, n => n.asInt().toShort)
+        case "int32"   => (IntegerType, _.asInt())
+        case "int64"   => (LongType, _.asLong())
+        case "float32" => (FloatType, n => n.asDouble().toFloat)
+        case "float64" => (DoubleType, _.asDouble())
+        case "boolean" => (BooleanType, _.asBoolean())
+        case "string"  => (StringType, _.asText())
+        case "bytes"   => (BinaryType, n => Base64.getDecoder.decode(n.asText()))
+        case "array" =>
+          val (et, ed) = codecOf(fs.get("items"))
+          (ArrayType(et),
+            n => n.elements().asScala.map(e => if (e == null || e.isNull) null else ed(e)).toSeq)
+        case "map" =>
+          val (vt, vd) = codecOf(fs.get("values"))
+          (MapType(StringType, vt), n => n.properties().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else vd(e.getValue))).toMap)
+        case "struct" =>
+          val sub = fs.get("fields").elements().asScala.toSeq.map { f =>
+            val (dt, d) = codecOf(f); Codec(f.get("field").asText(), dt, d)
+          }
+          (StructType(sub.map(c => StructField(c.name, c.dataType))),
+            n => sub.map(c => c.decode(n.get(c.name))).toArray[Any])
+        case other => throw new IllegalArgumentException(s"unsupported connect type '$other'")
+      }
+    }
+  }
+
+  /** DDL-fallback decoder (no envelope schema block): plain-JSON physical
+    * encodings, same conventions as FileChangeLogProvider. */
+  private def plainDec(dt: DataType): JsonNode => Any = dt match {
+    case LongType         => _.asLong()
+    case IntegerType      => _.asInt()
+    case ShortType        => n => n.asInt().toShort
+    case ByteType         => n => n.asInt().toByte
+    case DoubleType       => _.asDouble()
+    case FloatType        => n => n.asDouble().toFloat
+    case BooleanType      => _.asBoolean()
+    case StringType       => _.asText()
+    case TimestampType    => _.asLong()
+    case TimestampNTZType => _.asLong()
+    case DateType         => _.asInt()
+    case _: DecimalType   => n => new java.math.BigDecimal(n.asText())
+    case BinaryType       => n => Base64.getDecoder.decode(n.asText())
+    case other => throw new IllegalArgumentException(s"no plain decoder for $other")
+  }
+
+  /** Stream JSON lines; O(1) memory, file closed on exhaustion. */
+  private def rawLines(path: String): Iterator[JsonNode] = {
+    if (!Files.exists(Paths.get(path))) return Iterator.empty
+    val br = new BufferedReader(new FileReader(path))
+    Iterator.continually(br.readLine())
+      .takeWhile { l => if (l == null) br.close(); l != null }
+      .filter(_.trim.nonEmpty).map(mapper.readTree)
+  }
+
+  /** The `after` struct schema from the first envelope's schema block. */
+  private def firstEnvelopeAfterSchema(dir: String): Option[JsonNode] =
+    rawLines(s"$dir/events.jsonl").take(1).toSeq.headOption.flatMap { node =>
+      Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
+        sch.get("fields").elements().asScala.find(f => f.get("field").asText() == "after")
+      }
+    }
+
+  @transient private lazy val tableDirs: Seq[TableDir] = {
+    val dirs = Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
+    dirs.map { d =>
+      val dirName = d.getFileName.toString
+      val metaPath = d.resolve("meta.json")
+      require(Files.exists(metaPath), s"meta.json (with primaryKey) required for $dirName")
+      val m = mapper.readTree(Files.readString(metaPath))
+      val fallback = TableId.parse(dirName)
+      val id = TableId(
+        if (m.hasNonNull("db")) m.get("db").asText() else fallback.db,
+        if (m.hasNonNull("table")) m.get("table").asText() else fallback.table)
+      val pk = m.get("primaryKey").elements().asScala.map(_.asText()).toSeq
+      val codecs: Seq[Codec] = firstEnvelopeAfterSchema(d.toString) match {
+        case Some(after) => after.get("fields").elements().asScala.toSeq.map { f =>
+          val (dt, dec) = codecOf(f); Codec(f.get("field").asText(), dt, dec)
+        }
+        case None =>
+          require(m.hasNonNull("schema"),
+            s"$dirName: no envelope schema block and no meta.json schema DDL")
+          StructType.fromDDL(m.get("schema").asText()).fields.toSeq
+            .map(f => Codec(f.name, f.dataType, plainDec(f.dataType)))
+      }
+      TableDir(TableMeta(id, StructType(codecs.map(c => StructField(c.name, c.dataType))), pk),
+        codecs, d.toString,
+        if (m.hasNonNull("offsetField")) Some(m.get("offsetField").asText()) else None)
+    }
+  }
+
+  private def td(t: TableId): TableDir =
+    tableDirs.find(_.meta.id == t).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $t under $root"))
+
+  private case class Ev(offset: Long, op: String, before: Array[Any], after: Array[Any], tsMs: Long)
+
+  private def decodeRow(t: TableDir, n: JsonNode): Array[Any] =
+    if (n == null || n.isNull) null
+    else t.codecs.map(c => c.decode(n.get(c.name))).toArray[Any]
+
+  /** All events of a table in file (= capture) order. Log offsets come from
+    * `offsetField` when configured, else the 1-based index among non-'r'
+    * events; snapshot ('r') events sit at offset 0 (the base the log folds
+    * over). */
+  private def events(t: TableDir): Iterator[Ev] = {
+    var logIdx = 0L
+    rawLines(s"${t.dir}/events.jsonl").flatMap { node =>
+      val payload = if (node.has("payload")) node.get("payload") else node
+      if (payload == null || payload.isNull || !payload.hasNonNull("op")) None // tombstone
+      else {
+        val op = payload.get("op").asText()
+        val off =
+          if (op == ChangeOp.Read) 0L
+          else t.offsetField match {
+            case Some(f) =>
+              val src = payload.get("source")
+              require(src != null && src.hasNonNull(f),
+                s"offsetField '$f' missing from source block")
+              src.get(f).asLong()
+            case None => logIdx += 1; logIdx
+          }
+        Some(Ev(off, op, decodeRow(t, payload.get("before")), decodeRow(t, payload.get("after")),
+          if (op == ChangeOp.Read) 0L else payload.path("ts_ms").asLong(0L)))
+      }
+    }
+  }
+
+  override def tables: Seq[TableMeta] = tableDirs.map(_.meta)
+
+  override def currentOffset: Long =
+    tableDirs.map(t => events(t).foldLeft(0L)((m, e) => math.max(m, e.offset)))
+      .foldLeft(0L)(math.max)
+
+  private def keyIdxs(t: TableDir): Seq[Int] = t.meta.primaryKey.map(t.meta.schema.fieldIndex)
+  private def keyOf(t: TableDir, r: Array[Any]): ChunkKey.Key = ChunkKey.of(keyIdxs(t).map(r): _*)
+
+  override def keyBounds(table: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = {
+    val t = td(table)
+    var mn: ChunkKey.Key = null
+    var mx: ChunkKey.Key = null
+    var n = 0L
+    events(t).filter(_.op == ChangeOp.Read).map(e => keyOf(t, e.after)).foreach { k =>
+      if (mn == null || ChunkKey.compare(k, mn) < 0) mn = k
+      if (mx == null || ChunkKey.compare(k, mx) > 0) mx = k
+      n += 1
+    }
+    if (n == 0) (ChunkKey.of(0L), ChunkKey.of(-1L), 0L) else (mn, mx, n)
+  }
+
+  override def nextChunkEnd(table: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key] = {
+    import ChunkKey.ordering
+    val t = td(table)
+    val keys = events(t).filter(_.op == ChangeOp.Read).map(e => keyOf(t, e.after))
+      .filter(ChunkKey.compare(_, from) >= 0).toSeq.sorted.take(chunkSize)
+    if (keys.size < chunkSize) None else Some(keys.last)
+  }
+
+  override def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) = {
+    val t = td(table)
+    (0L, events(t).filter(_.op == ChangeOp.Read).map(_.after)
+      .filter(r => range.contains(keyOf(t, r))))
+  }
+
+  override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] = {
+    val t = td(table)
+    events(t).filter(e => e.op != ChangeOp.Read && e.offset > fromExclusive && e.offset <= toInclusive)
+      .map(e => LogRecord(e.offset, e.op, t.meta.id, e.before, e.after, e.tsMs))
+  }
+}

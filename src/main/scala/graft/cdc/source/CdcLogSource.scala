@@ -50,6 +50,7 @@ final case class CdcOptions(
   def resolveProvider(): ChangeLogProvider = providerKind match {
     case "registry" => ProviderRegistry.get(providerArg)
     case "file"     => new FileChangeLogProvider(providerArg)
+    case "debezium" => new graft.cdc.provider.DebeziumJsonChangeLogProvider(providerArg)
     case "class" => Class.forName(providerArg).getDeclaredConstructor()
       .newInstance().asInstanceOf[ChangeLogProvider]
     case other => throw new IllegalArgumentException(s"unknown provider kind '$other'")
@@ -88,7 +89,14 @@ object CdcOptions {
     val (kind, arg) =
       if (o.containsKey("provider.name")) ("registry", o.get("provider.name"))
       else if (o.containsKey("provider.class")) ("class", o.get("provider.class"))
-      else if (o.containsKey("path")) ("file", o.get("path"))
+      else if (o.containsKey("path"))
+        // path.format chooses the on-file wire format: our JSONL layout
+        // (default) or archived Debezium envelopes
+        (o.getOrDefault("path.format", "jsonl") match {
+          case "jsonl"         => "file"
+          case "debezium-json" => "debezium"
+          case other => throw new IllegalArgumentException(s"unknown path.format '$other'")
+        }, o.get("path"))
       else throw new IllegalArgumentException(
         "one of path / provider.name / provider.class is required")
     val meta = Option(o.get("metadata.columns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

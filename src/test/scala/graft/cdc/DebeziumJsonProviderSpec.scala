@@ -1,0 +1,129 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.cdc.provider.DebeziumJsonChangeLogProvider
+import org.apache.spark.sql.types._
+
+import java.math.BigInteger
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+
+/** Debezium-envelope wire format → provider SPI → DSv2 source E2E.
+  *
+  * The fixture is the standard Debezium JSON a Kafka topic carries
+  * (schema block + payload with before/after/source/op/ts_ms), including
+  * the logical-type battery the reference's deserializer handles
+  * (RowDataDebeziumDeserializeSchema.java:264-623): connect Decimal
+  * (base64 unscaled bytes + scale parameter), io.debezium.time.Date,
+  * MicroTimestamp, and EnumSet → ARRAY<STRING>. */
+class DebeziumJsonProviderSpec extends SparkSpec {
+
+  private def decB64(unscaled: Long): String =
+    Base64.getEncoder.encodeToString(BigInteger.valueOf(unscaled).toByteArray)
+
+  private val colSchemas =
+    """{"type":"int64","optional":false,"field":"id"},
+      |{"type":"string","optional":true,"field":"name"},
+      |{"type":"bytes","optional":true,"name":"org.apache.kafka.connect.data.Decimal","parameters":{"scale":"2","connect.decimal.precision":"10"},"field":"price"},
+      |{"type":"int32","optional":true,"name":"io.debezium.time.Date","field":"created"},
+      |{"type":"int64","optional":true,"name":"io.debezium.time.MicroTimestamp","field":"updated"},
+      |{"type":"string","optional":true,"name":"io.debezium.data.EnumSet","field":"tags"}""".stripMargin.replace("\n", "")
+
+  private val envelopeSchema =
+    s"""{"type":"struct","fields":[
+       |{"type":"struct","optional":true,"field":"before","fields":[$colSchemas]},
+       |{"type":"struct","optional":true,"field":"after","fields":[$colSchemas]}
+       |]}""".stripMargin.replace("\n", "")
+
+  private def after(id: Long, name: String, priceUnscaled: Long, created: Int,
+      updated: Long, tags: String): String =
+    s"""{"id":$id,"name":"$name","price":"${decB64(priceUnscaled)}","created":$created,"updated":$updated,"tags":"$tags"}"""
+
+  private def writeTable(root: Path, lsnOffsets: Boolean): Unit = {
+    val dir = root.resolve("inventory.products")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      if (lsnOffsets) """{"primaryKey":["id"],"offsetField":"lsn"}"""
+      else """{"primaryKey":["id"]}""")
+    val r1 = after(1, "scooter", 1234, 19000, 1700000000000000L, "a,b")
+    val r2 = after(2, "car", 5678, 19001, 1700000000000001L, "")
+    val c3 = after(3, "hammer", 100, 19002, 1700000000000002L, "b")
+    val u1 = after(1, "scooter", 9999, 19000, 1700000001000000L, "a,b")
+    Files.writeString(dir.resolve("events.jsonl"),
+      // line 1 carries the schema block; later lines are bare payloads —
+      // both shapes a dumped topic contains
+      s"""{"schema":$envelopeSchema,"payload":{"before":null,"after":$r1,"source":{"lsn":90},"op":"r","ts_ms":1111}}
+         |{"before":null,"after":$r2,"source":{"lsn":91},"op":"r","ts_ms":1111}
+         |null
+         |{"schema":null,"payload":null}
+         |{"before":null,"after":$c3,"source":{"lsn":101},"op":"c","ts_ms":2000}
+         |{"before":$r1,"after":$u1,"source":{"lsn":102},"op":"u","ts_ms":3000}
+         |{"before":$r2,"after":null,"source":{"lsn":103},"op":"d","ts_ms":4000}
+         |""".stripMargin)
+  }
+
+  test("envelope schema block → Spark schema with the logical-type battery") {
+    val root = Files.createTempDirectory("dbz")
+    writeTable(root, lsnOffsets = false)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    val meta = p.tables.head
+    assert(meta.id === TableId("inventory", "products"))
+    assert(meta.primaryKey === Seq("id"))
+    assert(meta.schema === StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DecimalType(10, 2)), StructField("created", DateType),
+      StructField("updated", TimestampNTZType),
+      StructField("tags", ArrayType(StringType)))))
+    // tombstones skipped; default offsets = 1-based non-'r' line index
+    assert(p.currentOffset === 3)
+    val log = p.log(meta.id, 0L, 3L).toSeq
+    assert(log.map(_.op) === Seq("c", "u", "d"))
+    assert(log.map(_.offset) === Seq(1L, 2L, 3L))
+    assert(log.last.before(0) === 2L && log.last.after == null)
+    // decimal decoded from base64 unscaled bytes + scale parameter
+    assert(log.head.after(2) === new java.math.BigDecimal("1.00"))
+  }
+
+  test("offsetField: log positions come from payload.source.lsn") {
+    val root = Files.createTempDirectory("dbzlsn")
+    writeTable(root, lsnOffsets = true)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    assert(p.currentOffset === 103)
+    assert(p.log(TableId("inventory", "products"), 101L, 103L).map(_.offset).toSeq === Seq(102L, 103L))
+  }
+
+  test("E2E: batch read through cdc-log materializes snapshot + log") {
+    val root = Files.createTempDirectory("dbze2e")
+    writeTable(root, lsnOffsets = false)
+    val df = spark.read.format("cdc-log")
+      .option("path", root.toString).option("path.format", "debezium-json").load()
+    val rows = df.select("id", "name", "price", "created", "updated", "tags")
+      .collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getDecimal(2).toPlainString,
+          r.getDate(3).toLocalDate.toEpochDay,
+          java.time.temporal.ChronoUnit.MICROS.between(
+            java.time.LocalDateTime.of(1970, 1, 1, 0, 0),
+            r.getAs[java.time.LocalDateTime]("updated")),
+          r.getSeq[String](5).mkString("|"))
+      }.toSet
+    assert(rows === Set(
+      (1L, "scooter", "99.99", 19000L, 1700000001000000L, "a|b"),
+      (3L, "hammer", "1.00", 19002L, 1700000000000002L, "b")))
+  }
+
+  test("DDL fallback: payload-only events + meta.json schema") {
+    val root = Files.createTempDirectory("dbzddl")
+    val dir = root.resolve("shop.items")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"primaryKey":["id"],"schema":"id BIGINT, name STRING"}""")
+    Files.writeString(dir.resolve("events.jsonl"),
+      """{"before":null,"after":{"id":10,"name":"x"},"op":"r","ts_ms":1}
+        |{"before":null,"after":{"id":11,"name":"y"},"op":"c","ts_ms":2}
+        |""".stripMargin)
+    val df = spark.read.format("cdc-log")
+      .option("path", root.toString).option("path.format", "debezium-json").load()
+    assert(df.select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((10L, "x"), (11L, "y")))
+  }
+}
