@@ -7,6 +7,7 @@ import graft.cdc.ChunkKey.Key
 import graft.cdc.provider.{ChangeLogProvider, FileChangeLogProvider, ProviderRegistry}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -45,7 +46,18 @@ final case class CdcOptions(
       * no before-images: update → one +U row, delete → key-only -D row —
       * the MongoDB change-streams shape (MongoDBConnectorDeserializationSchema
       * .java:118-163, ChangelogMode without UPDATE_BEFORE). */
-    changelogMode: String = "full") {
+    changelogMode: String = "full",
+    /** Column-level schema evolution (reference: schema-change events
+      * adapt deserialization mid-flight, MySqlRecordEmitter.java:85-97;
+      * inconsistent-schema sharding union ITCase MySqlConnectorITCase
+      * .java:1047). Spark streams have a FIXED produced schema, so:
+      * "strict" (default) = mid-stream schema drift is an error;
+      * "extras" = readers re-resolve each table's CURRENT provider schema
+      * at read time, map fields by NAME onto the declared schema (dropped
+      * columns → null), and carry columns the declared schema lacks in a
+      * `_extras MAP<STRING,STRING>` column — no restart, no data loss;
+      * restarting the query promotes new columns to physical ones. */
+    schemaEvolutionMode: String = "strict") {
 
   def resolveProvider(): ChangeLogProvider = providerKind match {
     case "registry" => ProviderRegistry.get(providerArg)
@@ -60,8 +72,12 @@ final case class CdcOptions(
     val ms = p.tables.filter(t =>
       t.id.db.matches(databaseRegex) && t.id.table.matches(tableRegex))
     require(ms.nonEmpty, s"no tables match database-name='$databaseRegex' table-name='$tableRegex'")
-    require(ms.map(_.schema).distinct.size == 1,
-      s"matched tables must share one schema (sharding-union contract): ${ms.map(_.id)}")
+    // extras mode tolerates heterogeneous current schemas (fields map by
+    // name onto the declared schema; unmatched ride in _extras) — the
+    // inconsistent-schema sharding union
+    if (schemaEvolutionMode != "extras")
+      require(ms.map(_.schema).distinct.size == 1,
+        s"matched tables must share one schema (sharding-union contract): ${ms.map(_.id)}")
     ms
   }
 }
@@ -80,6 +96,9 @@ object CdcOptions {
     * the fork's delete-as-insert rows, '-U'/'+U' for the update pair —
     * the only way to tell an update's before-image from its after-image. */
   val MetaRowKind = "row_kind"
+  /** Carries mid-stream-added columns (name → stringified value) when
+    * schema.evolution.mode=extras. */
+  val ExtrasCol = "_extras"
 
   def from(o: CaseInsensitiveStringMap): CdcOptions = {
     // provider.name/.class take precedence: the session catalog injects a
@@ -113,13 +132,19 @@ object CdcOptions {
       o.getLong("scan.log.max-offsets-per-batch", Long.MaxValue),
       o.getInt("scan.snapshot.max-chunks-per-batch", 1000),
       meta,
-      o.getOrDefault("changelog.mode", "full"))
+      o.getOrDefault("changelog.mode", "full"),
+      o.getOrDefault("schema.evolution.mode", "strict") match {
+        case m @ ("strict" | "extras") => m
+        case other => throw new IllegalArgumentException(
+          s"unknown schema.evolution.mode '$other' (strict | extras)")
+      })
   }
 
   /** physical ++ op STRING ++ requested metadata — the fork's contract of a
     * trailing op column (reference README.md:38-52,
     * RowDataDebeziumDeserializeSchema.java:125,131,137,143). */
-  def producedSchema(physical: StructType, metadataCols: Seq[String]): StructType = {
+  def producedSchema(physical: StructType, metadataCols: Seq[String],
+      extras: Boolean = false): StructType = {
     val metaFields = metadataCols.map {
       case MetaDatabaseName => StructField(MetaDatabaseName, StringType)
       case MetaTableName    => StructField(MetaTableName, StringType)
@@ -127,7 +152,9 @@ object CdcOptions {
       case MetaOffset       => StructField(MetaOffset, LongType)
       case MetaRowKind      => StructField(MetaRowKind, StringType)
     }
-    StructType((physical.fields.toSeq :+ StructField(OpCol, StringType)) ++ metaFields)
+    val extraFields =
+      if (extras) Seq(StructField(ExtrasCol, MapType(StringType, StringType))) else Seq.empty
+    StructType((physical.fields.toSeq :+ StructField(OpCol, StringType)) ++ metaFields ++ extraFields)
   }
 }
 
@@ -277,13 +304,28 @@ final case class CdcReaderFactory(produced: StructType) extends PartitionReaderF
 
 /** Converts provider field arrays to InternalRows of the produced schema,
   * appending op + metadata columns. Handles column pruning: `produced` is
-  * the (possibly pruned) read schema. */
-private[source] final class RowBuilder(physical: StructType, produced: StructType, table: TableId) {
-  // for each produced field: Left(physicalIndex) or Right(special)
+  * the (possibly pruned) read schema.
+  *
+  * `runtime` is the layout of the field arrays actually arriving from the
+  * provider — equal to the declared `physical` schema in strict mode, but
+  * the table's CURRENT (possibly evolved) schema in
+  * schema.evolution.mode=extras: produced columns resolve by NAME against
+  * it (dropped columns → null), and runtime columns the declared schema
+  * lacks are carried in the `_extras` map (stringified; bytes as base64). */
+private[source] final class RowBuilder(physical: StructType, produced: StructType,
+    table: TableId, runtime: StructType) {
+  def this(physical: StructType, produced: StructType, table: TableId) =
+    this(physical, produced, table, physical)
+  // for each produced field: Left(runtimeIndex, -1 if dropped) or Right(special)
   private val slots: Array[Either[Int, String]] = produced.fields.map { f =>
-    val i = physical.fieldNames.indexOf(f.name)
-    if (i >= 0) Left(i) else Right(f.name)
+    if (physical.fieldNames.contains(f.name)) Left(runtime.fieldNames.indexOf(f.name))
+    else Right(f.name)
   }
+  private val extraIdx: Array[Int] = runtime.fieldNames.zipWithIndex.collect {
+    case (n, i) if !physical.fieldNames.contains(n) => i
+  }.toArray
+  private val extraNames: Array[UTF8String] =
+    extraIdx.map(i => UTF8String.fromString(runtime.fieldNames(i)))
   private val types: Array[DataType] = produced.fields.map(_.dataType)
   private val dbU = UTF8String.fromString(table.db)
   private val tblU = UTF8String.fromString(table.table)
@@ -293,19 +335,44 @@ private[source] final class RowBuilder(physical: StructType, produced: StructTyp
   private def toCatalyst(v: Any, dt: DataType): Any =
     graft.cdc.types.CatalystConverters.toCatalyst(v, dt)
 
+  /** Rows logged before an ALTER may be shorter than the current runtime
+    * schema — missing tail fields read as null, like the reference's
+    * null-padding of pre-DDL events. */
+  private def at(fields: Array[Any], i: Int): Any =
+    if (i >= 0 && i < fields.length) fields(i) else null
+
+  private def extrasMap(fields: Array[Any]): ArrayBasedMapData = {
+    val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var j = 0
+    while (j < extraIdx.length) {
+      val v = at(fields, extraIdx(j))
+      if (v != null) {
+        ks += extraNames(j)
+        vs += UTF8String.fromString(v match {
+          case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+          case other          => other.toString
+        })
+      }
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(ks.toArray), new GenericArrayData(vs.toArray))
+  }
+
   def build(fields: Array[Any], op: String, tsMs: Long, offset: Long,
       rowKind: String): InternalRow = {
     val out = new Array[Any](slots.length)
     var i = 0
     while (i < slots.length) {
       out(i) = slots(i) match {
-        case Left(pi) => toCatalyst(fields(pi), types(i))
+        case Left(pi) => toCatalyst(at(fields, pi), types(i))
         case Right(CdcOptions.OpCol)            => UTF8String.fromString(op)
         case Right(CdcOptions.MetaDatabaseName) => dbU
         case Right(CdcOptions.MetaTableName)    => tblU
         case Right(CdcOptions.MetaOpTs)         => tsMs * 1000L // ms → micros
         case Right(CdcOptions.MetaOffset)       => offset
         case Right(CdcOptions.MetaRowKind)      => UTF8String.fromString(rowKind)
+        case Right(CdcOptions.ExtrasCol)        => extrasMap(fields)
         case Right(other) => throw new IllegalStateException(s"unknown produced col $other")
       }
       i += 1
@@ -317,8 +384,14 @@ private[source] final class RowBuilder(physical: StructType, produced: StructTyp
 final class ChunkReader(p: ChunkPartition, produced: StructType)
   extends PartitionReader[InternalRow] {
   private val provider = p.opts.resolveProvider()
-  private val builder = new RowBuilder(p.physical, produced, p.table)
-  private val keyIdxs = p.pk.map(p.physical.fieldIndex)
+  // extras mode: rows arrive in the table's CURRENT layout — re-resolve it
+  // here (read time), map by name in the builder
+  private val runtime: StructType =
+    if (p.opts.schemaEvolutionMode == "extras")
+      provider.tables.find(_.id == p.table).map(_.schema).getOrElse(p.physical)
+    else p.physical
+  private val builder = new RowBuilder(p.physical, produced, p.table, runtime)
+  private val keyIdxs = p.pk.map(runtime.fieldIndex)
   private def keyOf(r: Array[Any]): Key = ChunkKey.of(keyIdxs.map(r): _*)
   private val iter: Iterator[InternalRow] = {
     val range = SnapshotSplit(p.table, 0, p.start, p.end)
@@ -348,8 +421,12 @@ final class ChunkReader(p: ChunkPartition, produced: StructType)
 final class LogReader(p: LogPartition, produced: StructType)
   extends PartitionReader[InternalRow] {
   private val provider = p.opts.resolveProvider()
-  private val builder = new RowBuilder(p.physical, produced, p.table)
-  private val keyIdxs = p.pk.map(p.physical.fieldIndex)
+  private val runtime: StructType =
+    if (p.opts.schemaEvolutionMode == "extras")
+      provider.tables.find(_.id == p.table).map(_.schema).getOrElse(p.physical)
+    else p.physical
+  private val builder = new RowBuilder(p.physical, produced, p.table, runtime)
+  private val keyIdxs = p.pk.map(runtime.fieldIndex)
   private def keyOf(r: Array[Any]): Key = ChunkKey.of(keyIdxs.map(r): _*)
   private val iter: Iterator[InternalRow] = {
     val raw = provider.log(p.table, p.fromExclusive, p.toInclusive)
@@ -423,7 +500,7 @@ final class CdcBatch(opts: CdcOptions, physical: StructType, produced: StructTyp
   override def planInputPartitions(): Array[InputPartition] = {
     val provider = opts.resolveProvider()
     val upTo = provider.currentOffset
-    CdcPlanner.chunkPartitions(opts, provider, matched, upTo).toArray
+    CdcPlanner.chunkPartitions(opts, provider, matched, upTo, physical).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory(produced)
 }
@@ -431,11 +508,15 @@ final class CdcBatch(opts: CdcOptions, physical: StructType, produced: StructTyp
 object CdcPlanner {
   /** Driver-side chunk planning across matched tables (reference
     * enumerator + ChunkSplitter role). */
+  /** `physical` is the DECLARED scan schema — partitions always carry it
+    * (not the table's own current schema) because the produced schema
+    * derives from it; extras-mode readers re-resolve each table's current
+    * layout themselves. */
   def chunkPartitions(opts: CdcOptions, provider: ChangeLogProvider,
-      matched: Seq[TableMeta], upTo: Long): Seq[InputPartition] =
+      matched: Seq[TableMeta], upTo: Long, physical: StructType): Seq[InputPartition] =
     matched.flatMap { tm =>
       planSplits(opts, provider, tm).map(sp =>
-        ChunkPartition(opts, tm.id, tm.schema, tm.primaryKey, sp.start, sp.end, upTo))
+        ChunkPartition(opts, tm.id, physical, tm.primaryKey, sp.start, sp.end, upTo))
     }
 
   def planSplits(opts: CdcOptions, provider: ChangeLogProvider, tm: TableMeta): Seq[SnapshotSplit] = {
@@ -494,9 +575,15 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
 
   private def matchedNow(): Seq[TableMeta] = {
     val ms = opts.matchedTables(provider)
-    ms.foreach(tm => require(tm.schema == physical,
-      s"table ${tm.id} schema ${tm.schema} does not match the stream schema $physical " +
-        "(sharding-union contract: mid-stream tables must share the declared schema)"))
+    if (opts.schemaEvolutionMode == "extras")
+      // evolved schemas are fine — readers map by name; the pk must survive
+      ms.foreach(tm => require(tm.primaryKey.forall(tm.schema.fieldNames.contains),
+        s"table ${tm.id} current schema ${tm.schema} lost its primary key ${tm.primaryKey}"))
+    else
+      ms.foreach(tm => require(tm.schema == physical,
+        s"table ${tm.id} schema ${tm.schema} does not match the stream schema $physical " +
+          "(sharding-union contract: mid-stream tables must share the declared schema; " +
+          "set schema.evolution.mode=extras to tolerate drift)"))
     ms
   }
 
@@ -588,7 +675,11 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset]
     val e = end.asInstanceOf[CdcOffset]
-    val byId = (matched ++ opts.matchedTables(provider)).map(t => t.id.toString -> t).toMap
+    // query-start metas LAST so the DECLARED schema wins for pre-existing
+    // tables (in extras mode the provider's current schema may have
+    // evolved; readers re-resolve it themselves) — provider metas only
+    // supply newly-added tables
+    val byId = (opts.matchedTables(provider) ++ matched).map(t => t.id.toString -> t).toMap
     // cohort = pending in s but not in e; upTo = the HW recorded in e.finished
     val chunks: Seq[InputPartition] =
       if (!s.snapshotDone) s.splits.toSeq.sortBy(_._1).flatMap { case (tid, ranges) =>
@@ -597,14 +688,14 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
           .map(f => (f.start, f.end) -> f.hw).toMap
         val tm = byId(tid)
         ranges.filterNot(still).map { case (st, en) =>
-          ChunkPartition(opts, tm.id, tm.schema, tm.primaryKey, st, en,
+          ChunkPartition(opts, tm.id, physical, tm.primaryKey, st, en,
             hwByRange.getOrElse((st, en), s.logPos))
         }
       } else Seq.empty
     val logs: Seq[InputPartition] =
       if (e.logPos > s.logPos)
         e.known.sorted.flatMap(tid => byId.get(tid)).map(tm =>
-          LogPartition(opts, tm.id, tm.schema, tm.primaryKey, s.logPos, e.logPos,
+          LogPartition(opts, tm.id, physical, tm.primaryKey, s.logPos, e.logPos,
             e.finished.getOrElse(tm.id.toString, Seq.empty)))
       else Seq.empty
     (chunks ++ logs).toArray
@@ -655,7 +746,8 @@ final class CdcLogTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (opts, physical, _) = resolve(options)
-    CdcOptions.producedSchema(physical, opts.metadataCols)
+    CdcOptions.producedSchema(physical, opts.metadataCols,
+      opts.schemaEvolutionMode == "extras")
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
