@@ -202,6 +202,138 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("score"))
   }
 
+  // -------------------------------------------------------------------------
+  // Product quantization (IVF-PQ)
+  // -------------------------------------------------------------------------
+
+  /** L2 k-means on a driver-side sample — the PQ codebook trainer. Seeds =
+    * first k sample points (the sample is hash-ordered → deterministic);
+    * empty clusters are dropped. */
+  private def kmeansL2(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val k0 = math.min(k, xs.length)
+    var cents = xs.take(k0).map(_.clone())
+    for (_ <- 0 until iters) {
+      val ds = cents(0).length
+      val sums = Array.fill(cents.length, ds)(0.0)
+      val counts = new Array[Long](cents.length)
+      xs.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < ds) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0; while (i < ds) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.collect { case c if counts(c) > 0 => sums(c).map(_ / counts(c)) }.toArray
+    }
+    cents
+  }
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * subspaces of dim/m components; each gets a `k`-codeword L2 codebook
+    * trained on a bounded deterministic sample (same TakeOrdered recipe as
+    * [[ivfCentroids]] — one distributed top-k pass, driver Lloyd in
+    * microseconds, the corpus itself is never shuffled for training).
+    * Returns [m][k][dim/m] — small enough to broadcast as literals
+    * (m·k·dim/m doubles = dim·k ≪ 1 MB for any sane setting). */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 5,
+      maxTrainSample: Int = 10000): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).cast("string").as("sid"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(xxhash64(col("sid")), col("sid")).limit(maxTrainSample)
+      .as[(String, Seq[Double])].collect().map(_._2.toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    (0 until m).map { mi =>
+      kmeansL2(sample.map(v => java.util.Arrays.copyOfRange(v, mi * ds, (mi + 1) * ds)), k, iters)
+    }.toArray
+  }
+
+  /** Append a `pq_code` array<int> column: per subspace, the index of the
+    * L2-nearest codeword. One shuffle-free projection over the corpus —
+    * codebooks ride as broadcast literals; at 100 TB the 8-byte-ish code
+    * replaces the full vector in the candidate-scoring shuffle (a
+    * dim·4/m-fold shrink of the dominant exchange). Ties → lowest index
+    * (array_position finds the first minimum). */
+  def pqEncode(emb: DataFrame, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val ds = books(0)(0).length
+    val codeCols = books.zipWithIndex.map { case (book, mi) =>
+      val cb = typedLit(book.map(_.toSeq).toSeq)
+      val sub = transform(slice(col(vecCol), mi * ds + 1, ds), _.cast("double"))
+      val dists = transform(cb, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)), lit(0.0), (a, t) => a + t))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    emb.withColumn("pq_code", array(scala.collection.immutable.ArraySeq.unsafeWrapArray(codeCols): _*))
+  }
+
+  /** Per-query ADC lookup tables: [m][k] of dot(query_sub, codeword) —
+    * computed once per QUERY row (cheap), so scoring a candidate is m
+    * array lookups + adds instead of a dim-length dot product. */
+  private def adcLuts(qv: Column, books: Array[Array[Array[Double]]]): Column = {
+    val ds = books(0)(0).length
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      books.zipWithIndex.map { case (book, mi) =>
+        val cb = typedLit(book.map(_.toSeq).toSeq)
+        val sub = transform(slice(qv, mi * ds + 1, ds), _.cast("double"))
+        transform(cb, c => aggregate(zip_with(sub, c, (x, y) => x * y), lit(0.0), (a, t) => a + t))
+      }): _*)
+  }
+
+  /** IVF-PQ ANN — the 100 TB retrieval shape: IVF cells prune the corpus
+    * to nprobe/ncells, PQ-ADC scores the candidates with m lookups each
+    * (the exchange carries codes, not vectors), the top `rescoreFactor`·k
+    * per query are exactly rescored with the true cosine, and the final
+    * top-k ranks by the exact score. Columns match [[ivfTopK]]
+    * (qid, cid, rank, score) so recall is directly comparable. */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, ncells: Int, nprobe: Int, m: Int = 8, pqK: Int = 16,
+      rescoreFactor: Int = 4, iters: Int = 2): DataFrame = {
+    val dim = probeDim(emb, vecCol)
+    val books = pqTrain(emb, idCol, vecCol, m, pqK)
+    val centroids = ivfCentroids(emb, idCol, vecCol, ncells, iters)
+    val corpusCells = pqEncode(
+      assignCellsDim(emb, idCol, vecCol, centroids, dim)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell")), "cv", books)
+      .withColumn("cn2", dotUnrolled(col("cv"), col("cv"), dim))
+    val cents = broadcast(centroids.withColumn("__cnorm",
+      sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
+    val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("__sim", dotUnrolled(col("qv"), col("centroid"), dim) / col("__cnorm"))
+    val wq = Window.partitionBy("qid").orderBy(col("__sim").desc, col("cell"))
+    val qCells = qScored.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe).select(col("qid"), col("qv"), col("cell"))
+      .withColumn("qn2", dotUnrolled(col("qv"), col("qv"), dim))
+      .withColumn("__lut", adcLuts(col("qv"), books))
+    // ADC approximate score: m LUT lookups per candidate
+    val adc = (0 until m).map(mi =>
+      element_at(element_at(col("__lut"), mi + 1), element_at(col("pq_code"), mi + 1) + 1))
+      .reduce(_ + _)
+    val cand = qCells.join(corpusCells, "cell").filter(col("qid") =!= col("cid"))
+      .withColumn("__adc", adc)
+    val wAdc = Window.partitionBy("qid").orderBy(col("__adc").desc, col("cid"))
+    val shortlist = cand.withColumn("__arn", row_number().over(wAdc))
+      .filter(col("__arn") <= k * rescoreFactor)
+    // exact rescore of the shortlist only
+    val rescored = shortlist.withColumn("score",
+      dotUnrolled(col("qv"), col("cv"), dim) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    rescored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * IVF-blocked (pairs only compared within a cell — the standard
     * embedding-dedup recipe; same-cell misses are the recall tradeoff).

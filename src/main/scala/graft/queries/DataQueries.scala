@@ -78,6 +78,17 @@ object DataQueries {
         k = 3, ncells = 8, nprobe = 2, iters = 1).orderBy("qid", "rank")
     }),
 
+    // IVF-PQ: coarse cells + product-quantized ADC shortlist + exact
+    // rescore — the 100 TB retrieval shape (codes, not vectors, ride the
+    // candidate exchange). Engine-local k-means → rows-only driver check;
+    // recall asserted in DedupSimilaritySpec.
+    "q50_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 3, ncells = 8, nprobe = 2, m = 8, pqK = 16, rescoreFactor = 4, iters = 1)
+        .orderBy("qid", "rank")
+    }),
+
     // embedding-cosine near-dup pairs, IVF-blocked (within-cell pairs only —
     // the standard embedding-dedup recipe). Engine-local cell assignment →
     // rows-only driver check; pair quality asserted in DedupSimilaritySpec.

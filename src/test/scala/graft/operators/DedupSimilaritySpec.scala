@@ -74,6 +74,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.size <= exact.size)
   }
 
+  test("pqEncode: one code per subspace, all within the codebook") {
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+    assert(books.length === 8 && books.forall(b => b.length <= 16 && b.forall(_.length === 8)))
+    val enc = Similarity.pqEncode(emb, "embedding", books)
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // deterministic: re-train + re-encode gives identical codes
+    val enc2 = Similarity.pqEncode(emb, "embedding",
+      Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16))
+      .select("vec_id", "pq_code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc2 === enc)
+  }
+
+  test("IVF-PQ top-k recall vs brute force (ADC shortlist + exact rescore)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, ncells = 4, nprobe = 2, m = 8, pqK = 16, rescoreFactor = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall@5 = $recall")
+    assert(pq.nonEmpty && pq.size <= exact.size)
+  }
+
   test("cosineNearDupPairs: sim threshold respected, pairs canonical (a<b)") {
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
       minSim = 0.3, ncells = 4).collect()
