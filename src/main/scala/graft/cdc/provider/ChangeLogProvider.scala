@@ -55,6 +55,16 @@ trait ChangeLogProvider extends Serializable {
     Iterator.empty
 }
 
+/** An iterator holding an OS resource (file handle, connection): readers
+  * close it on early termination (Spark can drop a PartitionReader before
+  * exhaustion — e.g. a pushed limit); exhaustion also releases it. */
+final class CloseableIterator[T](under: Iterator[T], res: AutoCloseable)
+  extends Iterator[T] with AutoCloseable {
+  override def hasNext: Boolean = under.hasNext
+  override def next(): T = under.next()
+  override def close(): Unit = res.close()
+}
+
 /** Deterministic in-memory provider: a base table state + a scripted
   * mutation log. The workhorse for tests and the synthetic correctness
   * fixtures (SURVEY.md §7.2 `SyntheticProvider`).

@@ -150,13 +150,15 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
     case other => throw new IllegalArgumentException(s"no plain decoder for $other")
   }
 
-  /** Stream JSON lines; O(1) memory, file closed on exhaustion. */
-  private def rawLines(path: String): Iterator[JsonNode] = {
-    if (!Files.exists(Paths.get(path))) return Iterator.empty
+  /** Stream JSON lines; O(1) memory, file closed on exhaustion or close(). */
+  private def rawLines(path: String): CloseableIterator[JsonNode] = {
+    if (!Files.exists(Paths.get(path)))
+      return new CloseableIterator[JsonNode](Iterator.empty, () => ())
     val br = new BufferedReader(new FileReader(path))
-    Iterator.continually(br.readLine())
+    val it = Iterator.continually(br.readLine())
       .takeWhile { l => if (l == null) br.close(); l != null }
       .filter(_.trim.nonEmpty).map(mapper.readTree)
+    new CloseableIterator(it, () => br.close())
   }
 
   /** The `after` struct schema from the first envelope's schema block. */
@@ -210,9 +212,10 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
     * `offsetField` when configured, else the 1-based index among non-'r'
     * events; snapshot ('r') events sit at offset 0 (the base the log folds
     * over). */
-  private def events(t: TableDir): Iterator[Ev] = {
+  private def events(t: TableDir): CloseableIterator[Ev] = {
     var logIdx = 0L
-    rawLines(s"${t.dir}/events.jsonl").flatMap { node =>
+    val raw = rawLines(s"${t.dir}/events.jsonl")
+    val it = raw.flatMap { node =>
       val payload = if (node.has("payload")) node.get("payload") else node
       if (payload == null || payload.isNull || !payload.hasNonNull("op")) None // tombstone
       else {
@@ -231,6 +234,7 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
           if (op == ChangeOp.Read) 0L else payload.path("ts_ms").asLong(0L)))
       }
     }
+    new CloseableIterator(it, raw)
   }
 
   override def tables: Seq[TableMeta] = tableDirs.map(_.meta)
@@ -265,13 +269,18 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
 
   override def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) = {
     val t = td(table)
-    (0L, events(t).filter(_.op == ChangeOp.Read).map(_.after)
-      .filter(r => range.contains(keyOf(t, r))))
+    val raw = events(t)
+    (0L, new CloseableIterator(
+      raw.filter(_.op == ChangeOp.Read).map(_.after).filter(r => range.contains(keyOf(t, r))),
+      raw))
   }
 
   override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] = {
     val t = td(table)
-    events(t).filter(e => e.op != ChangeOp.Read && e.offset > fromExclusive && e.offset <= toInclusive)
-      .map(e => LogRecord(e.offset, e.op, t.meta.id, e.before, e.after, e.tsMs))
+    val raw = events(t)
+    new CloseableIterator(
+      raw.filter(e => e.op != ChangeOp.Read && e.offset > fromExclusive && e.offset <= toInclusive)
+        .map(e => LogRecord(e.offset, e.op, t.meta.id, e.before, e.after, e.tsMs)),
+      raw)
   }
 }

@@ -49,14 +49,16 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
 
   override def tables: Seq[TableMeta] = tableFiles.map(_.meta)
 
-  private def jsonLines[T](path: String)(f: JsonNode => T): Iterator[T] = {
-    if (!Files.exists(Paths.get(path))) return Iterator.empty
+  private def jsonLines[T](path: String)(f: JsonNode => T): CloseableIterator[T] = {
+    if (!Files.exists(Paths.get(path)))
+      return new CloseableIterator[T](Iterator.empty, () => ())
     val br = new BufferedReader(new FileReader(path))
-    new Iterator[T] {
+    val it = new Iterator[T] {
       private var nextLine = br.readLine()
       def hasNext: Boolean = { if (nextLine == null) br.close(); nextLine != null }
       def next(): T = { val v = f(mapper.readTree(nextLine)); nextLine = br.readLine(); v }
     }
+    new CloseableIterator(it, () => br.close())
   }
 
   private def decode(v: JsonNode, dt: DataType): Any =
@@ -125,9 +127,9 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
 
   override def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) = {
     val tf = files(table)
+    val raw = jsonLines(s"${tf.dir}/snapshot.jsonl")(row(tf.meta.schema, _))
     (tf.baseOffset,
-      jsonLines(s"${tf.dir}/snapshot.jsonl")(row(tf.meta.schema, _))
-        .filter(r => range.contains(keyOf(tf, r))))
+      new CloseableIterator(raw.filter(r => range.contains(keyOf(tf, r))), raw))
   }
 
   /** Optional `<table dir>/schema_log.jsonl`:
@@ -141,10 +143,12 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
 
   override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] = {
     val tf = files(table)
-    jsonLines(s"${tf.dir}/log.jsonl") { n =>
+    val raw = jsonLines(s"${tf.dir}/log.jsonl") { n =>
       LogRecord(n.get("offset").asLong(), n.get("op").asText(), tf.meta.id,
         row(tf.meta.schema, n.get("before")), row(tf.meta.schema, n.get("after")),
         if (n.has("tsMs")) n.get("tsMs").asLong() else 0L)
-    }.filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
+    }
+    new CloseableIterator(
+      raw.filter(r => r.offset > fromExclusive && r.offset <= toInclusive), raw)
   }
 }

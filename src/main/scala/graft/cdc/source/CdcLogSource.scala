@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReadMinRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,6 +34,12 @@ final case class CdcOptions(
     startupTimestampMs: Long,
     startupSpecificOffset: Long,
     maxOffsetsPerBatch: Long,
+    /** Admission floor: hold a log micro-batch until at least this many
+      * offsets are available or `maxTriggerDelayMs` has elapsed since the
+      * last non-held batch (the Kafka-source minOffsetsPerTrigger/
+      * maxTriggerDelay contract, surfaced as ReadLimit.minRows). 0 = off. */
+    minOffsetsPerBatch: Long,
+    maxTriggerDelayMs: Long,
     /** Snapshot admission control: at most this many chunks per micro-batch.
       * The analogue of the reference's chunk-meta.group.size bounding
       * (MySqlSourceOptions.java:178-184) — at 100 TB a table plans millions
@@ -130,6 +136,8 @@ object CdcOptions {
       o.getLong("scan.startup.timestamp-millis", 0L),
       o.getLong("scan.startup.specific-offset", 0L),
       o.getLong("scan.log.max-offsets-per-batch", Long.MaxValue),
+      o.getLong("scan.log.min-offsets-per-batch", 0L),
+      o.getLong("scan.log.max-trigger-delay-ms", 15 * 60 * 1000L),
       o.getInt("scan.snapshot.max-chunks-per-batch", 1000),
       meta,
       o.getOrDefault("changelog.mode", "full"),
@@ -393,9 +401,17 @@ final class ChunkReader(p: ChunkPartition, produced: StructType)
   private val builder = new RowBuilder(p.physical, produced, p.table, runtime)
   private val keyIdxs = p.pk.map(runtime.fieldIndex)
   private def keyOf(r: Array[Any]): Key = ChunkKey.of(keyIdxs.map(r): _*)
+  // provider iterators may hold OS resources (file handles, connections) —
+  // released on close() even if Spark drops the reader before exhaustion
+  private var resources: List[AutoCloseable] = Nil
+  private def tracked[T](it: Iterator[T]): Iterator[T] = {
+    it match { case c: AutoCloseable => resources ::= c; case _ => () }
+    it
+  }
   private val iter: Iterator[InternalRow] = {
     val range = SnapshotSplit(p.table, 0, p.start, p.end)
-    val (baseOffset, base) = provider.snapshotBase(p.table, range)
+    val (baseOffset, base0) = provider.snapshotBase(p.table, range)
+    val base = tracked(base0)
     // Hard contract (the inverse of the reference's per-chunk LW/HW bracket,
     // MySqlSnapshotSplitReadTask.java:139-160): the base must be consistent
     // at an offset <= the cohort's pinned high watermark, else events
@@ -406,7 +422,7 @@ final class ChunkReader(p: ChunkPartition, produced: StructType)
       s"provider returned snapshot base at offset $baseOffset > pinned high watermark " +
         s"${p.upTo} for chunk ${p.table}[${p.start}..${p.end}); the provider must serve " +
         "a base consistent at or before the planning offset (or time-travel to it)")
-    val catchUp = provider.log(p.table, baseOffset, p.upTo)
+    val catchUp = tracked(provider.log(p.table, baseOffset, p.upTo))
       .filter(r => range.contains(keyOf(if (r.op == ChangeOp.Delete) r.before else r.after)))
     // snapshot rows: op='r', ts forced to 0 (reference RecordUtils.java:197-225)
     Normalizer.normalize(base, catchUp, keyOf)
@@ -415,7 +431,7 @@ final class ChunkReader(p: ChunkPartition, produced: StructType)
   private var cur: InternalRow = _
   override def next(): Boolean = { if (iter.hasNext) { cur = iter.next(); true } else false }
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit = resources.foreach(_.close())
 }
 
 final class LogReader(p: LogPartition, produced: StructType)
@@ -428,8 +444,11 @@ final class LogReader(p: LogPartition, produced: StructType)
   private val builder = new RowBuilder(p.physical, produced, p.table, runtime)
   private val keyIdxs = p.pk.map(runtime.fieldIndex)
   private def keyOf(r: Array[Any]): Key = ChunkKey.of(keyIdxs.map(r): _*)
+  // the raw log iterator may hold an OS resource — close() releases it if
+  // Spark drops this reader before exhaustion (pushed limit, task kill)
+  private val rawLog = provider.log(p.table, p.fromExclusive, p.toInclusive)
   private val iter: Iterator[InternalRow] = {
-    val raw = provider.log(p.table, p.fromExclusive, p.toInclusive)
+    val raw = rawLog
     // F5 timestamp seek (reference SeekBinlogToTimestampFilter.java:62-79)
     val seeked =
       if (p.opts.startupMode == "timestamp") Normalizer.timestampSeek(raw, p.opts.startupTimestampMs)
@@ -476,7 +495,10 @@ final class LogReader(p: LogPartition, produced: StructType)
   private var cur: InternalRow = _
   override def next(): Boolean = { if (iter.hasNext) { cur = iter.next(); true } else false }
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit = rawLog match {
+    case c: AutoCloseable => c.close()
+    case _                => ()
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -605,7 +627,22 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     }
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      if (opts.minOffsetsPerBatch > 0)
+        Some(ReadLimit.minRows(opts.minOffsetsPerBatch, opts.maxTriggerDelayMs)) else None,
+      if (opts.maxOffsetsPerBatch != Long.MaxValue)
+        Some(ReadLimit.maxRows(opts.maxOffsetsPerBatch)) else None).flatten
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case ls     => ReadLimit.compositeLimit(ls.toArray)
+    }
+  }
+
+  /** Wall-clock of the last non-held log batch — the ReadMinRows
+    * maxTriggerDelay reference point (same contract as the Kafka source). */
+  @volatile private var lastTriggerMs: Long = System.currentTimeMillis()
 
   /** Legacy no-arg variant — only called when SupportsAdmissionControl is
     * not consulted; keep it working for direct API users. */
@@ -652,22 +689,38 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
         // admission cap relative to THIS batch's start offset — applies to
         // the first/catch-up batch too (where it matters most). Saturating
         // add: the default cap is Long.MaxValue. Spark's ReadLimit.maxRows
-        // (one log event ≈ one row) composes with the option cap.
-        val limitRows = limit match {
-          case r: ReadMaxRows => r.maxRows()
-          case _              => Long.MaxValue
+        // (one log event ≈ one row) composes with the option cap;
+        // ReadMinRows holds the batch until enough offsets accumulate or
+        // its max delay elapses (ignored under AvailableNow — a bounded
+        // run must drain).
+        val (minRowsOpt, maxRowsOpt) = limit match {
+          case c: CompositeReadLimit =>
+            (c.getReadLimits.collectFirst { case m: ReadMinRows => m },
+              c.getReadLimits.collectFirst { case m: ReadMaxRows => m })
+          case m: ReadMinRows => (Some(m), None)
+          case m: ReadMaxRows => (None, Some(m))
+          case _              => (None, None)
         }
-        val perBatch = math.min(opts.maxOffsetsPerBatch, limitRows)
-        val cap =
-          if (s.logPos > Long.MaxValue - perBatch) Long.MaxValue
-          else s.logPos + perBatch
-        val logPos = math.max(s.logPos, math.min(cur, cap))
-        // prune finished lists once the batch START is past a table's max
-        // HW (pure log phase). Pruning on the new logPos would be wrong:
-        // THIS batch covers (s.logPos, logPos] and still needs the infos
-        // to suppress events at offsets <= hw when s.logPos < hw.
-        val finished = s.finished.filter { case (_, cs) => s.logPos < cs.map(_.hw).max }
-        CdcOffset(snapshotDone = true, logPos, Map.empty, finished, s.known)
+        val available = math.max(0L, cur - s.logPos)
+        val hold = availableNowCap < 0 && minRowsOpt.exists(m =>
+          available < m.minRows() &&
+            System.currentTimeMillis() - lastTriggerMs < m.maxTriggerDelayMs())
+        if (hold) CdcOffset(snapshotDone = true, s.logPos, Map.empty, s.finished, s.known)
+        else {
+          if (available > 0) lastTriggerMs = System.currentTimeMillis()
+          val perBatch = math.min(opts.maxOffsetsPerBatch,
+            maxRowsOpt.map(_.maxRows()).getOrElse(Long.MaxValue))
+          val cap =
+            if (s.logPos > Long.MaxValue - perBatch) Long.MaxValue
+            else s.logPos + perBatch
+          val logPos = math.max(s.logPos, math.min(cur, cap))
+          // prune finished lists once the batch START is past a table's max
+          // HW (pure log phase). Pruning on the new logPos would be wrong:
+          // THIS batch covers (s.logPos, logPos] and still needs the infos
+          // to suppress events at offsets <= hw when s.logPos < hw.
+          val finished = s.finished.filter { case (_, cs) => s.logPos < cs.map(_.hw).max }
+          CdcOffset(snapshotDone = true, logPos, Map.empty, finished, s.known)
+        }
       }
     }
   }

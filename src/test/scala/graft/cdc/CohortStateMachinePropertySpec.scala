@@ -93,7 +93,7 @@ class CohortStateMachinePropertySpec extends AnyFunSuite {
 
       val metaCols = Seq(CdcOptions.MetaOffset, CdcOptions.MetaRowKind)
       val opts = CdcOptions("registry", name, ".*", ".*", chunkSize, "initial",
-        0L, 0L, Long.MaxValue, maxChunks, metaCols, "full")
+        0L, 0L, Long.MaxValue, 0L, 0L, maxChunks, metaCols, "full")
       val produced = CdcOptions.producedSchema(schema, metaCols)
       val stream = new CdcMicroBatchStream(opts, schema, produced, Seq(meta))
       val factory = stream.createReaderFactory()
