@@ -77,7 +77,7 @@ object Dedup {
     * (Spark 4 throws on arithmetic overflow by default). Constants from a
     * fixed-seed PRNG — fully deterministic. */
   private val P31 = 2147483647L // 2^31 - 1
-  private def hashParams(k: Int): Seq[(Long, Long)] = {
+  private[graft] def hashParams(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(k)((rnd.nextInt((P31 - 1).toInt).toLong + 1, rnd.nextInt(P31.toInt).toLong))
   }
@@ -155,36 +155,53 @@ object Dedup {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash signature with md5 as the hash family: the i-th permutation is
-    * the lexicographic order of md5("i:" || shingle). md5 is bit-identical
-    * in every engine, so unlike [[minHashSignatures]] (engine-local
-    * xxhash64/murmur3, 4× faster) this variant is cross-engine
-    * deterministic and sits under the DuckDB-oracle hash gate. Same scale
-    * shape: one explode + one map-side-combined groupBy(id) with k min()s. */
+  /** Cross-engine-deterministic 31-bit shingle hash: the 7 little-endian
+    * bytes of md5 (== DuckDB `md5_number_upper(s) >> 8`, which is the
+    * little-endian uint64 of the first 8 digest bytes) mod 2^31−1. ONE md5
+    * per shingle — the k permutations then cost k integer ops, not k
+    * hashes. conv() of 14 hex chars < 2^56, so the long cast is ANSI-safe. */
+  private[graft] def portableH31(s: Column): Column = {
+    val h = md5(s)
+    val le = concat(substring(h, 15, 2), substring(h, 13, 2), substring(h, 11, 2),
+      substring(h, 9, 2), substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2))
+    pmod(conv(le, 16, 10).cast("long"), lit(P31))
+  }
+
+  /** MinHash signature with a PORTABLE hash family: base hash =
+    * [[portableH31]] (md5-derived, bit-identical in every engine), then the
+    * same (a·h + b) mod 2^31−1 universal permutations as
+    * [[minHashSignatures]] (shared fixed-seed constants). All-integer →
+    * the k min()s hash-aggregate with map-side combine (min over STRINGS
+    * would fall back to SortAggregate — measured 40× slower end-to-end),
+    * and unlike the xxhash64 variant this one sits under the DuckDB-oracle
+    * hash gate. */
   def md5MinHashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      explode(shingleStrings(col(textCol), n)).as("s"))
-    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i"))
+        explode(shingleStrings(col(textCol), n)).as("s"))
+      .select(col("id"), portableH31(col("s")).as("h0"))
+    val mins = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P31))).as(s"m$i")
+    }
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs over [[md5MinHashSignatures]]: band key =
-    * md5(band ":" m_i ":" m_j ...) — one 32-char string per (doc, band), so
-    * the banded self-join shuffles (id, bh) only; signatures re-attach to
-    * the surviving pairs by two id-keyed joins (ReuseExchange collapses the
-    * signature subplan). est_jaccard = matching-component fraction, an
+  /** LSH candidate pairs over [[md5MinHashSignatures]] (r = k/bands = 2):
+    * band key = (band, m_even·(2^31−1) + m_odd) — one long per (doc, band),
+    * exact in both engines (< 2^62), so the banded self-join shuffles
+    * (id, band, long) only; signatures re-attach to the surviving pairs by
+    * two id-keyed joins. est_jaccard = matching-component fraction, an
     * exact multiple of 1/k in both engines. */
   def md5MinHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
-    require(k % bands == 0)
-    val r = k / bands
+    require(k == bands * 2, "portable LSH uses r=2 (band key = one packed long)")
     val sig = md5MinHashSignatures(df, idCol, textCol, n, k)
-    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
-      md5(concat_ws(":", (lit(b.toString) +: (0 until r).map(j => col(s"m${b * r + j}"))): _*))
-    }: _*)).as("bh"))
+    val banded = sig.select(col("id"), posexplode(array((0 until bands).map(b =>
+        col(s"m${2 * b}") * P31 + col(s"m${2 * b + 1}")): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bhv"))
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+        col("x.band") === col("y.band") && col("x.bhv") === col("y.bhv") &&
+          col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val matches = (0 until k).map(i =>

@@ -150,26 +150,35 @@ object DataQueries {
   )
 
   /** DuckDB mirror of [[Dedup.md5MinHashLshCandidates]] (k=16, bands=8, r=2,
-    * n=3) — generated so the two sides can't drift on k/bands. */
+    * n=3) — generated from the SAME permutation constants so the two sides
+    * can't drift. Base hash: md5_number_upper(s) >> 8 is the little-endian
+    * uint64 of the first 8 md5 bytes with the low byte dropped — exactly
+    * Spark's conv(reversed 14 hex chars) — then mod 2^31−1; permutations
+    * and the packed band key are pure 64-bit integer arithmetic (< 2^62),
+    * bit-identical across engines. */
   private def minHashMd5OracleSql(k: Int, bands: Int): String = {
-    val r = k / bands
-    val minCols = (0 until k).map(i => s"MIN(md5('$i:'||s)) AS m$i").mkString(",\n         ")
+    require(k == bands * 2)
+    val P = 2147483647L
+    val minCols = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h0 * $a + $b) % $P) AS m$i"
+    }.mkString(",\n         ")
     val bandRows = (0 until bands).map { b =>
-      val parts = (0 until r).map(j => s"m${b * r + j}").mkString("||':'||")
-      s"SELECT doc_id, md5('$b:'||$parts) AS bh FROM sig"
+      s"SELECT doc_id, $b AS band, m${2 * b} * $P + m${2 * b + 1} AS bhv FROM sig"
     }.mkString("\n  UNION ALL ")
     val matchSum = (0 until k).map(i =>
       s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS s
        |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
+       |hs AS (SELECT doc_id, ((md5_number_upper(s) >> 8) % $P)::BIGINT AS h0 FROM sh),
        |sig AS (SELECT doc_id,
        |         $minCols
-       |        FROM sh GROUP BY doc_id),
+       |        FROM hs GROUP BY doc_id),
        |bands AS (
        |  $bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id)
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id)
        |SELECT c.id_a, c.id_b,
        |  CAST($matchSum AS DOUBLE) / $k.0 AS est_jaccard
        |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
