@@ -52,7 +52,9 @@ object RelQueries {
     "q46_word_count" -> q46,
     "q47_window_funcs" -> q47,
     "q48_unpivot" -> q48,
-    "q49_set_ops_all" -> q49
+    "q49_set_ops_all" -> q49,
+    "q51_salted_agg" -> q51,
+    "q52_streaming_window" -> q52
   )
 
   // --- q01: TPC-H Q1-style pricing summary (wide agg, map-side combine) ---
@@ -486,6 +488,15 @@ object RelQueries {
          |      INTO NAME measure VALUE val)
          |GROUP BY measure ORDER BY measure""".stripMargin,
 
+    "q51_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q52_streaming_window" ->
+      s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS hour_start_us,
+         |  event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin,
+
     "q49_set_ops_all" ->
       """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
         |     p AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'),
@@ -576,6 +587,45 @@ object RelQueries {
       .unionAll(f.exceptAll(p).withColumn("setop", lit("except_all")))
       .groupBy("setop", "k").agg(cnt.as("n"))
       .orderBy("setop", "k")
+  }
+
+  // --- q51: skew-safe two-phase (salted) aggregation — identical result
+  //     to the plain GROUP BY, so the oracle hash gate proves the
+  //     decomposition exact. event_type is genuinely hot: a handful of
+  //     values over the whole table. ---
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    graft.operators.SkewOps.saltedSumCount(e, Seq("event_type"),
+        saltBy = col("event_id"), salt = 16, valueCol = col("value"),
+        sumName = "total_value", cntName = "n")
+      .select(col("event_type"), col("n"), col("total_value"))
+      .orderBy("event_type")
+  }
+
+  // --- q52: STREAMING tumbling-window aggregation under the hash gate —
+  //     the events table re-read as a multi-batch stream (AvailableNow),
+  //     watermarked windowed agg, final state == the batch oracle. ---
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q52_")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.resolve("in").toString
+    val e = t(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        col("event_type"), col("value"))
+    e.repartition(4).write.mode("overwrite").parquet(in)
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "2").parquet(in)
+    val agg = graft.streaming.StreamingOps.windowedCounts(stream, "ets", "10 seconds", "1 hour")
+    val qname = "q52_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(qname)
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("hour_start_us", "event_type")
   }
 
   // --- q41: CUBE grouping sets over orders (§2.5) ---

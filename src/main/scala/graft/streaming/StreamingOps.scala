@@ -29,7 +29,11 @@ object StreamingOps {
       window_ : String): DataFrame =
     events.withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      // decimal-exact sum: incremental state merges in arrival order, and
+      // only an associative exact sum makes the result independent of it
+      // (and oracle-checkable)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(graft.Q.DEC)).cast("double").as("total_value"))
 
   /** Gap-based sessionization: a session closes when no event arrives for
     * `gapMs` (event time). Emits one row per closed session. State per
