@@ -47,4 +47,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
   }
+
+  test("q42 portable minhash: integer mins hash-aggregate (never SortAggregate)") {
+    // round-3 regression guard: min() over md5 STRINGS forced SortAggregate
+    // and 174 s at sf0.1; the packed-long family must keep HashAggregate
+    val p = plan("q42_minhash_lsh_md5")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), s"q42 regressed to SortAggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q50 IVF-PQ: centroid/codebook sides broadcast, no cartesian blowup") {
+    val p = plan("q50_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q51 salted agg: two hash-aggregation phases, both map-side partial") {
+    val p = plan("q51_salted_agg")
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, // 2 phases × partial+final
+      s"expected two hash-agg phases:\n$p")
+  }
 }
