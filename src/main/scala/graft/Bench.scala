@@ -22,7 +22,8 @@ object Bench {
     Seq("q01_pricing_summary", "q05_multiway_join", "q07_window_topn",
       "q28_doc_quality", "q32_embedding_topk", "q30_ngram_jaccard_pairs",
       "q33_minhash_lsh_candidates", "q35_embedding_ivf_topk",
-      "q39_cosine_near_dup").foreach { n =>
+      "q39_cosine_near_dup", "q42_minhash_lsh_md5", "q50_pq_topk",
+      "q43_streaming_materialize", "q52_streaming_window").foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }

@@ -91,14 +91,22 @@ object CdcQueries {
       tmp.toFile.deleteOnExit()
       val in = tmp.resolve("in").toString
       val cl = changelog(s, dir)
-      cl.repartition(8).write.mode("overwrite").parquet(in)
+      cl.repartition(4).write.mode("overwrite").parquet(in)
       val stream = s.readStream.schema(cl.schema)
         .option("maxFilesPerTrigger", "2").parquet(in)
       val qname = "q43_mat_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = ChangelogOps.materializeStreaming(stream, Seq("k"))
-        .writeStream.outputMode("complete").format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
+      // a BOUNDED catch-up run wants few state partitions: per-batch cost is
+      // dominated by state-store checkpoint files PER PARTITION, and the
+      // state (15k keys at sf0.1) is far too small to need 32. Only this
+      // stream is affected — the conf is read at query start and restored.
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        ChangelogOps.materializeStreaming(stream, Seq("k"))
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       q.awaitTermination()
       s.table(qname).filter(col("op") =!= "d")
         .select("k", "price", "st").orderBy("k")

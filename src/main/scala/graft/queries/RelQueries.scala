@@ -618,9 +618,14 @@ object RelQueries {
       .option("maxFilesPerTrigger", "2").parquet(in)
     val agg = graft.streaming.StreamingOps.windowedCounts(stream, "ets", "10 seconds", "1 hour")
     val qname = "q52_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname)
-      .option("checkpointLocation", tmp.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow()).start()
+    // bounded run, tiny state → few state partitions (see q43 note)
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      agg.writeStream.outputMode("complete").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     q.awaitTermination()
     s.table(qname)
       .select(unix_micros(col("window.start")).as("hour_start_us"),
