@@ -99,6 +99,13 @@ object DataQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minSim = 0.35, ncells = 32).orderBy("id_a", "id_b")),
 
+    // TF-IDF keyword extraction: integer tf/df/N core + the portable
+    // tf·N/df score (same top-k as log-idf, which is monotone in N/df)
+    "q53_tfidf_top_terms" -> ((s, dir) =>
+      graft.operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
+
     // as-of join: each purchase enriched with the user's latest click at or
     // before it (point-in-time join — one shuffle, no range explosion)
     "q37_asof_join" -> ((s, dir) => {
@@ -255,6 +262,20 @@ object DataQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
+
+    "q53_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |             FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, n_docs, score, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df, n.n_docs,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC, tf.term) AS BIGINT) AS rank
+        |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the independent oracle
     "q37_asof_join" ->

@@ -54,7 +54,8 @@ object RelQueries {
     "q48_unpivot" -> q48,
     "q49_set_ops_all" -> q49,
     "q51_salted_agg" -> q51,
-    "q52_streaming_window" -> q52
+    "q52_streaming_window" -> q52,
+    "q54_streaming_sessions" -> q54
   )
 
   // --- q01: TPC-H Q1-style pricing summary (wide agg, map-side combine) ---
@@ -497,6 +498,24 @@ object RelQueries {
          |  event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin,
 
+    // independent session reconstruction: gap breaks via LAG, session ids
+    // via running sum, then per-session aggregates (no ties at ms precision
+    // in the corpus — verified — so the windows are unambiguous)
+    "q54_streaming_sessions" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+         |m AS (SELECT user_id, ms, value,
+         |        CASE WHEN LAG(ms) OVER w IS NULL OR ms - LAG(ms) OVER w > 1800000
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+         |sess AS (SELECT user_id, ms, value,
+         |           SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+         |                          ROWS UNBOUNDED PRECEDING) AS sid
+         |         FROM m)
+         |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+         |  COUNT(*) AS n_events, ${oSum("value")} AS total_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, start_ms""".stripMargin,
+
     "q49_set_ops_all" ->
       """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
         |     p AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'),
@@ -631,6 +650,58 @@ object RelQueries {
       .select(unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour_start_us", "event_type")
+  }
+
+  // --- q54: STREAMING stateful sessionization (flatMapGroupsWithState)
+  //     under the hash gate. Input replayed as a time-ordered multi-batch
+  //     file stream (range-partitioned files, mtimes force arrival order =
+  //     event-time order, so no late drops regardless of lateness); one
+  //     far-future sentinel event per user closes the user's last open
+  //     session through the ordinary gap path in the final batch (the
+  //     end-of-stream flush pattern — sentinel sessions themselves are
+  //     never emitted). Exact-decimal session totals make the emitted sums
+  //     order-independent. Oracle: lag/cumsum session reconstruction. ---
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val gapMs = 1800000L // 30-min gap, same as q21
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q54_")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.resolve("in").toString
+    val e = t(s, dir, "events").select(col("user_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("event_type"), col("value"))
+    e.orderBy("ts").write.mode("overwrite").parquet(in) // range-partitioned by ts
+    val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = e.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        timestamp_micros(lit(maxUs + (gapMs + 60000L) * 1000L)).as("ts"),
+        lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+    val mainParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    sentinel.coalesce(1).write.mode("append").parquet(in)
+    val sentParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(mainParts.contains).sortBy(_.getName)
+    // arrival order = event-time order: the file source admits files by mtime
+    val base = System.currentTimeMillis()
+    mainParts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+    sentParts.foreach(_.setLastModified(base + 3600 * 1000L))
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "8").parquet(in)
+    val qname = "q54_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      graft.streaming.StreamingOps.sessionize(stream.as[graft.streaming.Event], gapMs)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    q.awaitTermination()
+    s.table(qname)
+      .select(col("user_id"), col("start_ts").as("start_ms"), col("end_ts").as("end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_ms")
   }
 
   // --- q41: CUBE grouping sets over orders (§2.5) ---

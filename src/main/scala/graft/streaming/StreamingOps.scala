@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
-final case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: Double)
+/** Session totals accumulate as exact decimals (each event value quantized
+  * to 6 dp exactly like the `graft.Q.dsum` oracle pattern), so the emitted
+  * sum is independent of arrival/merge order — a plain double += would make
+  * multi-batch streaming results order-dependent and unverifiable. */
+final case class SessionState(start: Long, lastTs: Long, nEvents: Long, totalValue: BigDecimal)
 final case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long,
     total_value: Double)
 
@@ -42,6 +46,8 @@ object StreamingOps {
   def sessionize(events: Dataset[Event], gapMs: Long,
       lateness: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // mirror of the dsum oracle pattern: exact 6-dp quantization per event
+    def dec(v: Double): BigDecimal = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     events.withWatermark("ts", lateness).as[Event].groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -50,7 +56,7 @@ object StreamingOps {
             // watermark passed lastTs + gap with no new events → close
             val s = state.get
             state.remove()
-            Iterator(Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue))
+            Iterator(Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue.toDouble))
           } else {
             val sorted = it.toSeq.sortBy(_.ts.getTime)
             var out = List.empty[Session]
@@ -60,12 +66,12 @@ object StreamingOps {
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
                   cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
-                    totalValue = s.totalValue + e.value))
+                    totalValue = s.totalValue + dec(e.value)))
                 case Some(s) => // gap exceeded → close previous, open new
-                  out ::= Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  out ::= Session(userId, s.start, s.lastTs, s.nEvents, s.totalValue.toDouble)
+                  cur = Some(SessionState(t, t, 1, dec(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, dec(e.value)))
               }
             }
             cur.foreach { s =>
