@@ -208,31 +208,59 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
     if (n == null || n.isNull) null
     else t.codecs.map(c => c.decode(n.get(c.name))).toArray[Any]
 
-  /** All events of a table in file (= capture) order. Log offsets come from
-    * `offsetField` when configured, else the 1-based index among non-'r'
-    * events; snapshot ('r') events sit at offset 0 (the base the log folds
-    * over). */
+  /** Delete before-image in the MongoDB change-streams shape: only the
+    * documentKey fields are known — pk columns populated, the rest null
+    * (pairs with changelog.mode=upsert's key-only -D rows, reference
+    * MongoDBConnectorDeserializationSchema.java:118-163). */
+  private def keyOnlyRow(t: TableDir, docKey: JsonNode): Array[Any] =
+    if (docKey == null || docKey.isNull) null
+    else t.codecs.map(c => if (docKey.has(c.name)) c.decode(docKey.get(c.name)) else null)
+      .toArray[Any]
+
+  /** All events of a table in file (= capture) order. Two wire shapes are
+    * accepted per line: the Debezium envelope (before/after/source/op) and
+    * the raw MongoDB change-stream document (operationType/fullDocument/
+    * documentKey — inherently upsert-shaped: updates carry no before-image).
+    * Log offsets come from `offsetField` when configured (looked up in the
+    * source block, then the event root), else the 1-based index among
+    * non-'r' events; snapshot ('r') events sit at offset 0 (the base the
+    * log folds over). */
   private def events(t: TableDir): CloseableIterator[Ev] = {
     var logIdx = 0L
     val raw = rawLines(s"${t.dir}/events.jsonl")
+    def offsetOf(payload: JsonNode, op: String): Long =
+      if (op == ChangeOp.Read) 0L
+      else t.offsetField match {
+        case Some(f) =>
+          val src = payload.get("source")
+          val node =
+            if (src != null && src.hasNonNull(f)) src.get(f)
+            else if (payload.hasNonNull(f)) payload.get(f)
+            else throw new IllegalArgumentException(s"offsetField '$f' missing from event")
+          node.asLong()
+        case None => logIdx += 1; logIdx
+      }
     val it = raw.flatMap { node =>
       val payload = if (node.has("payload")) node.get("payload") else node
-      if (payload == null || payload.isNull || !payload.hasNonNull("op")) None // tombstone
-      else {
+      if (payload == null || payload.isNull) None // Kafka tombstone
+      else if (payload.hasNonNull("op")) {
         val op = payload.get("op").asText()
-        val off =
-          if (op == ChangeOp.Read) 0L
-          else t.offsetField match {
-            case Some(f) =>
-              val src = payload.get("source")
-              require(src != null && src.hasNonNull(f),
-                s"offsetField '$f' missing from source block")
-              src.get(f).asLong()
-            case None => logIdx += 1; logIdx
-          }
-        Some(Ev(off, op, decodeRow(t, payload.get("before")), decodeRow(t, payload.get("after")),
+        Some(Ev(offsetOf(payload, op), op,
+          decodeRow(t, payload.get("before")), decodeRow(t, payload.get("after")),
           if (op == ChangeOp.Read) 0L else payload.path("ts_ms").asLong(0L)))
-      }
+      } else if (payload.hasNonNull("operationType")) {
+        val op = payload.get("operationType").asText() match {
+          case "insert"             => ChangeOp.Create
+          case "update" | "replace" => ChangeOp.Update
+          case "delete"             => ChangeOp.Delete
+          case _                    => null // drop/rename/invalidate → control events
+        }
+        if (op == null) None
+        else Some(Ev(offsetOf(payload, op), op,
+          if (op == ChangeOp.Delete) keyOnlyRow(t, payload.get("documentKey")) else null,
+          if (op == ChangeOp.Delete) null else decodeRow(t, payload.get("fullDocument")),
+          payload.path("ts_ms").asLong(0L)))
+      } else None
     }
     new CloseableIterator(it, raw)
   }

@@ -111,6 +111,49 @@ class DebeziumJsonProviderSpec extends SparkSpec {
       (3L, "hammer", "1.00", 19002L, 1700000000000002L, "b")))
   }
 
+  test("MongoDB change-streams shape: operationType/fullDocument/documentKey") {
+    val root = Files.createTempDirectory("dbzmongo")
+    val dir = root.resolve("shop.carts")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"primaryKey":["_id"],"schema":"_id BIGINT, item STRING, qty INT"}""")
+    Files.writeString(dir.resolve("events.jsonl"),
+      """{"operationType":"insert","fullDocument":{"_id":1,"item":"apple","qty":2},"documentKey":{"_id":1},"ts_ms":10}
+        |{"operationType":"insert","fullDocument":{"_id":2,"item":"pear","qty":1},"documentKey":{"_id":2},"ts_ms":11}
+        |{"operationType":"update","fullDocument":{"_id":1,"item":"apple","qty":5},"documentKey":{"_id":1},"ts_ms":12}
+        |{"operationType":"drop"}
+        |{"operationType":"delete","documentKey":{"_id":2},"ts_ms":13}
+        |""".stripMargin)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    val log = p.log(TableId("shop", "carts"), 0L, 10L).toSeq
+    assert(log.map(_.op) === Seq("c", "c", "u", "d"))
+    // update carries no before-image (upsert shape); delete = key-only row
+    assert(log(2).before == null && log(2).after(2) === 5)
+    assert(log(3).after == null && log(3).before(0) === 2L && log(3).before(1) == null)
+
+    // E2E in upsert mode: streaming materialization honors +U / key-only -D
+    import graft.cdc.provider.ProviderRegistry
+    ProviderRegistry.register("mongo-cs", p)
+    val df = spark.readStream.format("cdc-log")
+      .option("provider.name", "mongo-cs")
+      .option("changelog.mode", "upsert")
+      .option("scan.startup.mode", "earliest") // replay raw events, no snapshot fold
+      .option("metadata.columns", "op_offset,row_kind")
+      .load()
+    val qn = "mongo_cs_sink"
+    val q = df.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(qn)
+        .select("_id", "item", "qty", "op", "row_kind").collect()
+        .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+          r.getString(3), r.getString(4))).toSet
+      assert(rows === Set(
+        (1L, "apple", 2, "c", "+I"), (2L, "pear", 1, "c", "+I"),
+        (1L, "apple", 5, "u", "+U"), (2L, null, -1, "d", "-D")))
+    } finally q.stop()
+  }
+
   test("DDL fallback: payload-only events + meta.json schema") {
     val root = Files.createTempDirectory("dbzddl")
     val dir = root.resolve("shop.items")
