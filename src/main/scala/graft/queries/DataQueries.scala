@@ -99,6 +99,13 @@ object DataQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minSim = 0.35, ncells = 32).orderBy("id_a", "id_b")),
 
+    // sketch tier: HLL++ approximate distincts next to the exact reference
+    // (engine-local sketch bits → rows-only check; error bounds asserted in
+    // SketchesSpec)
+    "q55_approx_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
+        .orderBy("event_type")),
+
     // TF-IDF keyword extraction: integer tf/df/N core + the portable
     // tf·N/df score (same top-k as log-idf, which is monotone in N/df)
     "q53_tfidf_top_terms" -> ((s, dir) =>

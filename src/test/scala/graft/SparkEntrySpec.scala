@@ -19,7 +19,8 @@ class SparkEntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(noOracle === Set("q33_minhash_lsh_candidates", "q34_simhash_signatures",
-      "q35_embedding_ivf_topk", "q39_cosine_near_dup", "q50_pq_topk"),
+      "q35_embedding_ivf_topk", "q39_cosine_near_dup", "q50_pq_topk",
+      "q55_approx_distinct"),
       s"rows-only queries changed: $noOracle — update this spec deliberately")
   }
 
