@@ -99,6 +99,15 @@ object DataQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minSim = 0.35, ncells = 32).orderBy("id_a", "id_b")),
 
+    // deterministic train/val/test split: membership = pure function of the
+    // portable md5 hash — reproducible across runs, partitionings, engines
+    "q56_hash_split" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.split(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // sketch tier: HLL++ approximate distincts next to the exact reference
     // (engine-local sketch bits → rows-only check; error bounds asserted in
     // SketchesSpec)
@@ -269,6 +278,15 @@ object DataQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
+
+    "q56_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8) % 2147483647) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q53_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, u.t AS term
