@@ -122,6 +122,20 @@ object DataQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
 
+    // near-dup CLUSTERS from near-dup PAIRS: alternating large-star/small-
+    // star connected components (O(log n) rounds, no collect_list) — the
+    // step that turns q30's pair list into a keep/drop dedup decision
+    "q57_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      val comp = graft.operators.ConnectedComponents
+        .components(pairs, "id_a", "id_b")
+      comp.select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("component")).as("n_members"))
+        .orderBy("doc_id")
+    }),
+
     // as-of join: each purchase enriched with the user's latest click at or
     // before it (point-in-time join — one shuffle, no range explosion)
     "q37_asof_join" -> ((s, dir) => {
@@ -256,6 +270,30 @@ object DataQueries {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // component = min reachable id; DuckDB side = recursive label walk
+    // (UNION dedup terminates it), Spark side = star contraction. Same
+    // fixpoint, very different algorithms — exactly what an oracle is for.
+    "q57_dedup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+        |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |np AS (SELECT id_a, id_b FROM pairs
+        |       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |       WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3),
+        |edges AS (SELECT id_a u, id_b v FROM np UNION SELECT id_b, id_a FROM np),
+        |walk(u, lbl) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+        |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q31_doc_fingerprint" ->
       """SELECT d.doc_id, md5(ANY_VALUE(text)) AS content_hash,

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain contracts to one component rooted at the min") {
+    // a 40-node chain needs 40 rounds of plain label propagation but only
+    // O(log n) star rounds — maxRounds=25 passing IS the algorithm check
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val c = comps(chain)
+    assert(c.size == 40 && c.values.toSet == Set(1L))
+  }
+
+  test("multiple components, duplicate and reversed edges, self loops") {
+    val edges = Seq((5L, 3L), (3L, 5L), (3L, 3L), (5L, 9L),
+      (20L, 21L), (21L, 22L), (30L, 30L))
+    val c = comps(edges)
+    assert(c == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("star with a high-degree hub keeps the min as center") {
+    val star = (2L to 200L).map(i => (100L, i)).filter(p => p._1 != p._2) :+ (7L, 1L) :+ (100L, 7L)
+    val c = comps(star)
+    assert(c.values.toSet == Set(1L), "everything reaches node 1 through the hub")
+    assert(c.size == 200)
+  }
+
+  test("dedupClusters marks exactly one keeper per cluster") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("id_a", "id_b")
+    val out = ConnectedComponents.dedupClusters(pairs, "id_a", "id_b").collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    assert(byCluster.keySet == Set(10L, 40L))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_.getBoolean(2)) == 1)
+      assert(rows.filter(_.getBoolean(2)).head.getLong(0) == cid)
+    }
+  }
+
+  test("agrees with brute-force transitive closure on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    assert(comps(edges) == expected)
+  }
+}
