@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality signals for training-data curation — the
+  * "remove boilerplate / degenerate text" tier of a corpus pipeline
+  * (cf. the repetition filters described in the Gopher and MassiveText
+  * papers): a page of navigation links or a scraped log file shows up as
+  * a high duplicate-token fraction or a single n-gram dominating the
+  * text, long before any cross-doc dedup runs.
+  *
+  * Scale design: token/distinct counts are per-row array ops (codegen'd,
+  * zero shuffle). Top-n-gram fractions need a per-(doc, gram) count —
+  * that is one hash-partitioned shuffle keyed on (doc_id, gram_hash);
+  * grams are hashed to 64-bit BEFORE the exchange so the shuffle carries
+  * longs, not strings, and the two-level aggregation partially combines
+  * map-side. Nothing is quadratic in document length (a per-row HOF
+  * "count occurrences of each distinct gram" would be O(tokens ×
+  * distinct) per doc — a 50k-token page would take minutes).
+  */
+object TextStats {
+
+  /** All word n-gram shingles of `text` WITH multiplicity (unlike
+    * TextFunctions.wordShingles, which dedups for Jaccard); empty array
+    * when the doc has fewer than n tokens. */
+  def wordShinglesMulti(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document repetition profile:
+    * (doc_id, n_tokens, n_distinct, dup_token_frac,
+    *  top_bigram_frac, top_trigram_frac). Fractions are exact integer
+    *  ratios evaluated in double — cross-engine deterministic. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+
+    val uni = base.select(col("doc_id"),
+      size(tokens(col("__text"))).cast("bigint").as("n_tokens"),
+      size(array_distinct(tokens(col("__text")))).cast("bigint").as("n_distinct"))
+
+    def topFrac(n: Int, outCol: String): DataFrame =
+      base.select(col("doc_id"),
+          explode(wordShinglesMulti(col("__text"), n)).as("__g"))
+        // hash before the shuffle: the exchange moves (bigint, bigint)
+        .select(col("doc_id"), xxhash64(col("__g")).as("__h"))
+        .groupBy("doc_id", "__h").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id")
+        .agg((max(col("__c")).cast("double") / sum(col("__c")).cast("double"))
+          .as(outCol))
+
+    uni
+      .join(topFrac(2, "top_bigram_frac"), Seq("doc_id"), "left")
+      .join(topFrac(3, "top_trigram_frac"), Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_bigram_frac", "top_trigram_frac"))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_distinct", "dup_token_frac",
+        "top_bigram_frac", "top_trigram_frac")
+  }
+}

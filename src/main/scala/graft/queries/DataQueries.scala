@@ -122,6 +122,12 @@ object DataQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
 
+    // repetition-based quality signals (boilerplate / degenerate-text
+    // filter tier): duplicate-token fraction + dominant bigram/trigram
+    "q58_repetition_stats" -> ((s, dir) =>
+      graft.operators.TextStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // near-dup CLUSTERS from near-dup PAIRS: alternating large-star/small-
     // star connected components (O(log n) rounds, no collect_list) — the
     // step that turns q30's pair list into a keep/drop dedup decision
@@ -270,6 +276,30 @@ object DataQueries {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // counts by 64-bit gram hash on the Spark side == counts by gram
+    // string here, modulo ~2⁻⁶⁴ collisions (same argument as q30's join)
+    "q58_repetition_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |uni AS (SELECT doc_id, CAST(len(ts) AS BIGINT) n_tokens,
+        |               CAST(len(list_distinct(ts)) AS BIGINT) n_distinct FROM toks),
+        |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] g
+        |       FROM toks, UNNEST(generate_series(1, len(ts) - 1)) gg(i)),
+        |bc AS (SELECT doc_id, g, COUNT(*) c FROM bi GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) f
+        |       FROM bc GROUP BY 1),
+        |tri AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] g
+        |        FROM toks, UNNEST(generate_series(1, len(ts) - 2)) gg(i)),
+        |tc AS (SELECT doc_id, g, COUNT(*) c FROM tri GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) f
+        |       FROM tc GROUP BY 1)
+        |SELECT u.doc_id, n_tokens, n_distinct,
+        |  CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+        |  COALESCE(bt.f, 0.0) AS top_bigram_frac,
+        |  COALESCE(tt.f, 0.0) AS top_trigram_frac
+        |FROM uni u LEFT JOIN bt ON u.doc_id = bt.doc_id
+        |           LEFT JOIN tt ON u.doc_id = tt.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
 
     // component = min reachable id; DuckDB side = recursive label walk
     // (UNION dedup terminates it), Spark side = star contraction. Same
