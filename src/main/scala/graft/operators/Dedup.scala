@@ -252,4 +252,30 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Benchmark decontamination: for each corpus doc, how many of its
+    * distinct word n-gram shingles also occur anywhere in `benchmark`
+    * (the held-out eval set a training corpus must not leak).
+    *
+    * Scale design: the benchmark side is SMALL by nature (eval suites are
+    * thousands of docs, the corpus is billions), so its distinct shingle
+    * hashes are broadcast — the 100 TB corpus is never shuffled, the whole
+    * check is a map-side semi join + one groupBy(doc) count. Shingles are
+    * 64-bit hashes end-to-end (native one-pass expression), never strings.
+    * Output: (doc_id, n_shingles, n_matched, match_frac). */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val shingles = ShingleExpressions.wordShingleHashes(col(textCol), n)
+    val docSh = corpus.select(col(idCol).as("doc_id"), explode(shingles).as("h"))
+    val benchSh = benchmark.select(explode(shingles).as("h")).distinct()
+    val matched = docSh.join(broadcast(benchSh), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    corpus.select(col(idCol).as("doc_id"),
+        size(shingles).cast("bigint").as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("match_frac"))
+  }
 }

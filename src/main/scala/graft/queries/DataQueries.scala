@@ -122,6 +122,18 @@ object DataQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
 
+    // eval-set decontamination: 5-gram overlap of every training doc
+    // against a held-out benchmark slice (broadcast benchmark shingles —
+    // the corpus side never shuffles)
+    "q59_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationCheck(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // repetition-based quality signals (boilerplate / degenerate-text
     // filter tier): duplicate-token fraction + dominant bigram/trigram
     "q58_repetition_stats" -> ((s, dir) =>
@@ -276,6 +288,21 @@ object DataQueries {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q59_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS s
+        |       FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS g(i)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_shingles FROM corp GROUP BY 1),
+        |m AS (SELECT corp.doc_id, CAST(COUNT(*) AS BIGINT) n_matched
+        |      FROM corp JOIN bench USING (s) GROUP BY 1)
+        |SELECT t.doc_id, n_shingles, COALESCE(n_matched, 0) AS n_matched,
+        |  CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS match_frac
+        |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // counts by 64-bit gram hash on the Spark side == counts by gram
     // string here, modulo ~2⁻⁶⁴ collisions (same argument as q30's join)

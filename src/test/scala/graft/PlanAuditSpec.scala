@@ -63,6 +63,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q59 decontamination: benchmark shingles broadcast, corpus never shuffles pre-join") {
+    val p = plan("q59_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("word_shingle_hashes"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q57 dedup clusters: pair generation joins distributed, no cartesian") {
+    val p = plan("q57_dedup_clusters")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q51 salted agg: two hash-aggregation phases, both map-side partial") {
     val p = plan("q51_salted_agg")
     assert(!p.contains("SortAggregate"), p)
