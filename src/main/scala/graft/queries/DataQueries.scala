@@ -122,6 +122,13 @@ object DataQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
 
+    // token-budget sequence packing: distributed exclusive prefix sum
+    // (range partitions + broadcast offset table — no single-task window)
+    "q60_sequential_packs" -> ((s, dir) =>
+      graft.operators.Packing.sequentialPacks(t(s, dir, "documents"),
+        "doc_id", "text", budget = 256)
+        .orderBy("doc_id")),
+
     // eval-set decontamination: 5-gram overlap of every training doc
     // against a held-out benchmark slice (broadcast benchmark shingles —
     // the corpus side never shuffles)
@@ -288,6 +295,18 @@ object DataQueries {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the oracle uses the single-window formulation the Spark side
+    // deliberately avoids (DuckDB runs single-node anyway); `//` = integer
+    // division, matching Spark's `div`
+    "q60_sequential_packs" ->
+      """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) n FROM documents),
+        |c AS (SELECT doc_id, CAST(n AS BIGINT) n_tokens,
+        |        COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum
+        |      FROM q)
+        |SELECT doc_id, n_tokens, CAST(cum // 256 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q59_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
