@@ -55,7 +55,8 @@ object RelQueries {
     "q49_set_ops_all" -> q49,
     "q51_salted_agg" -> q51,
     "q52_streaming_window" -> q52,
-    "q54_streaming_sessions" -> q54
+    "q54_streaming_sessions" -> q54,
+    "q61_streaming_dedup" -> q61
   )
 
   // --- q01: TPC-H Q1-style pricing summary (wide agg, map-side combine) ---
@@ -516,6 +517,17 @@ object RelQueries {
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, start_ms""".stripMargin,
 
+    // first event per (user, type): kept-row identity join on per-key min
+    // timestamp (tie-free at µs precision, verified at every SF)
+    "q61_streaming_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |             event_id, value FROM events),
+        |m AS (SELECT user_id, event_type, MIN(us) mn FROM e GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_type, e.us AS ts_us, e.event_id, e.value
+        |FROM e JOIN m ON e.user_id = m.user_id
+        |  AND e.event_type = m.event_type AND e.us = m.mn
+        |ORDER BY e.user_id, e.event_type""".stripMargin,
+
     "q49_set_ops_all" ->
       """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
         |     p AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'),
@@ -702,6 +714,43 @@ object RelQueries {
       .select(col("user_id"), col("start_ts").as("start_ms"), col("end_ts").as("end_ms"),
         col("n_events"), col("total_value"))
       .orderBy("user_id", "start_ms")
+  }
+
+  // --- q61: STREAMING first-event-per-key dedup under the hash gate.
+  //     Events replayed as a time-ordered multi-batch file stream (same
+  //     mtime-forced arrival order as q54), dropDuplicates state keyed on
+  //     (user_id, event_type): kept row = min-ts row per key (no ties at
+  //     µs precision in the corpus — verified at every SF). Oracle: join
+  //     back on the per-key MIN(ts). ---
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q61_")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.resolve("in").toString
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_id"), col("value"))
+    e.orderBy("ets").write.mode("overwrite").parquet(in)
+    val parts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "8").parquet(in)
+    val dedup = graft.streaming.StreamingOps.firstPerKey(
+      stream, "ets", Seq("user_id", "event_type"), lateness = "1 hour")
+    val qname = "q61_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      dedup.writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    q.awaitTermination()
+    s.table(qname)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ets")).as("ts_us"),
+        col("event_id"), col("value"))
+      .orderBy("user_id", "event_type")
   }
 
   // --- q41: CUBE grouping sets over orders (§2.5) ---

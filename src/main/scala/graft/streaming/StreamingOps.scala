@@ -93,4 +93,18 @@ object StreamingOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicates("__h")
       .drop("__h")
+
+  /** Keep the first event per key seen on the stream. The event-time
+    * column is deliberately NOT in the dedup key, so state is one entry
+    * per distinct key for the stream's lifetime (Spark only evicts dedup
+    * state when the watermark column is part of the key) — the right
+    * semantics for "first occurrence ever" with a bounded key domain.
+    * For unbounded key domains use `dropDuplicatesWithinWatermark`
+    * (bounded state, duplicates only suppressed inside the horizon).
+    * With arrival order = event-time order, the kept row is exactly the
+    * min-timestamp row per key. */
+  def firstPerKey(events: DataFrame, tsCol: String, keys: Seq[String],
+      lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicates(keys)
 }
