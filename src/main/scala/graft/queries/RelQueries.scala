@@ -54,6 +54,8 @@ object RelQueries {
     "q48_unpivot" -> q48,
     "q49_set_ops_all" -> q49,
     "q51_salted_agg" -> q51,
+    "q62_salted_join" -> q62,
+    "q63_column_profile" -> q63,
     "q52_streaming_window" -> q52,
     "q54_streaming_sessions" -> q54,
     "q61_streaming_dedup" -> q61
@@ -494,6 +496,24 @@ object RelQueries {
       s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q63_column_profile" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n,
+           |  COUNT(*) FILTER ($c IS NULL) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "q62_salted_join" ->
+      s"""WITH d AS (SELECT event_type, ${oSum("value")} AS tv, COUNT(*) AS tn
+         |           FROM events GROUP BY 1)
+         |SELECT e.event_id, e.event_type, e.value, d.tv / d.tn AS type_avg
+         |FROM events e JOIN d USING (event_type)
+         |ORDER BY e.event_id""".stripMargin,
+
     "q52_streaming_window" ->
       s"""SELECT (epoch_ns(ts) // 3600000000000) * 3600000000 AS hour_start_us,
          |  event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
@@ -632,6 +652,31 @@ object RelQueries {
       .select(col("event_type"), col("n"), col("total_value"))
       .orderBy("event_type")
   }
+
+  // --- q62: skew-safe salted JOIN — every event joined to its type-level
+  //     average (event_type is the canonical hot key: a handful of values
+  //     over the whole table). Row multiset identical to the plain join,
+  //     proven by the oracle hash gate; the salt spreads each hot key's
+  //     probe work over 8 sub-keys. ---
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val perType = graft.operators.SkewOps.saltedSumCount(e, Seq("event_type"),
+        saltBy = col("event_id"), salt = 16, valueCol = col("value"),
+        sumName = "tv", cntName = "tn")
+      .select(col("event_type"), (col("tv") / col("tn").cast("double")).as("type_avg"))
+    graft.operators.SkewOps.saltedJoin(
+        e.select("event_id", "event_type", "value"), perType,
+        keys = Seq("event_type"), saltBy = col("event_id"), salt = 8)
+      .select("event_id", "event_type", "value", "type_avg")
+      .orderBy("event_id")
+  }
+
+  // --- q63: one-pass dataset profile of the lineitem measures (row/null/
+  //     distinct counts + ranges, single scan + single reduce) ---
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("column")
 
   // --- q52: STREAMING tumbling-window aggregation under the hash gate —
   //     the events table re-read as a multi-batch stream (AvailableNow),
