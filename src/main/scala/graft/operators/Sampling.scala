@@ -42,4 +42,28 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < pct)
   }
+
+  /** Domain/source quota: keep at most `quota` rows per value of
+    * `groupCol`, chosen deterministically (ranked by the portable id hash,
+    * id as tie-break) — the "cap any one domain's share of the corpus"
+    * curation step. One keyed shuffle; a group's candidates sort inside
+    * one task, so the bound is the largest group's size, not the corpus —
+    * for pathological hot groups pre-thin with [[hashSample]] first. */
+  def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      quota: Int, rankCol: String = "quota_rank"): DataFrame = {
+    require(quota > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.portableH31(col(idCol).cast("string")), col(idCol))
+    df.withColumn(rankCol, row_number().over(w).cast("bigint"))
+      .filter(col(rankCol) <= quota)
+  }
+
+  /** Per-row weighted coin flip, derandomized: keep a row iff its hash
+    * bucket (of 1e6) falls under `weight` ∈ [0,1] — inclusion probability
+    * equals the weight across the id population, membership reproducible
+    * across runs/engines. Weight is any deterministic Column (quality
+    * score, length ramp, ...). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(
+      hashBucket(col(idCol), 1000000).cast("double") < weight * lit(1000000.0))
 }

@@ -122,6 +122,22 @@ object DataQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
 
+    // domain-quota curation: at most 3 docs per source, ranked by the
+    // portable id hash (cap any one domain's share of the corpus)
+    "q64_source_quota" -> ((s, dir) =>
+      graft.operators.Sampling.quotaPerGroup(t(s, dir, "documents"),
+          "doc_id", "source", quota = 3)
+        .select("doc_id", "source", "quota_rank")
+        .orderBy("doc_id")),
+
+    // derandomized weighted sampling: inclusion probability = a length
+    // ramp (min(n_chars/2000, 1)), membership a pure function of the id
+    "q65_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     // token-budget sequence packing: distributed exclusive prefix sum
     // (range partitions + broadcast offset table — no single-task window)
     "q60_sequential_packs" -> ((s, dir) =>
@@ -295,6 +311,25 @@ object DataQueries {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same md5-derived 31-bit hash as q56 (the proven-portable formula)
+    "q64_source_quota" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8) % 2147483647 AS BIGINT) hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) quota_rank
+        |      FROM h)
+        |SELECT doc_id, source, quota_rank FROM r
+        |WHERE quota_rank <= 3 ORDER BY doc_id""".stripMargin,
+
+    "q65_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8) % 2147483647 % 1000000 AS BIGINT) b
+        |  FROM documents)
+        |WHERE CAST(b AS DOUBLE) < LEAST(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) * 1000000.0
+        |ORDER BY doc_id""".stripMargin,
 
     // the oracle uses the single-window formulation the Spark side
     // deliberately avoids (DuckDB runs single-node anyway); `//` = integer

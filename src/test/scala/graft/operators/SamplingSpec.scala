@@ -36,4 +36,22 @@ class SamplingSpec extends SparkSpec {
     val headTotal = (total.keySet - "de").map(total).sum.toDouble
     assert(headKept / headTotal < 0.2, s"default 10% kept ${headKept / headTotal}")
   }
+
+  test("quotaPerGroup caps every group at the quota, deterministically") {
+    val q = Sampling.quotaPerGroup(docs, "doc_id", "source", quota = 3)
+    val counts = q.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 3) && counts.nonEmpty)
+    val ids1 = q.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.quotaPerGroup(docs.repartition(17), "doc_id", "source", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2, "quota selection must not depend on partitioning")
+  }
+
+  test("weightedSample inclusion rate tracks the weight") {
+    // constant weight 0.3 → ~30% kept; weight 1.0 → everything kept
+    val kept = Sampling.weightedSample(docs, "doc_id", lit(0.3)).count().toDouble
+    assert(math.abs(kept / docs.count() - 0.3) < 0.07, kept)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+  }
 }
