@@ -2,16 +2,18 @@ package graft.examples
 
 import graft.functions.TextFunctions._
 import graft.multimodal.MultimodalOps
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Packing, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline over the synthetic corpus: the flow a
   * 100 TB ingest would run, at demo scale.
   *
-  *   documents → exact dedup → near-dup pruning (MinHash-LSH candidates,
-  *   exact-Jaccard verify) → quality/lang filtering → fingerprints →
-  *   multimodal pack + feature kernels → ANN neighbours of the survivors.
+  *   documents → exact dedup → near-dup CLUSTERING (LSH candidates,
+  *   exact-Jaccard verify, connected components, keep one per cluster) →
+  *   quality/lang/repetition gate → eval-set decontamination →
+  *   source quota → fingerprints → multimodal pack + feature kernels →
+  *   token-budget packing → train/val/test split → ANN neighbours.
   *
   * {{{ sbt "runMain graft.examples.TrainingPipeline [sfDir]" }}}
   */
@@ -32,33 +34,56 @@ object TrainingPipeline {
     val exact = Dedup.dropExactDuplicates(docs, "doc_id", "text").persist()
     println(s"after exact dedup: ${exact.count()}")
 
-    // 2. near-dup pruning: LSH candidates, verified by exact Jaccard ≥ 0.5;
-    //    drop the higher doc_id of each verified pair
+    // 2. near-dup CLUSTERING: LSH candidates, verified by exact Jaccard
+    //    ≥ 0.5, grouped into components, keep one canonical doc per cluster
+    //    (pair-wise "drop the higher id" under-deletes on chains A~B~C)
     val candidates = Dedup.minHashLshCandidates(exact, "doc_id", "text", n = 3, k = 64, bands = 32)
     val verified = Dedup.ngramJaccardPairs(exact, "doc_id", "text", n = 3, minJaccard = 0.5)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
-    val losers = verified.select(col("id_b").as("doc_id")).distinct().persist()
+    val losers = ConnectedComponents.dedupClusters(verified, "id_a", "id_b")
+      .filter(!col("keep")).select(col("id").as("doc_id")).persist()
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
-    println(s"after near-dup pruning: ${nearDeduped.count()} (dropped ${losers.count()})")
+    println(s"after near-dup clustering: ${nearDeduped.count()} (dropped ${losers.count()})")
 
-    // 3. quality + language gate (fan-out point: fingerprints + multimodal)
+    // 3. quality + language + repetition gate
+    val rep = TextStats.repetitionStats(nearDeduped, "doc_id", "text")
+      .select("doc_id", "dup_token_frac", "top_bigram_frac")
     val gated = nearDeduped
       .withColumn("quality", qualityScore(col("text")))
       .withColumn("lang_pred", langId(col("text")))
       .filter(col("quality") > 0.3 && col("lang_pred") =!= "unknown")
+      .join(rep, "doc_id")
+      .filter(col("dup_token_frac") < 0.95 && col("top_bigram_frac") < 0.9)
       .persist()
-    println(s"after quality/lang gate: ${gated.count()}")
+    println(s"after quality/lang/repetition gate: ${gated.count()}")
+
+    // 3b. decontaminate against a held-out "benchmark" slice, then cap any
+    //     one source's share of the corpus
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val contaminated = Dedup.contaminationCheck(gated, bench, "doc_id", "text", n = 5)
+      .filter(col("match_frac") >= 0.5).select("doc_id")
+    val curated = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    val quotaed = Sampling.quotaPerGroup(curated, "doc_id", "source", quota = 200)
+    println(s"after decontamination + source quota: ${quotaed.count()}")
 
     // 4. fingerprints for downstream exact lookup
-    val finger = gated.select(col("doc_id"), contentHash(col("text")).as("content_hash"),
+    val finger = quotaed.select(col("doc_id"), contentHash(col("text")).as("content_hash"),
       minTokenHash(col("text")).as("vocab_fp"))
     println(s"fingerprints: ${finger.count()}")
 
     // 5. multimodal pack + per-partition kernels
-    val media = MultimodalOps.toMediaDataset(MultimodalOps.packDocuments(gated))
+    val media = MultimodalOps.toMediaDataset(MultimodalOps.packDocuments(
+      quotaed.select("doc_id", "text", "lang", "source", "n_chars")))
     val features = MultimodalOps.extractFeatures(media, dim = 16)
     println(s"media features: ${features.count()} (image metas: " +
       s"${MultimodalOps.decodeImageMeta(media).count()})")
+
+    // 5b. token-budget packing + deterministic split for the trainer
+    val packed = Packing.sequentialPacks(quotaed, "doc_id", "text", budget = 2048)
+    val split = Sampling.split(quotaed, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"packs: ${packed.agg(max("pack_id")).head().getLong(0) + 1} ($split)")
 
     // 6. ANN neighbours over the embeddings table (IVF)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
