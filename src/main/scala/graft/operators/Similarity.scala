@@ -373,4 +373,21 @@ object Similarity {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"), col("sim"))
   }
+
+  /** Per-label centroid of an embedding column, one flat row per
+    * (label, dimension) — the nearest-class-mean building block.
+    * Components are quantized to integers first (same 2²⁴ grid as
+    * [[dotQuantized]]) so the sums are order-free and cross-engine exact;
+    * the mean divides two integers in double. One posexplode + one
+    * map-side-combining shuffle keyed on (label, idx) — no vectors are
+    * ever collected to a single row. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val S = lit(16777216.0) // 2^24
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("idx", "x")))
+      .groupBy("label", "idx")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * S).cast("bigint")).as("sum_q"))
+      .select(col("label"), col("idx").cast("bigint").as("idx"), col("n"),
+        (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"))
+  }
 }

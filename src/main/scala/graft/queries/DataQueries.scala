@@ -122,6 +122,26 @@ object DataQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
 
+    // vocabulary build: top-100 tokens by corpus frequency with dense rank
+    // ids (the window runs over ≤100 rows post-limit — bounded, not a
+    // corpus-wide single-task sort)
+    "q67_vocab_build" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)
+      tc.select(col("token"), col("n"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token"))).cast("bigint").as("token_id"))
+        .orderBy("token_id")
+    }),
+
+    // per-label embedding centroids (nearest-class-mean building block):
+    // flat (label, dim) rows, integer-quantized order-free sums
+    "q68_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "idx")),
+
     // domain-quota curation: at most 3 docs per source, ranked by the
     // portable id hash (cap any one domain's share of the corpus)
     "q64_source_quota" -> ((s, dir) =>
@@ -311,6 +331,23 @@ object DataQueries {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q67_vocab_build" ->
+      """WITH tc AS (SELECT t AS token, COUNT(*) AS n
+        |            FROM documents, UNNEST(string_split(text, ' ')) u(t)
+        |            GROUP BY 1 ORDER BY n DESC, token LIMIT 100)
+        |SELECT token, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+        |FROM tc ORDER BY token_id""".stripMargin,
+
+    // 1-based generate_subscripts shifted to Spark's 0-based posexplode
+    "q68_label_centroids" ->
+      """WITH f AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS idx,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16777216) AS BIGINT) xq
+        |           FROM embeddings)
+        |SELECT label, CAST(idx AS BIGINT) AS idx, COUNT(*) AS n,
+        |  CAST(SUM(xq) AS DOUBLE) / COUNT(*) AS mean_q
+        |FROM f GROUP BY label, idx ORDER BY label, idx""".stripMargin,
 
     // same md5-derived 31-bit hash as q56 (the proven-portable formula)
     "q64_source_quota" ->
