@@ -74,6 +74,26 @@ object ChangelogOps {
   /** Split an update-pair changelog into before/after images: updates emit
     * two identical-op rows; `emitIdx` disambiguates (0 = before, 1 = after).
     * Deletes' single row is a before-image; creates/reads are after-images. */
+  /** SCD2 history materialization: every state a key ever held, with its
+    * validity interval. State-bearing events (insert, update after-image)
+    * open an interval at their offset; the NEXT event on the same key —
+    * state-bearing or delete — closes it (half-open [from, to)). The
+    * current state has valid_to NULL / is_current true; a deleted key has
+    * no current row. One keyed shuffle + one lead() window per key —
+    * history length per key bounds the window, not the corpus. */
+  def scd2History(changelog: DataFrame, pkCols: Seq[String],
+      offsetCol: String): DataFrame = {
+    val stateBearing = col("op") === "c" ||
+      (col("op") === "u" && col("row_kind") === "+U")
+    val events = changelog.filter(stateBearing || col("op") === "d")
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(col(offsetCol))
+    events
+      .withColumn("valid_to", lead(col(offsetCol), 1).over(w))
+      .filter(col("op") =!= "d")
+      .withColumn("valid_from", col(offsetCol))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def afterImages(changelog: DataFrame, emitIdx: Column): DataFrame =
     changelog.filter(col("op") =!= "d" && (col("op") =!= "u" || emitIdx === 1))
 

@@ -110,7 +110,15 @@ object CdcQueries {
       q.awaitTermination()
       s.table(qname).filter(col("op") =!= "d")
         .select("k", "price", "st").orderBy("k")
-    })
+    }),
+
+    // SCD2 history: every state each key held with its validity interval
+    // (the temporal-table view downstream warehouses build from CDC)
+    "q69_scd2_history" -> ((s, dir) =>
+      ChangelogOps.scd2History(changelog(s, dir), Seq("k"), "op_offset")
+        .select(col("k"), col("price"), col("st"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("k", "valid_from"))
   )
 
   private val D = "DECIMAL(38,6)"
@@ -136,6 +144,18 @@ object CdcQueries {
         |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
         |  o_orderstatus AS st
         |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+    // independent interval derivation over the SAME derived changelog:
+    // window lead() in DuckDB vs the operator's lead() — both must agree
+    // on which events bear state and which merely close intervals
+    "q69_scd2_history" ->
+      s"""WITH cl AS ($derivedChangelogSql),
+         |ev AS (SELECT * FROM cl
+         |       WHERE op = 'c' OR (op = 'u' AND row_kind = '+U') OR op = 'd'),
+         |iv AS (SELECT k, price, st, op, op_offset AS valid_from,
+         |         LEAD(op_offset) OVER (PARTITION BY k ORDER BY op_offset) AS valid_to
+         |       FROM ev)
+         |SELECT k, price, st, valid_from, valid_to, valid_to IS NULL AS is_current
+         |FROM iv WHERE op <> 'd' ORDER BY k, valid_from""".stripMargin,
     "q26_cdc_net_delta" ->
       """SELECT o_orderkey AS k,
         |  CAST(CASE WHEN o_orderkey % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS net_delta,
