@@ -56,6 +56,7 @@ object RelQueries {
     "q51_salted_agg" -> q51,
     "q62_salted_join" -> q62,
     "q63_column_profile" -> q63,
+    "q70_funnel" -> q70,
     "q52_streaming_window" -> q52,
     "q54_streaming_sessions" -> q54,
     "q61_streaming_dedup" -> q61
@@ -496,6 +497,18 @@ object RelQueries {
       s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q70_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(us) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t_click GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
+
     "q63_column_profile" -> {
       def leg(c: String) =
         s"""SELECT '$c' AS "column", COUNT(*) AS n,
@@ -669,6 +682,29 @@ object RelQueries {
         keys = Seq("event_type"), saltBy = col("event_id"), salt = 8)
       .select("event_id", "event_type", "value", "type_avg")
       .orderBy("event_id")
+  }
+
+  // --- q70: funnel analysis — earliest view → first click AFTER that
+  //     view → first purchase AFTER that click, per user. Each stage is
+  //     one conditional min-aggregate over a broadcast of the previous
+  //     stage's (tiny, one-row-per-user) frontier — the whole funnel
+  //     never re-shuffles the events table by anything but user_id. ---
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id")
+      .filter(col("us") > col("t_view"))
+      .groupBy("user_id", "t_view").agg(min("us").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("us") > col("t_click"))
+      .groupBy("user_id", "t_view", "t_click").agg(min("us").as("t_purchase"))
+    v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
+      .join(p.select("user_id", "t_purchase"), Seq("user_id"), "left")
+      .orderBy("user_id")
   }
 
   // --- q63: one-pass dataset profile of the lineitem measures (row/null/
