@@ -57,6 +57,7 @@ object RelQueries {
     "q62_salted_join" -> q62,
     "q63_column_profile" -> q63,
     "q70_funnel" -> q70,
+    "q71_retention" -> q71,
     "q52_streaming_window" -> q52,
     "q54_streaming_sessions" -> q54,
     "q61_streaming_dedup" -> q61
@@ -497,6 +498,15 @@ object RelQueries {
       s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q71_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |             (epoch_ns(ts) // 1000) // 604800000000 AS w FROM events),
+        |f AS (SELECT user_id, MIN(w) AS cohort_w FROM e GROUP BY 1)
+        |SELECT cohort_w, w - cohort_w AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_w, week_offset""".stripMargin,
+
     "q70_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
         |v AS (SELECT user_id, MIN(us) AS t_view FROM e
@@ -705,6 +715,22 @@ object RelQueries {
     v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
       .join(p.select("user_id", "t_purchase"), Seq("user_id"), "left")
       .orderBy("user_id")
+  }
+
+  // --- q71: retention cohorts — users bucketed by first-seen week, then
+  //     distinct-active counts per (cohort, week offset). Two keyed
+  //     shuffles (first-seen agg, cohort-cell agg); the first-seen
+  //     frontier is one row per user and broadcasts. ---
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr(s"(ts div 1000) div $weekUs").as("w"))
+    val first = e.groupBy("user_id").agg(min("w").as("cohort_w"))
+    e.distinct()
+      .join(broadcast(first), "user_id")
+      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_w", "week_offset")
   }
 
   // --- q63: one-pass dataset profile of the lineitem measures (row/null/
