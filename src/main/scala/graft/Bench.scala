@@ -23,7 +23,8 @@ object Bench {
       "q28_doc_quality", "q32_embedding_topk", "q30_ngram_jaccard_pairs",
       "q33_minhash_lsh_candidates", "q35_embedding_ivf_topk",
       "q39_cosine_near_dup", "q42_minhash_lsh_md5", "q50_pq_topk",
-      "q43_streaming_materialize", "q52_streaming_window").foreach { n =>
+      "q43_streaming_materialize", "q52_streaming_window",
+      "q57_dedup_clusters").foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
