@@ -76,6 +76,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q60 packing: no window operator at all (distributed prefix sum)") {
+    val p = plan("q60_sequential_packs")
+    assert(!p.contains("Window"), s"prefix sum regressed to a window:\n$p")
+  }
+
+  test("q64 quota: rank prunes map-side via WindowGroupLimit") {
+    val p = plan("q64_source_quota")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q68 centroids / q70 funnel / q71 retention: hash aggs, frontier broadcasts") {
+    assert(!plan("q68_label_centroids").contains("SortAggregate"))
+    assert(plan("q70_funnel").contains("BroadcastHashJoin"))
+    assert(plan("q71_retention").contains("BroadcastHashJoin"))
+  }
+
   test("q51 salted agg: two hash-aggregation phases, both map-side partial") {
     val p = plan("q51_salted_agg")
     assert(!p.contains("SortAggregate"), p)
