@@ -1,7 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = load1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS")
       .orElse(sys.env.get("SPARK_BENCH_CPUS"))
@@ -51,7 +56,10 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // machine load at start/end rides along so a reader can tell a settled
+    // run from one racing another JVM's exit (documented 2.5× degradation)
+    val loadEnd = load1()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load1_start":$loadStart,"load1_end":$loadEnd}""")
     spark.stop()
   }
 }
