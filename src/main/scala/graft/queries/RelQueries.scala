@@ -58,6 +58,7 @@ object RelQueries {
     "q63_column_profile" -> q63,
     "q70_funnel" -> q70,
     "q71_retention" -> q71,
+    "q72_zscore_outliers" -> q72,
     "q52_streaming_window" -> q52,
     "q54_streaming_sessions" -> q54,
     "q61_streaming_dedup" -> q61
@@ -498,6 +499,20 @@ object RelQueries {
       s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // identical arithmetic tree on both sides: decimal sums → double
+    // mean/var/sqrt/division in the same order (IEEE ops are deterministic
+    // given the same operand order)
+    "q72_zscore_outliers" ->
+      s"""WITH m AS (SELECT event_type, COUNT(*) AS n,
+         |    ${oSum("value")} AS sx, ${oSum("value*value")} AS sxx
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT event_type, sx / n AS mean,
+         |        sqrt(sxx / n - (sx / n) * (sx / n)) AS std FROM m)
+         |SELECT event_id, e.event_type, value, (value - mean) / std AS z
+         |FROM events e JOIN s ON e.event_type = s.event_type
+         |WHERE abs((value - mean) / std) > 2.0
+         |ORDER BY event_id""".stripMargin,
+
     "q71_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |             (epoch_ns(ts) // 1000) // 604800000000 AS w FROM events),
@@ -715,6 +730,29 @@ object RelQueries {
     v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
       .join(p.select("user_id", "t_purchase"), Seq("user_id"), "left")
       .orderBy("user_id")
+  }
+
+  // --- q72: statistical outlier detection — per-type z-scores from
+  //     decimal-exact moments (Σx, Σx² sum in decimal, so mean/var are
+  //     identical across engines and row orders; a naive double stddev
+  //     is order-dependent and would break the hash gate). Tiny moment
+  //     table broadcasts back onto the events. ---
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val m = e.groupBy("event_type").agg(
+      cnt.as("n"), dsum(col("value")).as("sx"),
+      dsum(col("value") * col("value")).as("sxx"))
+      .select(col("event_type"),
+        (col("sx") / col("n").cast("double")).as("mean"),
+        sqrt(col("sxx") / col("n").cast("double") -
+          (col("sx") / col("n").cast("double")) * (col("sx") / col("n").cast("double")))
+          .as("std"))
+    e.join(broadcast(m), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > 2.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
   }
 
   // --- q71: retention cohorts — users bucketed by first-seen week, then
