@@ -118,7 +118,56 @@ object CdcQueries {
       ChangelogOps.scd2History(changelog(s, dir), Seq("k"), "op_offset")
         .select(col("k"), col("price"), col("st"),
           col("valid_from"), col("valid_to"), col("is_current"))
-        .orderBy("k", "valid_from"))
+        .orderBy("k", "valid_from")),
+
+    // THE SOURCE ITSELF under the hash gate: the derived changelog written
+    // out as a file-provider table (snapshot.jsonl + log.jsonl), batch-read
+    // through format("cdc-log") — ChunkSplitter plans real PK-range chunks,
+    // ChunkReader folds the catch-up log per chunk, Normalizer applies
+    // upsert semantics — and the resulting STATE must hash-match the
+    // closed-form oracle. ScalaTest covers the source's mechanics; this
+    // puts its end-to-end arithmetic under the same gate as every operator.
+    "q73_source_state" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val root = Files.createTempDirectory("graft_q73_").toString
+      val d = Paths.get(root, "db.orders")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"),
+        """{"db":"db","table":"orders","primaryKey":["k"],
+          |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("st"))
+      def js(k: Long, price: Double, st: String): String =
+        s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
+      val snap = new java.io.PrintWriter(d.resolve("snapshot.jsonl").toFile)
+      o.orderBy("k").collect().foreach { r =>
+        snap.println(js(r.getLong(0), r.getDouble(1), r.getString(2)))
+      }
+      snap.close()
+      // log: updates (k%5=2, two-sided) then deletes (k%7=3, before-image),
+      // append-ordered by offset
+      val ev = o.withColumn("upd", col("k") % 5 === 2)
+        .withColumn("del", col("k") % 7 === 3)
+        .withColumn("price2", when(col("upd"), col("price") * 1.1).otherwise(col("price")))
+        .filter(col("upd") || col("del"))
+        .collect().flatMap { r =>
+          val (k, p0, p2, st) = (r.getLong(0), r.getDouble(1), r.getDouble(5), r.getString(2))
+          val upd = r.getBoolean(3); val del = r.getBoolean(4)
+          val u = if (upd) Seq((k * 3 + 1,
+            s"""{"offset":${k * 3 + 1},"op":"u","tsMs":100,"before":${js(k, p0, st)},"after":${js(k, p2, st)}}"""))
+            else Seq.empty
+          val dl = if (del) Seq((k * 3 + 2,
+            s"""{"offset":${k * 3 + 2},"op":"d","tsMs":200,"before":${js(k, p2, st)},"after":null}"""))
+            else Seq.empty
+          u ++ dl
+        }.sortBy(_._1)
+      val log = new java.io.PrintWriter(d.resolve("log.jsonl").toFile)
+      ev.foreach { case (_, line) => log.println(line) }
+      log.close()
+      s.read.format("cdc-log").option("path", root).load()
+        .select("k", "price", "st").orderBy("k")
+    })
   )
 
   private val D = "DECIMAL(38,6)"
@@ -144,6 +193,15 @@ object CdcQueries {
         |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
         |  o_orderstatus AS st
         |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+    // same closed-form state as q24 — reached through the actual DSv2
+    // source (chunked snapshot + per-chunk log fold) instead of relational
+    // flattening
+    "q73_source_state" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+        |  o_orderstatus AS st
+        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+
     // independent interval derivation over the SAME derived changelog:
     // window lead() in DuckDB vs the operator's lead() — both must agree
     // on which events bear state and which merely close intervals
