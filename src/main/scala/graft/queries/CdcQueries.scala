@@ -127,48 +127,79 @@ object CdcQueries {
     // upsert semantics — and the resulting STATE must hash-match the
     // closed-form oracle. ScalaTest covers the source's mechanics; this
     // puts its end-to-end arithmetic under the same gate as every operator.
-    "q73_source_state" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
-      val root = Files.createTempDirectory("graft_q73_").toString
-      val d = Paths.get(root, "db.orders")
-      Files.createDirectories(d)
-      Files.writeString(d.resolve("meta.json"),
-        """{"db":"db","table":"orders","primaryKey":["k"],
-          |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
-      val o = t(s, dir, "orders").select(
-        col("o_orderkey").as("k"), col("o_totalprice").as("price"),
-        col("o_orderstatus").as("st"))
-      def js(k: Long, price: Double, st: String): String =
-        s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
-      val snap = new java.io.PrintWriter(d.resolve("snapshot.jsonl").toFile)
-      o.orderBy("k").collect().foreach { r =>
-        snap.println(js(r.getLong(0), r.getDouble(1), r.getString(2)))
-      }
-      snap.close()
-      // log: updates (k%5=2, two-sided) then deletes (k%7=3, before-image),
-      // append-ordered by offset
-      val ev = o.withColumn("upd", col("k") % 5 === 2)
-        .withColumn("del", col("k") % 7 === 3)
-        .withColumn("price2", when(col("upd"), col("price") * 1.1).otherwise(col("price")))
-        .filter(col("upd") || col("del"))
-        .collect().flatMap { r =>
-          val (k, p0, p2, st) = (r.getLong(0), r.getDouble(1), r.getDouble(5), r.getString(2))
-          val upd = r.getBoolean(3); val del = r.getBoolean(4)
-          val u = if (upd) Seq((k * 3 + 1,
-            s"""{"offset":${k * 3 + 1},"op":"u","tsMs":100,"before":${js(k, p0, st)},"after":${js(k, p2, st)}}"""))
-            else Seq.empty
-          val dl = if (del) Seq((k * 3 + 2,
-            s"""{"offset":${k * 3 + 2},"op":"d","tsMs":200,"before":${js(k, p2, st)},"after":null}"""))
-            else Seq.empty
-          u ++ dl
-        }.sortBy(_._1)
-      val log = new java.io.PrintWriter(d.resolve("log.jsonl").toFile)
-      ev.foreach { case (_, line) => log.println(line) }
-      log.close()
-      s.read.format("cdc-log").option("path", root).load()
+    "q73_source_state" -> ((s, dir) =>
+      s.read.format("cdc-log").option("path", writeFileProviderTable(s, dir)).load()
+        .select("k", "price", "st").orderBy("k")),
+
+    // the source's STREAMING path under the gate: cdc-log micro-batches
+    // (snapshot cohorts, then log batches) feed the stateful
+    // materialization; the final state store contents must hash-match the
+    // same closed-form oracle. Source → stream → state, end to end.
+    "q74_source_stream_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = writeFileProviderTable(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q74_ckpt_")
+      tmp.toFile.deleteOnExit()
+      val stream = s.readStream.format("cdc-log").option("path", root)
+        .option("metadata.columns", "op_offset,row_kind")
+        .option("scan.snapshot.max-chunks-per-batch", "2")
+        .load()
+      val qname = "q74_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        ChangelogOps.materializeStreaming(stream, Seq("k"))
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      q.awaitTermination()
+      s.table(qname).filter(col("op") =!= "d")
         .select("k", "price", "st").orderBy("k")
     })
   )
+
+  /** Writes the derived orders changelog (same formula as q23) as a
+    * file-provider table: snapshot.jsonl = original rows, log.jsonl =
+    * update pairs and before-image deletes in offset order. */
+  private def writeFileProviderTable(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cdcfile_").toString
+    val d = Paths.get(root, "db.orders")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("meta.json"),
+      """{"db":"db","table":"orders","primaryKey":["k"],
+        |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("st"))
+    def js(k: Long, price: Double, st: String): String =
+      s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
+    val snap = new java.io.PrintWriter(d.resolve("snapshot.jsonl").toFile)
+    o.orderBy("k").collect().foreach { r =>
+      snap.println(js(r.getLong(0), r.getDouble(1), r.getString(2)))
+    }
+    snap.close()
+    val ev = o.withColumn("upd", col("k") % 5 === 2)
+      .withColumn("del", col("k") % 7 === 3)
+      .withColumn("price2", when(col("upd"), col("price") * 1.1).otherwise(col("price")))
+      .filter(col("upd") || col("del"))
+      .collect().flatMap { r =>
+        val (k, p0, p2, st) = (r.getLong(0), r.getDouble(1), r.getDouble(5), r.getString(2))
+        val upd = r.getBoolean(3); val del = r.getBoolean(4)
+        val u = if (upd) Seq((k * 3 + 1,
+          s"""{"offset":${k * 3 + 1},"op":"u","tsMs":100,"before":${js(k, p0, st)},"after":${js(k, p2, st)}}"""))
+          else Seq.empty
+        val dl = if (del) Seq((k * 3 + 2,
+          s"""{"offset":${k * 3 + 2},"op":"d","tsMs":200,"before":${js(k, p2, st)},"after":null}"""))
+          else Seq.empty
+        u ++ dl
+      }.sortBy(_._1)
+    val log = new java.io.PrintWriter(d.resolve("log.jsonl").toFile)
+    ev.foreach { case (_, line) => log.println(line) }
+    log.close()
+    root
+  }
 
   private val D = "DECIMAL(38,6)"
   private def oSum(e: String) = s"CAST(SUM(CAST($e AS $D)) AS DOUBLE)"
@@ -193,6 +224,14 @@ object CdcQueries {
         |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
         |  o_orderstatus AS st
         |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+    // same closed-form state as q24 — reached through the source's
+    // streaming micro-batches and a real state store
+    "q74_source_stream_state" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+        |  o_orderstatus AS st
+        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+
     // same closed-form state as q24 — reached through the actual DSv2
     // source (chunked snapshot + per-chunk log fold) instead of relational
     // flattening
