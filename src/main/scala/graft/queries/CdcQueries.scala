@@ -128,7 +128,9 @@ object CdcQueries {
     // closed-form oracle. ScalaTest covers the source's mechanics; this
     // puts its end-to-end arithmetic under the same gate as every operator.
     "q73_source_state" -> ((s, dir) =>
-      s.read.format("cdc-log").option("path", writeFileProviderTable(s, dir)).load()
+      s.read.format("cdc-log").option("path", writeFileProviderTable(s, dir))
+        .option("scan.incremental.snapshot.chunk.size", "12000")
+        .load()
         .select("k", "price", "st").orderBy("k")),
 
     // the source's STREAMING path under the gate: cdc-log micro-batches
@@ -142,6 +144,7 @@ object CdcQueries {
       tmp.toFile.deleteOnExit()
       val stream = s.readStream.format("cdc-log").option("path", root)
         .option("metadata.columns", "op_offset,row_kind")
+        .option("scan.incremental.snapshot.chunk.size", "12000")
         .option("scan.snapshot.max-chunks-per-batch", "2")
         .load()
       val qname = "q74_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -162,7 +165,7 @@ object CdcQueries {
   /** Writes the derived orders changelog (same formula as q23) as a
     * file-provider table: snapshot.jsonl = original rows, log.jsonl =
     * update pairs and before-image deletes in offset order. */
-  private def writeFileProviderTable(s: SparkSession, dir: String): String = {
+  private[graft] def writeFileProviderTable(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_cdcfile_").toString
     val d = Paths.get(root, "db.orders")
@@ -170,9 +173,15 @@ object CdcQueries {
     Files.writeString(d.resolve("meta.json"),
       """{"db":"db","table":"orders","primaryKey":["k"],
         |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
-    val o = t(s, dir, "orders").select(
-      col("o_orderkey").as("k"), col("o_totalprice").as("price"),
-      col("o_orderstatus").as("st"))
+    // a 1/8 key slice: the gate checks the source's ARITHMETIC, and the
+    // JSONL provider rescans its file once per chunk (no index — it is the
+    // archived-topic path, not a database); an unsliced sf0.1 table makes
+    // these two queries O(chunks × file) and they dominate the whole bench
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 8 === 0)
+      .select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("st"))
     def js(k: Long, price: Double, st: String): String =
       s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
     val snap = new java.io.PrintWriter(d.resolve("snapshot.jsonl").toFile)
@@ -230,7 +239,8 @@ object CdcQueries {
       """SELECT o_orderkey AS k,
         |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
         |  o_orderstatus AS st
-        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+        |FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 8 = 0
+        |ORDER BY k""".stripMargin,
 
     // same closed-form state as q24 — reached through the actual DSv2
     // source (chunked snapshot + per-chunk log fold) instead of relational
@@ -239,7 +249,8 @@ object CdcQueries {
       """SELECT o_orderkey AS k,
         |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
         |  o_orderstatus AS st
-        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+        |FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 8 = 0
+        |ORDER BY k""".stripMargin,
 
     // independent interval derivation over the SAME derived changelog:
     // window lead() in DuckDB vs the operator's lead() — both must agree
