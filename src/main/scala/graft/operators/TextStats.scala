@@ -64,4 +64,53 @@ object TextStats {
       .select("doc_id", "n_tokens", "n_distinct", "dup_token_frac",
         "top_bigram_frac", "top_trigram_frac")
   }
+
+  /** Cross-document repeated-span fraction — the corpus-level duplication
+    * signal behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document, the
+    * fraction of its distinct `w`-token windows whose text also appears in
+    * at least one OTHER document. Docs built from boilerplate score near
+    * 1.0; original text scores near 0.
+    *
+    * Returns (doc_id, n_spans, n_shared_spans, shared_frac).
+    *
+    * Scale design: one explode of per-doc distinct spans, hashed to a
+    * compact key BEFORE the exchange, then a single hash-partitioned
+    * aggregation on the span key counting distinct docs (exactly 2 levels:
+    * map-side partial + final), and one shuffle join back on the key to
+    * attribute shared spans to docs. No collect_list, no window over the
+    * whole corpus, nothing quadratic — a hot span (in millions of docs)
+    * costs one long-keyed aggregation row, not a materialized pair list.
+    *
+    * `portable = true` keys spans by md5 (bit-identical in any engine →
+    * oracle-checkable); `false` uses xxhash64 (halves the shuffle width —
+    * the production path). Both have collision odds ~|spans|²/2^64⁺ —
+    * negligible. */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int, portable: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    def key(g: Column): Column = if (portable) md5(g) else xxhash64(g)
+
+    val spans = base.select(col("doc_id"),
+        explode(array_distinct(wordShinglesMulti(col("__text"), w))).as("__g"))
+      .select(col("doc_id"), key(col("__g")).as("__k"))
+
+    // spans seen in >= 2 docs; spans are distinct per doc, so count == docs
+    val sharedKeys = spans.groupBy("__k").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2).select("__k")
+
+    val perDoc = spans.join(sharedKeys.withColumn("__shared", lit(1L)), Seq("__k"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__shared"), lit(0L))).as("n_shared_spans"))
+
+    // left join back to base so span-less docs (< w tokens) report 0
+    base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_shared_spans").cast("double") / col("n_spans").cast("double"))
+          .as("shared_frac"))
+  }
 }

@@ -197,6 +197,43 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrub: regex redaction (emails/SSNs/phones/IPv4) — the corpus
+    // has no PII, so the gate derives a PII-bearing column from doc_id
+    // deterministically in BOTH engines and checks the scrubbing logic
+    "q75_pii_scrub" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val withPii = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), d, lit("@mail"), (col("doc_id") % 7).cast("string"),
+          lit(".org call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0142 ssn 987-65-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.77")))
+      graft.operators.PiiScrub.scrub(withPii, "text")
+        .select("doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "text_scrubbed")
+        .orderBy("doc_id")
+    }),
+
+    // cross-doc repeated-span fraction (exact-substring duplication signal,
+    // Lee et al. 2022) — portable md5 span keys so DuckDB replays it
+    "q76_repeated_spans" -> ((s, dir) =>
+      graft.operators.TextStats.repeatedSpanStats(t(s, dir, "documents"),
+        "doc_id", "text", w = 3, portable = true).orderBy("doc_id")),
+
+    // SQL surface: the same native expressions resolved by NAME through
+    // spark.sql — registration via the function registry (GraftFunctions)
+    "q77_sql_functions" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id,
+          graft_token_count(text) AS n_tokens,
+          graft_subword_count(text) AS n_subwords,
+          graft_quality(text) AS quality,
+          graft_lang_id(text) AS lang_pred,
+          graft_content_hash(text) AS content_hash,
+          CAST(size(graft_word_shingles(text, 3)) AS BIGINT) AS n_shingles
+        FROM graft_docs ORDER BY doc_id""")
+    }),
+
     // as-of join: each purchase enriched with the user's latest click at or
     // before it (point-in-time join — one shuffle, no range explosion)
     "q37_asof_join" -> ((s, dir) => {
@@ -507,6 +544,74 @@ object DataQueries {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us
         |GROUP BY 1, 2, 3 ORDER BY p.user_id, p.p_us, p.event_id""".stripMargin,
+
+    // same derived PII text, same rule order (each category counted on the
+    // text with the previous categories already redacted); RE2 and
+    // java.util.regex agree on every construct used ('g' = global, like
+    // Spark's regexp_replace default)
+    "q75_pii_scrub" ->
+      """WITH pii AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+        |       || CAST(doc_id % 7 AS VARCHAR) || '.org call 555-'
+        |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0142 ssn 987-65-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.0.77' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM pii),
+        |s2 AS (SELECT *, regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS t3 FROM s2)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text_scrubbed
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // distinct 3-token spans per doc (md5-keyed), spans shared by >= 2 docs
+    "q76_repeated_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sp AS (SELECT DISTINCT doc_id,
+        |         md5(array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 2), ' ')) AS k
+        |       FROM (SELECT doc_id, ts,
+        |               unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS i FROM tok)),
+        |shared AS (SELECT k FROM sp GROUP BY k HAVING COUNT(*) >= 2),
+        |perdoc AS (SELECT sp.doc_id, COUNT(*) AS n_spans,
+        |             SUM(CASE WHEN sh.k IS NULL THEN 0 ELSE 1 END) AS n_shared
+        |           FROM sp LEFT JOIN shared sh ON sp.k = sh.k GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared_spans,
+        |  CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+        |       ELSE CAST(p.n_shared AS DOUBLE) / CAST(p.n_spans AS DOUBLE) END AS shared_frac
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the SQL-surface battery = q28/q29/q31 fragments under graft_* names
+    "q77_sql_functions" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) en,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($deIn))) de,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($frIn))) fr
+         |FROM documents),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
+         |  (CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE) / CAST(100 AS DOUBLE))
+         |    * (CAST(1 AS DOUBLE) - CAST(length(text) - length(translate(text, '.,!?', '')) AS DOUBLE)
+         |        / CAST(GREATEST(length(text), 1) AS DOUBLE))
+         |    * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopIn))) AS DOUBLE)
+         |        / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)) AS quality,
+         |  CASE WHEN GREATEST(sc.en, sc.de, sc.fr) = 0 THEN 'unknown'
+         |       WHEN sc.en >= sc.de AND sc.en >= sc.fr THEN 'en'
+         |       WHEN sc.de >= sc.fr THEN 'de' ELSE 'fr' END AS lang_pred,
+         |  md5(text) AS content_hash,
+         |  CAST(len(list_distinct([array_to_string(list_slice(tok.ts, CAST(i AS INT), CAST(i AS INT) + 2), ' ')
+         |       for i in range(1, GREATEST(len(tok.ts) - 3, 0) + 2)])) AS BIGINT) AS n_shingles
+         |FROM documents d JOIN sc ON d.doc_id = sc.doc_id JOIN tok ON d.doc_id = tok.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // mirrors the deterministic stub decode: ASCII corpus → first/second
     // byte = ascii codes; image modality = doc_id % 3 == 0

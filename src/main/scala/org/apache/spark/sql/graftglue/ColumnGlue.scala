@@ -16,4 +16,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column→Expression conversion. `expression` wraps the column
+    * node in a lazy `ColumnNodeExpression` that only the Dataset API
+    * boundary unwraps — an expression returned from a FunctionRegistry
+    * builder never crosses that boundary and would reach codegen
+    * unconverted. The classic converter resolves the node tree to real
+    * (possibly Unresolved*) Catalyst expressions the analyzer handles. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a native-expression SQL function on an EXISTING session
+    * (`SparkSession.sessionState` is `private[sql]`). The
+    * `SparkSessionExtensions.injectFunction` path (public API) covers
+    * sessions built with `spark.sql.extensions`; this covers sessions
+    * handed to a library after construction — e.g. the driver gate. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }
