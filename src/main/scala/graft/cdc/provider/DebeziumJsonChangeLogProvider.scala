@@ -161,13 +161,19 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
     new CloseableIterator(it, () => br.close())
   }
 
-  /** The `after` struct schema from the first envelope's schema block. */
-  private def firstEnvelopeAfterSchema(dir: String): Option[JsonNode] =
-    rawLines(s"$dir/events.jsonl").take(1).toSeq.headOption.flatMap { node =>
+  /** The `after` struct schema from the first envelope's schema block.
+    * `take(1)` never exhausts the iterator (close only fires on
+    * exhaustion), so close explicitly — this runs once per table dir per
+    * task and leaked one fd per call before. */
+  private def firstEnvelopeAfterSchema(dir: String): Option[JsonNode] = {
+    val it = rawLines(s"$dir/events.jsonl")
+    val first = try it.take(1).toSeq.headOption finally it.close()
+    first.flatMap { node =>
       Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
         sch.get("fields").elements().asScala.find(f => f.get("field").asText() == "after")
       }
     }
+  }
 
   @transient private lazy val tableDirs: Seq[TableDir] = {
     val dirs = Files.list(Paths.get(root)).iterator().asScala

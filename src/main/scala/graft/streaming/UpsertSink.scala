@@ -41,10 +41,22 @@ object UpsertSink {
     * for tests and for batch backfills (same algebra, no stream). */
   def mergeBatch(batch: DataFrame, pkCols: Seq[String], path: String): Unit = {
     val spark = batch.sparkSession
+    // A previous merge may have died between its two renames (target gone,
+    // __old holding the last complete snapshot). Restore it BEFORE looking
+    // for the target, or the merge below would silently rebuild state from
+    // this batch alone. No-op in the common case.
+    recover(spark, path)
     val target = new Path(path)
     val tmp = new Path(path + "__tmp")
     val old = new Path(path + "__old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hadoop FileSystem#rename reports failure by returning false; treating
+    // that as success and proceeding to the deletes would destroy the only
+    // complete snapshot.
+    def renameOrDie(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed; " +
+          "aborting merge (snapshot left intact for recover())")
 
     // previous state re-enters the merge as a changelog of plain inserts
     // that lose to ANY batch event for the same key (offset -1)
@@ -60,11 +72,11 @@ object UpsertSink {
     merged.write.mode("overwrite").parquet(tmp.toString)
 
     // two renames: old snapshot aside, new snapshot in. A crash between
-    // them leaves __old + __tmp; the next merge finds no target and the
-    // recovery below restores from __old.
+    // them leaves __old (+ __tmp); the recover() at the top of the next
+    // merge restores from __old before anything else happens.
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
+    if (fs.exists(target)) renameOrDie(target, old)
+    renameOrDie(tmp, target)
     fs.delete(old, true)
   }
 
