@@ -1,93 +1,159 @@
 package graft.streaming
 
 import graft.operators.ChangelogOps
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.Row
 
 /** Idempotent materialized-view sink for op-column changelog streams —
   * the missing half of "any Spark sink works": plain appends are fine for
   * the changelog itself, but consumers usually want the CURRENT STATE
   * table, updated in place, surviving failures without duplicates.
   *
-  * Each micro-batch merges into the parquet target by primary key with
-  * last-writer-wins on (op_offset, after-image-wins); deletes drop the
-  * row. The merge is a pure function of (previous state ∪ batch), so
+  * State is HASH-BUCKETED by primary key: the target directory holds
+  * `__gb=<i>` Hive-style partition subdirectories (i = murmur3(pk) mod B).
+  * Each micro-batch merges by primary key with last-writer-wins on
+  * (op_offset, after-image-wins); deletes drop the row. Only buckets that
+  * contain a touched key are read and rewritten — untouched bucket files
+  * are never opened, so per-batch I/O is O(touched state), not O(state).
+  * That is the difference between a demo sink and one whose 100 TB state
+  * survives a steady trickle of updates: a batch touching keys in 3 of
+  * 1024 buckets reads and rewrites ~0.3% of the snapshot.
+  *
+  * The merge is a pure function of (previous bucket state ∪ batch), so
   * REPLAYING a batch after a failure re-derives the identical snapshot —
   * idempotence comes from the merge algebra, not from sink-side dedup
-  * bookkeeping. The new snapshot is written beside the target and swapped
-  * in with two directory renames, so a crash mid-write leaves either the
-  * old or the new snapshot, never a torn mix.
+  * bookkeeping. New bucket contents are written to a `_tmp` staging dir
+  * (one Spark job, `partitionBy` on the bucket id) and swapped in with two
+  * renames per touched bucket; a crash mid-swap leaves either the old or
+  * the new bucket (or its `_old/` save-aside), never a torn mix, and
+  * [[recover]] restores any bucket caught between its two renames.
   *
-  * Scale: the merge is one keyed shuffle over |state| + |batch| rows (the
-  * same cost any copy-on-write table format pays per commit). For
-  * petabyte state, swap the parquet rewrite for a MERGE INTO on a table
-  * format with deletion vectors; the streaming contract here (foreachBatch
-  * + deterministic merge) stays identical. */
+  * Underscore-prefixed siblings (`_tmp/`, `_old/`, `_graft_buckets`) are
+  * invisible to Spark's file listing, so `spark.read.parquet(path)` on the
+  * target sees only committed bucket data (plus the `__gb` partition
+  * column — [[readState]] drops it).
+  *
+  * For petabyte state, swap the parquet rewrite for a MERGE INTO on a
+  * table format with deletion vectors; the streaming contract here
+  * (foreachBatch + deterministic bucketed merge) stays identical. */
 object UpsertSink {
+
+  private val BucketCol = "__gb"
+  /** Default bucket count. Sized so a 100 GB state yields ~100 MB buckets;
+    * for larger states pass a bigger `numBuckets` on first merge — the
+    * count is persisted in `_graft_buckets` and reused thereafter (a
+    * mismatched count would hash keys into the wrong buckets). */
+  val DefaultBuckets = 64
 
   /** Wire a changelog stream (read with
     * `metadata.columns = "op_offset,row_kind"`) to a parquet current-state
     * table at `path`. Returns the writer; caller sets checkpoint/trigger. */
-  def upsertParquet(changelog: DataFrame, pkCols: Seq[String],
-      path: String): DataStreamWriter[Row] =
+  def upsertParquet(changelog: DataFrame, pkCols: Seq[String], path: String,
+      numBuckets: Int = DefaultBuckets): DataStreamWriter[Row] =
     changelog.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      mergeBatch(batch, pkCols, path)
+      mergeBatch(batch, pkCols, path, numBuckets)
     }
+
+  /** Read the current-state table without sink-internal columns. */
+  def readState(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
 
   /** One merge step: previous snapshot ∪ batch → last-wins state. Exposed
     * for tests and for batch backfills (same algebra, no stream). */
-  def mergeBatch(batch: DataFrame, pkCols: Seq[String], path: String): Unit = {
+  def mergeBatch(batch: DataFrame, pkCols: Seq[String], path: String,
+      numBuckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
-    // A previous merge may have died between its two renames (target gone,
-    // __old holding the last complete snapshot). Restore it BEFORE looking
-    // for the target, or the merge below would silently rebuild state from
-    // this batch alone. No-op in the common case.
-    recover(spark, path)
     val target = new Path(path)
-    val tmp = new Path(path + "__tmp")
-    val old = new Path(path + "__old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Hadoop FileSystem#rename reports failure by returning false; treating
-    // that as success and proceeding to the deletes would destroy the only
-    // complete snapshot.
-    def renameOrDie(src: Path, dst: Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"rename $src -> $dst failed; " +
-          "aborting merge (snapshot left intact for recover())")
+    // A previous merge may have died mid-swap (bucket gone, _old/ holding
+    // its last complete copy). Restore BEFORE reading prev state, or the
+    // merge below would silently drop that bucket's rows.
+    recover(spark, path)
 
+    val buckets = bucketCount(fs, target, numBuckets)
+    val bucketOf = pmod(hash(pkCols.map(col): _*), lit(buckets))
+    // Which buckets does this batch touch? Bounded driver collect: at most
+    // `buckets` small ints, independent of batch or state size.
+    val touched = batch.select(bucketOf.cast("int").as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+
+    val existing = touched.toSeq.sorted
+      .map(i => new Path(target, s"$BucketCol=$i")).filter(fs.exists(_))
     // previous state re-enters the merge as a changelog of plain inserts
-    // that lose to ANY batch event for the same key (offset -1)
+    // that lose to ANY batch event for the same key (offset -1). Reading
+    // bucket leaf dirs directly skips partition discovery, so no __gb
+    // column rides along; only touched buckets are ever opened.
     val prev =
-      if (fs.exists(target))
-        spark.read.parquet(path)
+      if (existing.nonEmpty)
+        spark.read.parquet(existing.map(_.toString): _*)
           .withColumn("op", lit("r"))
           .withColumn("op_offset", lit(-1L))
           .withColumn("row_kind", lit("+I"))
       else batch.limit(0)
 
+    // One shuffle job writes every touched bucket's new contents under
+    // _tmp/__gb=<i>; merged rows can only hash into touched buckets (prev
+    // came from them, batch defines them).
     val merged = ChangelogOps.materializeExact(prev.unionByName(batch), pkCols)
-    merged.write.mode("overwrite").parquet(tmp.toString)
+      .withColumn(BucketCol, bucketOf.cast("int"))
+    val tmp = new Path(target, "_tmp")
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
 
-    // two renames: old snapshot aside, new snapshot in. A crash between
-    // them leaves __old (+ __tmp); the recover() at the top of the next
-    // merge restores from __old before anything else happens.
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) renameOrDie(target, old)
-    renameOrDie(tmp, target)
-    fs.delete(old, true)
+    // Hadoop FileSystem#rename reports failure by returning false; treating
+    // that as success and proceeding to the deletes would destroy the only
+    // complete copy of a bucket.
+    val old = new Path(target, "_old")
+    fs.mkdirs(old)
+    touched.toSeq.sorted.foreach { i =>
+      val live = new Path(target, s"$BucketCol=$i")
+      val staged = new Path(tmp, s"$BucketCol=$i")
+      val aside = new Path(old, s"$BucketCol=$i")
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(live)) renameOrDie(fs, live, aside)
+      // a bucket emptied by deletes has no staged dir: absent bucket = empty
+      if (fs.exists(staged)) renameOrDie(fs, staged, live)
+      fs.delete(aside, true)
+    }
+    fs.delete(tmp, true)
   }
 
-  /** Crash recovery: if a previous merge died between its two renames,
-    * put the last complete snapshot back. Call before starting the query
-    * (cheap no-op in the common case). */
-  def recover(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  /** Crash recovery: restore any bucket a previous merge left mid-swap
+    * (live dir gone, `_old/` copy present) and clear staging. Call before
+    * starting the query (cheap no-op in the common case). */
+  def recover(spark: SparkSession, path: String): Unit = {
     val target = new Path(path)
-    val old = new Path(path + "__old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
-    fs.delete(new Path(path + "__tmp"), true)
+    val old = new Path(target, "_old")
+    if (fs.exists(old)) fs.listStatus(old).foreach { st =>
+      val live = new Path(target, st.getPath.getName)
+      if (!fs.exists(live)) renameOrDie(fs, st.getPath, live)
+      else fs.delete(st.getPath, true) // swap completed; stale save-aside
+    }
+    fs.delete(new Path(target, "_tmp"), true)
+  }
+
+  private def renameOrDie(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed; " +
+        "aborting (snapshot left intact for recover())")
+
+  /** The bucket count is part of the on-disk format: read it back if the
+    * state exists, persist it on first merge. */
+  private def bucketCount(fs: FileSystem, target: Path, requested: Int): Int = {
+    require(requested > 0, s"numBuckets must be positive, got $requested")
+    val meta = new Path(target, "_graft_buckets")
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+    } else {
+      fs.mkdirs(target)
+      val out = fs.create(meta, true)
+      try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
+      requested
+    }
   }
 }

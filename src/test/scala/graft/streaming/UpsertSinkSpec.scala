@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -32,7 +33,7 @@ class UpsertSinkSpec extends SparkSpec {
       q.awaitTermination()
     }
     runOnce()
-    val s1 = spark.read.parquet(out).orderBy("k")
+    val s1 = UpsertSink.readState(spark, out).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(s1.toSeq == Seq((1L, 11.0), (2L, 20.0)))
 
@@ -40,7 +41,7 @@ class UpsertSinkSpec extends SparkSpec {
     Seq(row(2L, 20.0, "d", 4, "+I"), row(3L, 30.0, "c", 5, "+I"))
       .toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
     runOnce()
-    val s2 = spark.read.parquet(out).orderBy("k")
+    val s2 = UpsertSink.readState(spark, out).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(s2.toSeq == Seq((1L, 11.0), (3L, 30.0)))
   }
@@ -52,25 +53,57 @@ class UpsertSinkSpec extends SparkSpec {
     val b2 = Seq(row(1L, 1.5, "u", 3, "+U"), row(2L, 2.0, "d", 4, "+I")).toDF(cols: _*)
     UpsertSink.mergeBatch(b1, Seq("k"), out)
     UpsertSink.mergeBatch(b2, Seq("k"), out)
-    val once = spark.read.parquet(out).orderBy("k")
+    val once = UpsertSink.readState(spark, out).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     UpsertSink.mergeBatch(b2, Seq("k"), out) // failure replay
-    val twice = spark.read.parquet(out).orderBy("k")
+    val twice = UpsertSink.readState(spark, out).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(once == Seq((1L, 1.5)) && twice == once)
   }
 
-  test("recover restores the last complete snapshot after a torn swap") {
+  test("recover restores a bucket caught between its two swap renames") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert3_")
     val out = tmp.resolve("state").toString
     UpsertSink.mergeBatch(
       Seq(row(7L, 7.0, "c", 1, "+I")).toDF(cols: _*), Seq("k"), out)
-    // simulate a crash between the two renames: target gone, __old present
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(out),
-      new org.apache.hadoop.fs.Path(out + "__old"))
+    // simulate a crash between the two renames: the key's live bucket dir
+    // moved aside to _old/ but the staged replacement never landed
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucket = fs.listStatus(new Path(out))
+      .map(_.getPath).filter(_.getName.startsWith("__gb=")).head
+    fs.mkdirs(new Path(out, "_old"))
+    assert(fs.rename(bucket, new Path(new Path(out, "_old"), bucket.getName)))
     UpsertSink.recover(spark, out)
-    assert(spark.read.parquet(out).count() == 1)
+    assert(UpsertSink.readState(spark, out).count() == 1)
+  }
+
+  test("a merge leaves untouched buckets byte-identical (O(touched) I/O)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert4_")
+    val out = tmp.resolve("state").toString
+    // spread keys across many buckets, then touch exactly one key
+    val b1 = (1L to 200L).map(k => row(k, k.toDouble, "c", k, "+I")).toDF(cols: _*)
+    UpsertSink.mergeBatch(b1, Seq("k"), out)
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshot(): Map[String, (Long, Long)] =
+      fs.listStatus(new Path(out)).filter(_.getPath.getName.startsWith("__gb="))
+        .flatMap(d => fs.listStatus(d.getPath)).filter(_.isFile)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+    val before = snapshot()
+    val touchedBucket = spark.range(1).select(
+      pmod(hash(lit(42L)), lit(UpsertSink.DefaultBuckets))).head().getInt(0)
+    UpsertSink.mergeBatch(
+      Seq(row(42L, 99.0, "u", 1000, "+U")).toDF(cols: _*), Seq("k"), out)
+    val after = snapshot()
+    val untouchedBefore = before.filter(!_._1.contains(s"__gb=$touchedBucket/"))
+    val untouchedAfter = after.filter(!_._1.contains(s"__gb=$touchedBucket/"))
+    assert(untouchedBefore.nonEmpty, "fixture must span several buckets")
+    // identical file paths, lengths, AND modification times: the files were
+    // never rewritten, not merely rewritten equal
+    assert(untouchedAfter == untouchedBefore)
+    assert(before.keys.exists(_.contains(s"__gb=$touchedBucket/")))
+    assert(after != before, "the touched bucket must have been rewritten")
+    val s = UpsertSink.readState(spark, out)
+    assert(s.count() == 200)
+    assert(s.filter($"k" === 42L).head().getDouble(1) == 99.0)
   }
 }
