@@ -4,8 +4,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.cdc._
 import org.apache.spark.sql.types._
 
-import java.io.{BufferedReader, FileReader}
+import java.io.{BufferedInputStream, FileInputStream, RandomAccessFile}
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 /** Append-only change-log-on-files provider (SURVEY.md §7.2
@@ -19,11 +21,65 @@ import scala.jdk.CollectionConverters._
   * <root>/<db>.<table>/log.jsonl       {"offset","op","tsMs","before","after"}
   * }}}
   *
-  * Rows stream through a BufferedReader — per-reader memory is O(1) in table
-  * size, matching the JDBC fetch-size streaming the reference relies on
-  * (mysql/source/utils/StatementUtils.java:190-224). Files must be visible
-  * to executors (shared/cluster filesystem), like any Spark file source.
-  */
+  * Access is INDEXED: the first touch of a table builds, in one streaming
+  * pass, a byte-offset index per file — snapshot entries sorted by chunk
+  * key, log entries sorted by offset. Every later probe or chunk read
+  * binary-searches the index and seeks straight to its rows, so a plan of
+  * C chunks costs one scan + C range reads instead of C full rescans —
+  * the same asymptotic shape as the reference's indexed range scans
+  * (mysql/source/utils/StatementUtils.java:132-188, which never rescan the
+  * table either). Indexes are per-JVM (@transient lazy): the driver builds
+  * one for planning, each executor at most one for its reads. Index memory
+  * is O(rows) keys+longs — the archived-topic analogue of a database's PK
+  * index; for a table too big for that, use the JDBC provider against a
+  * real store instead.
+  *
+  * Log files may grow between micro-batches (a live tail appending while
+  * a stream runs): indexes are keyed by file length and rebuilt from
+  * scratch when the file has grown — append-only is the file contract. */
+object FileChangeLogProvider {
+
+  /** Parallel arrays: entry i spans file bytes [starts(i), starts(i)+lens(i))
+    * and sorts by key (chunk key for snapshots, offset for logs). */
+  private final class FileIndex[K](val fileLen: Long, val keys: Array[AnyRef],
+      val starts: Array[Long], val lens: Array[Int]) {
+    def size: Int = starts.length
+  }
+
+  /** JVM-WIDE index cache keyed by absolute file path. Each partition task
+    * deserializes its own provider instance, so a per-instance cache would
+    * rebuild the index once per CHUNK — exactly the O(chunks × file) this
+    * index exists to remove. Per-JVM means: one build on the driver for
+    * planning, at most one per executor for reads. Entries self-invalidate
+    * when the file length changes (append-only contract); the cache is
+    * bounded to stop long-lived JVMs (test suites over many tmp fixtures)
+    * accumulating dead indexes. */
+  private val idxCache = TrieMap.empty[String, FileIndex[_]]
+  private val MaxCachedFiles = 64
+
+  private def cachedIndex[K](path: String,
+      scan: String => Iterator[(String, Long, Int)], keyOf: String => K)
+      (implicit ord: Ordering[K]): FileIndex[K] = {
+    val abs = Paths.get(path).toAbsolutePath.toString
+    val curLen = if (Files.exists(Paths.get(path))) Files.size(Paths.get(path)) else 0L
+    idxCache.get(abs) match {
+      case Some(idx) if idx.fileLen == curLen => idx.asInstanceOf[FileIndex[K]]
+      case _ =>
+        val entries = scan(path)
+          .filter(_._1.nonEmpty)
+          .map { case (line, start, len) => (keyOf(line), start, len) }
+          .toArray
+        java.util.Arrays.sort(entries,
+          Ordering.by[(K, Long, Int), K](_._1): java.util.Comparator[(K, Long, Int)])
+        val idx = new FileIndex[K](curLen, entries.map(_._1.asInstanceOf[AnyRef]),
+          entries.map(_._2), entries.map(_._3))
+        if (idxCache.size >= MaxCachedFiles) idxCache.clear()
+        idxCache.put(abs, idx)
+        idx
+    }
+  }
+}
+
 final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
   private val mapper = new ObjectMapper()
 
@@ -49,17 +105,83 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
 
   override def tables: Seq[TableMeta] = tableFiles.map(_.meta)
 
-  private def jsonLines[T](path: String)(f: JsonNode => T): CloseableIterator[T] = {
-    if (!Files.exists(Paths.get(path)))
-      return new CloseableIterator[T](Iterator.empty, () => ())
-    val br = new BufferedReader(new FileReader(path))
-    val it = new Iterator[T] {
-      private var nextLine = br.readLine()
-      def hasNext: Boolean = { if (nextLine == null) br.close(); nextLine != null }
-      def next(): T = { val v = f(mapper.readTree(nextLine)); nextLine = br.readLine(); v }
+  // ---- byte-offset indexes ------------------------------------------------
+
+  import FileChangeLogProvider.{FileIndex, cachedIndex}
+
+  /** One streaming pass over a JSONL file: (line, byteStart, byteLen) per
+    * line. Byte-accurate (multi-byte UTF-8, optional trailing newline). */
+  private def scanLines(path: String): Iterator[(String, Long, Int)] = {
+    if (!Files.exists(Paths.get(path))) return Iterator.empty
+    val in = new BufferedInputStream(new FileInputStream(path), 1 << 16)
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var pos = 0L
+    new Iterator[(String, Long, Int)] {
+      private var nextEntry: (String, Long, Int) = advance()
+      private def advance(): (String, Long, Int) = {
+        buf.reset()
+        val start = pos
+        var b = in.read()
+        while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+        if (b == '\n') pos += 1
+        if (buf.size() == 0 && b == -1) { in.close(); null }
+        else (new String(buf.toByteArray, StandardCharsets.UTF_8), start, buf.size())
+      }
+      def hasNext: Boolean = nextEntry != null
+      def next(): (String, Long, Int) = {
+        val v = nextEntry
+        nextEntry = if (v == null) null else advance()
+        v
+      }
     }
-    new CloseableIterator(it, () => br.close())
   }
+
+  private def snapIdx(tf: TableFiles): FileIndex[ChunkKey.Key] = {
+    import ChunkKey.ordering
+    cachedIndex[ChunkKey.Key](s"${tf.dir}/snapshot.jsonl", scanLines,
+      line => keyOf(tf, row(tf.meta.schema, mapper.readTree(line))))
+  }
+
+  private def logIdx(tf: TableFiles): FileIndex[Long] =
+    cachedIndex[Long](s"${tf.dir}/log.jsonl", scanLines,
+      line => mapper.readTree(line).get("offset").asLong())
+
+  /** First index in [0, n) whose key is >= `key` under `cmp` (lower bound). */
+  private def lowerBound[K](idx: FileIndex[K], key: K, cmp: (K, K) => Int): Int = {
+    var lo = 0
+    var hi = idx.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(idx.keys(mid).asInstanceOf[K], key) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Seek-read the given index entries (in file order) and decode each line.
+    * Contiguous runs — the common case for key-sorted snapshot files — read
+    * sequentially through one RandomAccessFile. */
+  private def readEntries[T](path: String, picks: Array[Int], idx: FileIndex[_])
+      (f: String => T): CloseableIterator[T] = {
+    if (picks.isEmpty) return new CloseableIterator[T](Iterator.empty, () => ())
+    val byPos = picks.sortBy(idx.starts(_))
+    val raf = new RandomAccessFile(path, "r")
+    val inner = byPos.iterator
+    val it = new Iterator[T] {
+      // close on exhaustion too (RandomAccessFile#close is idempotent), so
+      // non-reader callers that drain the iterator don't leak the fd
+      def hasNext: Boolean = { val h = inner.hasNext; if (!h) raf.close(); h }
+      def next(): T = {
+        val i = inner.next()
+        raf.seek(idx.starts(i))
+        val bytes = new Array[Byte](idx.lens(i))
+        raf.readFully(bytes)
+        f(new String(bytes, StandardCharsets.UTF_8))
+      }
+    }
+    new CloseableIterator(it, () => raf.close())
+  }
+
+  // ---- JSON decode --------------------------------------------------------
 
   private def decode(v: JsonNode, dt: DataType): Any =
     if (v == null || v.isNull) null
@@ -78,10 +200,8 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
       case _: DecimalType   => new java.math.BigDecimal(v.asText())
       case BinaryType       => java.util.Base64.getDecoder.decode(v.asText())
       case ArrayType(et, _) =>
-        import scala.jdk.CollectionConverters._
         v.elements().asScala.map(decode(_, et)).toSeq
       case MapType(StringType, vt, _) =>
-        import scala.jdk.CollectionConverters._
         v.properties().asScala.map(e => e.getKey -> decode(e.getValue, vt)).toMap
       case st: StructType =>
         st.fields.map(f => decode(v.get(f.name), f.dataType)): Array[Any]
@@ -93,62 +213,65 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     if (node == null || node.isNull) null
     else schema.fields.map(f => decode(node.get(f.name), f.dataType))
 
-  override def currentOffset: Long =
-    tableFiles.map { tf =>
-      jsonLines(s"${tf.dir}/log.jsonl")(_.get("offset").asLong())
-        .foldLeft(tf.baseOffset)(math.max)
-    }.foldLeft(0L)(math.max)
-
   private def keyIdxs(tf: TableFiles): Seq[Int] = tf.meta.primaryKey.map(tf.meta.schema.fieldIndex)
   private def keyOf(tf: TableFiles, r: Array[Any]): ChunkKey.Key =
     ChunkKey.of(keyIdxs(tf).map(r): _*)
 
+  // ---- provider SPI (all index-backed) ------------------------------------
+
+  override def currentOffset: Long =
+    tableFiles.map { tf =>
+      val idx = logIdx(tf)
+      if (idx.size == 0) tf.baseOffset
+      else math.max(tf.baseOffset, idx.keys(idx.size - 1).asInstanceOf[Long])
+    }.foldLeft(0L)(math.max)
+
   override def keyBounds(table: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = {
-    val tf = files(table)
-    var mn: ChunkKey.Key = null
-    var mx: ChunkKey.Key = null
-    var n = 0L
-    jsonLines(s"${tf.dir}/snapshot.jsonl")(row(tf.meta.schema, _)).foreach { r =>
-      val k = keyOf(tf, r)
-      if (mn == null || ChunkKey.compare(k, mn) < 0) mn = k
-      if (mx == null || ChunkKey.compare(k, mx) > 0) mx = k
-      n += 1
-    }
-    if (n == 0) (ChunkKey.of(0L), ChunkKey.of(-1L), 0L) else (mn, mx, n)
+    val idx = snapIdx(files(table))
+    if (idx.size == 0) (ChunkKey.of(0L), ChunkKey.of(-1L), 0L)
+    else (idx.keys(0).asInstanceOf[ChunkKey.Key],
+      idx.keys(idx.size - 1).asInstanceOf[ChunkKey.Key], idx.size.toLong)
   }
 
   override def nextChunkEnd(table: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key] = {
-    import ChunkKey.ordering
-    val tf = files(table)
-    val keys = jsonLines(s"${tf.dir}/snapshot.jsonl")(row(tf.meta.schema, _))
-      .map(keyOf(tf, _)).filter(ChunkKey.compare(_, from) >= 0).toSeq.sorted.take(chunkSize)
-    if (keys.size < chunkSize) None else Some(keys.last)
+    val idx = snapIdx(files(table))
+    val lo = lowerBound[ChunkKey.Key](idx, from, ChunkKey.compare)
+    if (idx.size - lo < chunkSize) None
+    else Some(idx.keys(lo + chunkSize - 1).asInstanceOf[ChunkKey.Key])
   }
 
   override def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) = {
     val tf = files(table)
-    val raw = jsonLines(s"${tf.dir}/snapshot.jsonl")(row(tf.meta.schema, _))
+    val idx = snapIdx(tf)
+    val lo = range.start.map(lowerBound[ChunkKey.Key](idx, _, ChunkKey.compare)).getOrElse(0)
+    val hi = range.end.map(lowerBound[ChunkKey.Key](idx, _, ChunkKey.compare)).getOrElse(idx.size)
     (tf.baseOffset,
-      new CloseableIterator(raw.filter(r => range.contains(keyOf(tf, r))), raw))
+      readEntries(s"${tf.dir}/snapshot.jsonl", (lo until hi).toArray, idx)(
+        line => row(tf.meta.schema, mapper.readTree(line))))
   }
 
   /** Optional `<table dir>/schema_log.jsonl`:
-    * {"offset":N,"ddl":"ALTER TABLE ..."} per line. */
+    * {"offset":N,"ddl":"ALTER TABLE ..."} per line — small control files,
+    * streamed directly (no index). */
   override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
     tableFiles.iterator.flatMap { tf =>
-      jsonLines(s"${tf.dir}/schema_log.jsonl") { n =>
+      scanLines(s"${tf.dir}/schema_log.jsonl").map { case (line, _, _) =>
+        val n = mapper.readTree(line)
         (n.get("offset").asLong(), tf.meta.id, n.get("ddl").asText())
       }.filter(e => e._1 > fromExclusive && e._1 <= toInclusive)
     }
 
   override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] = {
     val tf = files(table)
-    val raw = jsonLines(s"${tf.dir}/log.jsonl") { n =>
+    val idx = logIdx(tf)
+    // offsets are unique per record; (from, to] = [from+1, to+1) as lower bounds
+    val lo = lowerBound[Long](idx, fromExclusive + 1, java.lang.Long.compare(_, _))
+    val hi = lowerBound[Long](idx, toInclusive + 1, java.lang.Long.compare(_, _))
+    readEntries(s"${tf.dir}/log.jsonl", (lo until hi).toArray, idx) { line =>
+      val n = mapper.readTree(line)
       LogRecord(n.get("offset").asLong(), n.get("op").asText(), tf.meta.id,
         row(tf.meta.schema, n.get("before")), row(tf.meta.schema, n.get("after")),
         if (n.has("tsMs")) n.get("tsMs").asLong() else 0L)
     }
-    new CloseableIterator(
-      raw.filter(r => r.offset > fromExclusive && r.offset <= toInclusive), raw)
   }
 }
