@@ -53,7 +53,23 @@ trait ChangeLogProvider extends Serializable {
     * data rows mid-stream. Default: none. */
   def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
     Iterator.empty
+
+  /** Planning-time configuration check (reference MySqlValidator.java:65-138:
+    * server version >= 5.6, binlog_format=ROW, row image FULL — all probed
+    * BEFORE any split is planned). A provider verifies its prerequisites —
+    * store reachable, declared tables/columns present, log tail readable —
+    * and throws [[ValidationException]] with an actionable message.
+    * Misconfiguration must fail loudly at planning, not surface as a
+    * silently-wrong changelog mid-read. Default: nothing to check
+    * (in-memory/test providers). */
+  def validate(): Unit = ()
 }
+
+/** Loud planning-time failure from [[ChangeLogProvider.validate]] — the
+  * analogue of the reference's org.apache.flink.table.api.ValidationException
+  * thrown by MySqlValidator. */
+final class ValidationException(msg: String, cause: Throwable = null)
+  extends IllegalStateException(s"cdc-log validation failed: $msg", cause)
 
 /** An iterator holding an OS resource (file handle, connection): readers
   * close it on early termination (Spark can drop a PartitionReader before

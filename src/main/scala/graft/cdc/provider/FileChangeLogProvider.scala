@@ -105,6 +105,33 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
 
   override def tables: Seq[TableMeta] = tableFiles.map(_.meta)
 
+  /** Planning-time prerequisites (ChangeLogProvider.validate): the root
+    * must be a directory of table dirs with parseable meta.json, every
+    * primary-key column must exist in its declared schema, and each table
+    * needs at least one data file — a typo'd path or a half-written
+    * fixture fails here, loudly, instead of planning an empty source. */
+  override def validate(): Unit = {
+    if (!Files.isDirectory(Paths.get(root)))
+      throw new ValidationException(s"provider root '$root' is not a directory")
+    val ts =
+      try tableFiles
+      catch { case e: Exception =>
+        throw new ValidationException(s"unreadable table metadata under $root: ${e.getMessage}", e) }
+    if (ts.isEmpty)
+      throw new ValidationException(s"no table directories (with meta.json) under $root")
+    ts.foreach { tf =>
+      val missing = tf.meta.primaryKey.filterNot(tf.meta.schema.fieldNames.contains)
+      if (missing.nonEmpty)
+        throw new ValidationException(
+          s"table ${tf.meta.id}: primaryKey columns ${missing.mkString(", ")} " +
+            s"not in declared schema ${tf.meta.schema.fieldNames.mkString(", ")}")
+      if (!Files.exists(Paths.get(tf.dir, "snapshot.jsonl")) &&
+          !Files.exists(Paths.get(tf.dir, "log.jsonl")))
+        throw new ValidationException(
+          s"table ${tf.meta.id}: neither snapshot.jsonl nor log.jsonl exists in ${tf.dir}")
+    }
+  }
+
   // ---- byte-offset indexes ------------------------------------------------
 
   import FileChangeLogProvider.{FileIndex, cachedIndex}

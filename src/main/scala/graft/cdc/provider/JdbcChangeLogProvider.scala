@@ -68,6 +68,41 @@ final class JdbcChangeLogProvider(
   override def tables: Seq[TableMeta] = Seq(meta)
   override def currentOffset: Long = logTail.currentOffset
 
+  /** Planning-time prerequisites, mirroring the reference validator's shape
+    * (MySqlValidator.java:65-138 probes version/binlog_format/row image
+    * before any split exists). The JDBC analogues: the store must be
+    * reachable, the declared table must exist with every declared column
+    * (a column the scan SQL references but the store lacks would otherwise
+    * fail deep inside a chunk task), and the companion log tail must be
+    * readable (the binlog_format=ROW analogue: without it there is no
+    * usable change stream, only a snapshot). */
+  override def validate(): Unit = {
+    val c =
+      try connect()
+      catch { case e: Exception =>
+        throw new ValidationException(s"cannot connect to $url: ${e.getMessage}", e) }
+    try {
+      val rs = c.getMetaData.getColumns(null, meta.id.db, meta.id.table, null)
+      val present = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) present += rs.getString("COLUMN_NAME").toLowerCase
+      if (present.isEmpty)
+        throw new ValidationException(
+          s"table ${meta.id.db}.${meta.id.table} does not exist at $url " +
+            "(or has no columns); create it or fix database-name/table-name")
+      val missing = meta.schema.fieldNames.filterNot(f => present.contains(f.toLowerCase))
+      if (missing.nonEmpty)
+        throw new ValidationException(
+          s"table ${meta.id.db}.${meta.id.table} lacks declared columns " +
+            s"${missing.mkString(", ")} (present: ${present.toSeq.sorted.mkString(", ")})")
+      val off =
+        try logTail.currentOffset
+        catch { case e: Exception =>
+          throw new ValidationException(s"log tail unreachable: ${e.getMessage}", e) }
+      if (off < 0)
+        throw new ValidationException(s"log tail reports negative offset $off")
+    } finally c.close()
+  }
+
   override def keyBounds(table: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = {
     val c = connect()
     try {

@@ -793,7 +793,12 @@ final class CdcLogTableProvider extends TableProvider with DataSourceRegister {
 
   private def resolve(o: CaseInsensitiveStringMap): (CdcOptions, StructType, Seq[TableMeta]) = {
     val opts = CdcOptions.from(o)
-    val matched = opts.matchedTables(opts.resolveProvider())
+    val provider = opts.resolveProvider()
+    // fail misconfiguration at planning, before table discovery or any
+    // split exists (reference MySqlValidator runs in createEnumerator,
+    // mysql/source/MySqlSource.java:166-195)
+    provider.validate()
+    val matched = opts.matchedTables(provider)
     (opts, matched.head.schema, matched)
   }
 

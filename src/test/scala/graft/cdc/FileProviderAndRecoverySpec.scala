@@ -44,6 +44,35 @@ class FileProviderAndRecoverySpec extends SparkSpec {
     assert(rows === Set((1L, "scooter2", 5.18), (3L, "hammer", 1.0)))
   }
 
+  test("validate(): bad file-provider config fails loudly at planning") {
+    // empty root: no table dirs
+    val empty = Files.createTempDirectory("cdcfile_empty").toString
+    val e1 = intercept[Exception] {
+      spark.read.format("cdc-log").option("path", empty).load()
+    }
+    assert(e1.getMessage.contains("cdc-log validation failed") &&
+      e1.getMessage.contains("no table directories"))
+
+    // primaryKey column not in declared schema
+    val root = Files.createTempDirectory("cdcfile_badpk").toString
+    val dir = Paths.get(root, "db.t")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"db":"db","table":"t","primaryKey":["nope"],"schema":"id BIGINT","baseOffset":0}""")
+    Files.writeString(dir.resolve("snapshot.jsonl"), """{"id":1}""" + "\n")
+    val e2 = intercept[Exception] { new FileChangeLogProvider(root).validate() }
+    assert(e2.getMessage.contains("primaryKey columns nope"))
+
+    // table dir with meta.json but no data files at all
+    val root2 = Files.createTempDirectory("cdcfile_nodata").toString
+    val dir2 = Paths.get(root2, "db.t")
+    Files.createDirectories(dir2)
+    Files.writeString(dir2.resolve("meta.json"),
+      """{"db":"db","table":"t","primaryKey":["id"],"schema":"id BIGINT","baseOffset":0}""")
+    val e3 = intercept[Exception] { new FileChangeLogProvider(root2).validate() }
+    assert(e3.getMessage.contains("neither snapshot.jsonl nor log.jsonl"))
+  }
+
   test("schema history: DDL events surface as a control stream + point-in-time schema") {
     val root = Files.createTempDirectory("cdcschema").toString
     val dir = Paths.get(root, "inventory.products")

@@ -78,6 +78,38 @@ class JdbcProviderSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === (0 until 8).map(_ * 100000L))
   }
 
+  test("validate(): misconfiguration fails loudly at PLANNING (MySqlValidator analogue)") {
+    // missing table: the planning-time validator must name it, not let a
+    // chunk task fail deep inside a SELECT
+    val ghost = meta("NO_SUCH_TABLE")
+    val tail = new InMemoryChangeLogProvider(ghost, Seq.empty, Seq.empty)
+    ProviderRegistry.register("jdbc-ghost",
+      new JdbcChangeLogProvider(url, props, ghost, tail))
+    val e1 = intercept[Exception] {
+      spark.read.format("cdc-log").option("provider.name", "jdbc-ghost").load()
+    }
+    assert(e1.getMessage.contains("cdc-log validation failed") &&
+      e1.getMessage.contains("NO_SUCH_TABLE"))
+
+    // table exists but lacks a declared column: the scan SQL would
+    // reference it — fail with the column named, at planning
+    exec("""CREATE TABLE "APP"."NARROW" ("ID" BIGINT PRIMARY KEY)""")
+    val wide = meta("NARROW") // declares NAME/WEIGHT the table lacks
+    val e2 = intercept[Exception] {
+      new JdbcChangeLogProvider(url, props, wide,
+        new InMemoryChangeLogProvider(wide, Seq.empty, Seq.empty)).validate()
+    }
+    assert(e2.getMessage.contains("lacks declared columns") &&
+      e2.getMessage.contains("NAME"))
+
+    // unreachable store: connection failure surfaces as validation, with url
+    val e3 = intercept[Exception] {
+      new JdbcChangeLogProvider("jdbc:derby:memory:graft_absent", props, ghost,
+        tail).validate()
+    }
+    assert(e3.getMessage.contains("cdc-log validation failed"))
+  }
+
   test("streaming: JDBC snapshot then log-tail mutations with op semantics") {
     mkTable("STREAMED", 1L to 3L)
     val m = meta("STREAMED")
