@@ -256,6 +256,26 @@ object CdcOffset {
       else throw new IllegalArgumentException(s"bad key elem $e")
     }.toVector)
 
+  /** Codec for executor→driver observed-HW reports (the return path of the
+    * reference's FinishedSnapshotSplitsReportEvent carrying per-split high
+    * watermarks, mysql/source/reader/MySqlSourceReader.java:275-305):
+    * a chunk task that had to adopt a base newer than its cohort's pinned
+    * HW ships (table, range, observedHw) back through a Spark accumulator. */
+  def encodeObservedHw(tid: String, start: Option[Key], end: Option[Key], hw: Long): String = {
+    val m = new ObjectMapper()
+    val arr = m.createArrayNode()
+    arr.add(tid)
+    writeBound(arr, start)
+    writeBound(arr, end)
+    arr.add(hw)
+    m.writeValueAsString(arr)
+  }
+
+  def parseObservedHw(s: String): (String, Option[Key], Option[Key], Long) = {
+    val it = new ObjectMapper().readTree(s).elements().asScala.toSeq
+    (it.head.asText(), readBound(it(1)), readBound(it(2)), it(3).asLong())
+  }
+
   def parse(json: String): CdcOffset = {
     val root = new ObjectMapper().readTree(json).asInstanceOf[ObjectNode]
     val splits = root.get("splits").properties().asScala.map { e =>
@@ -302,10 +322,19 @@ final case class LogPartition(opts: CdcOptions, table: TableId, physical: Struct
     pk: Seq[String], fromExclusive: Long, toInclusive: Long,
     finished: Seq[FinishedChunk] = Seq.empty) extends InputPartition
 
-final case class CdcReaderFactory(produced: StructType) extends PartitionReaderFactory {
+/** `hwAcc` (streaming only) is the executor→driver report channel for a
+  * chunk whose base turned out NEWER than the pinned HW — see ChunkReader.
+  * It rides on the FACTORY, not the InputPartition: partitions deserialize
+  * with the Task object BEFORE a TaskContext exists, so an accumulator
+  * embedded there never registers and its updates are silently dropped;
+  * the factory deserializes from the task binary inside the running task,
+  * where registration works. */
+final case class CdcReaderFactory(produced: StructType,
+    hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: ChunkPartition => new ChunkReader(p, produced)
+      case p: ChunkPartition => new ChunkReader(p, produced, hwAcc)
       case p: LogPartition   => new LogReader(p, produced)
     }
 }
@@ -389,7 +418,8 @@ private[source] final class RowBuilder(physical: StructType, produced: StructTyp
   }
 }
 
-final class ChunkReader(p: ChunkPartition, produced: StructType)
+final class ChunkReader(p: ChunkPartition, produced: StructType,
+    hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None)
   extends PartitionReader[InternalRow] {
   private val provider = p.opts.resolveProvider()
   // extras mode: rows arrive in the table's CURRENT layout — re-resolve it
@@ -412,21 +442,29 @@ final class ChunkReader(p: ChunkPartition, produced: StructType)
     val range = SnapshotSplit(p.table, 0, p.start, p.end)
     val (baseOffset, base0) = provider.snapshotBase(p.table, range)
     val base = tracked(base0)
-    // Hard contract (the inverse of the reference's per-chunk LW/HW bracket,
-    // MySqlSnapshotSplitReadTask.java:139-160): the base must be consistent
-    // at an offset <= the cohort's pinned high watermark, else events
-    // committed between planning and this read would appear BOTH in the
-    // base rows and in later log batches — silent duplicates. A racing
-    // non-time-travel provider must fail loudly here.
-    if (baseOffset > p.upTo) throw new IllegalStateException(
-      s"provider returned snapshot base at offset $baseOffset > pinned high watermark " +
-        s"${p.upTo} for chunk ${p.table}[${p.start}..${p.end}); the provider must serve " +
-        "a base consistent at or before the planning offset (or time-travel to it)")
-    val catchUp = tracked(provider.log(p.table, baseOffset, p.upTo))
+    // Executor-side HW discovery (the reference's per-chunk LW/HW bracket,
+    // MySqlSnapshotSplitReadTask.java:124-163, discovered inside the read
+    // task). Normally the cohort's planning-time pinned HW bounds the fold
+    // and the chunk is byte-deterministic on replay. When commits raced the
+    // planning→read window and the provider cannot time-travel, the base
+    // arrives NEWER than the pin: the chunk is consistent at baseOffset, so
+    // adopt it as this chunk's OBSERVED high watermark and report it to the
+    // driver through the accumulator — the next offset raises this chunk's
+    // finished-HW, and the log-phase emit filter then suppresses
+    // (pinned, observed] for this range instead of duplicating it. The
+    // reference ships the same fact via FinishedSnapshotSplitsReportEvent.
+    val hwChunk = math.max(baseOffset, p.upTo)
+    if (baseOffset > p.upTo) hwAcc match {
+      case Some(acc) =>
+        acc.add(CdcOffset.encodeObservedHw(p.table.toString, p.start, p.end, baseOffset))
+      case None => () // bounded batch read: no log phase follows — the
+      // chunk simply reflects the (newer) store state at read time
+    }
+    val catchUp = tracked(provider.log(p.table, baseOffset, hwChunk))
       .filter(r => range.contains(keyOf(if (r.op == ChangeOp.Delete) r.before else r.after)))
     // snapshot rows: op='r', ts forced to 0 (reference RecordUtils.java:197-225)
     Normalizer.normalize(base, catchUp, keyOf)
-      .map(builder.build(_, ChangeOp.Read, 0L, p.upTo, "+I"))
+      .map(builder.build(_, ChangeOp.Read, 0L, hwChunk, "+I"))
   }
   private var cur: InternalRow = _
   override def next(): Boolean = { if (iter.hasNext) { cur = iter.next(); true } else false }
@@ -577,6 +615,43 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
 
   private lazy val provider = opts.resolveProvider()
 
+  /** Executor→driver return channel for chunk tasks whose base raced past
+    * their cohort's pinned HW (see ChunkReader): a Spark accumulator —
+    * task results carry the reports back, so this works across real
+    * executors, not just local mode. Never reset: applying a max-raise is
+    * idempotent, and the entry count is bounded by the number of racing
+    * chunks. If the driver dies before the raised HW reaches a persisted
+    * offset, the replayed chunk batch simply re-observes it — the same
+    * at-least-once window the reference has before a
+    * FinishedSnapshotSplitsReport lands in a checkpoint. */
+  private lazy val observedHwAcc: org.apache.spark.util.CollectionAccumulator[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) => s.sparkContext.collectionAccumulator("cdc-log observed chunk HWs")
+      // direct offset-API harnesses (no Spark jobs) read partitions in the
+      // same JVM: an unregistered local accumulator carries the reports
+      case None => new org.apache.spark.util.CollectionAccumulator[String]
+    }
+
+  /** Raise finished-chunk HWs to any executor-observed values, so the log
+    * phase suppresses exactly what racing chunks already folded. */
+  private def applyObservedHws(s: CdcOffset): CdcOffset = {
+    val reports = observedHwAcc.value
+    if (reports.isEmpty || s.finished.isEmpty) s
+    else {
+      val raises = reports.asScala.map(CdcOffset.parseObservedHw)
+        .groupBy(r => (r._1, r._2, r._3))
+        .map { case (k, rs) => k -> rs.map(_._4).max }
+      val fin = s.finished.map { case (tid, cs) =>
+        tid -> cs.map { c =>
+          raises.get((tid, c.start, c.end))
+            .map(h => c.copy(hw = math.max(c.hw, h))).getOrElse(c)
+        }
+      }
+      s.copy(finished = fin)
+    }
+  }
+
   /** Trigger.AvailableNow: the bounded catch-up run processes everything
     * up to the log position observed at query start, then stops — the
     * standard CDC backfill pattern. Events committed after preparation are
@@ -651,7 +726,7 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[CdcOffset]
+    val s = applyObservedHws(start.asInstanceOf[CdcOffset])
     if (!s.snapshotDone) {
       // snapshot phase: admit the next cohort, pin its HW now
       val cur = observedOffset()
@@ -754,7 +829,8 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     (chunks ++ logs).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory(produced)
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdcReaderFactory(produced, Some(observedHwAcc))
   override def deserializeOffset(json: String): Offset = CdcOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -214,23 +214,22 @@ class CdcCohortAndKeysSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------------
-  // racing provider → hard error
+  // racing provider → executor-side HW adoption (batch path)
   // -------------------------------------------------------------------------
 
-  test("a provider whose base races past the pinned HW fails loudly (no silent duplicates)") {
+  test("a provider whose base races past the pinned HW: chunk adopts the newer base (batch)") {
     val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
     val meta = TableMeta(TableId("inv", "racy"), schema, Seq("id"))
     // staleOffset=50 simulates a store that serves a NEWER base than the
-    // planning-time pin (currentOffset=0, no log) — the contract violation
+    // planning-time pin (currentOffset=0, no log). Batch reads have no log
+    // phase to reconcile against, so the chunk simply reflects the newer
+    // base — exactly once, no failure. (The streaming path additionally
+    // reports the observed HW back — CdcRacingBaseSpec.)
     val p = new InMemoryChangeLogProvider(meta, Seq(Array[Any](1L, "a")), Seq.empty,
       staleOffset = 50)
     ProviderRegistry.register("racy", p)
-    val ex = intercept[Exception] {
-      spark.read.format("cdc-log").option("provider.name", "racy").load().collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("pinned high watermark")),
-      s"expected the HW-contract error, got: ${messages(ex)}")
+    val rows = spark.read.format("cdc-log").option("provider.name", "racy").load().collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "r")))
   }
 }

@@ -53,6 +53,38 @@ class CohortStateMachinePropertySpec extends AnyFunSuite {
       inner.log(t, from, to)
   }
 
+  /** Race schedule: commits land INSIDE the planning→read window. The
+    * first snapshotBase call for each distinct chunk range commits the next
+    * script group and then serves the FRESH state at the new offset — so
+    * the base arrives NEWER than the cohort's pinned HW (the exact scenario
+    * the reference's executor-side LW/HW bracket exists for,
+    * MySqlSnapshotSplitReadTask.java:124-163). currentOffset probes also
+    * drain the script so the log phase advances. Repeat reads of a range
+    * commit nothing — task-retry determinism holds between commits. */
+  private final class RacingProvider(val inner: InMemoryChangeLogProvider,
+      script: Iterator[Seq[LogRecord]]) extends ChangeLogProvider {
+    private val seenRanges = scala.collection.mutable.Set.empty[(Option[ChunkKey.Key], Option[ChunkKey.Key])]
+    override def tables: Seq[TableMeta] = inner.tables
+    override def currentOffset: Long = synchronized {
+      if (script.hasNext) script.next().foreach(inner.append(_))
+      inner.currentOffset
+    }
+    override def keyBounds(t: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = inner.keyBounds(t)
+    override def nextChunkEnd(t: TableId, from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] =
+      inner.nextChunkEnd(t, from, n)
+    override def snapshotBase(t: TableId, r: SnapshotSplit): (Long, Iterator[Array[Any]]) =
+      synchronized {
+        if (seenRanges.add((r.start, r.end)) && script.hasNext)
+          script.next().foreach(inner.append(_))
+        val off = inner.currentOffset
+        val keyIdx = inner.tables.head.schema.fieldIndex(inner.tables.head.primaryKey.head)
+        (off, inner.stateAt(off).iterator.filter(row =>
+          r.contains(ChunkKey.of(row(keyIdx)))))
+      }
+    override def log(t: TableId, from: Long, to: Long): Iterator[LogRecord] =
+      inner.log(t, from, to)
+  }
+
   private val scenarioGen = for {
     nBase <- Gen.choose(0, 30)
     nOps <- Gen.choose(0, 50)
@@ -85,9 +117,45 @@ class CohortStateMachinePropertySpec extends AnyFunSuite {
           case _ => off -= 1; None
         }
       }
-      val provider = new SteppingProvider(
-        new InMemoryChangeLogProvider(meta, base, Seq.empty, staleOffset = 0),
-        recs.grouped(perStep).toList.iterator)
+      val inner = new InMemoryChangeLogProvider(meta, base, Seq.empty, staleOffset = 0)
+      val provider = new SteppingProvider(inner, recs.grouped(perStep).toList.iterator)
+      drive(provider, inner, chunkSize, maxChunks,
+        s"nBase=$nBase ops=${recs.size} chunk=$chunkSize cohort=$maxChunks perStep=$perStep")
+    })
+  }
+
+  test("RACING schedule: base newer than pinned HW (commits inside planning→read window)") {
+    check(Prop.forAll(scenarioGen) { case (nBase, opKinds, chunkSize, maxChunks, perStep) =>
+      val base = (0 until nBase).map(i => row(i * 2L, i.toLong))
+      val model = scala.collection.mutable.LinkedHashMap[Long, Array[Any]](
+        base.map(r => r(0).asInstanceOf[Long] -> r): _*)
+      var off = 0L
+      val recs = opKinds.flatMap { case (kind, key, v) =>
+        off += 1
+        kind match {
+          case 0 if !model.contains(key) =>
+            model.put(key, row(key, v)); Some(LogRecord(off, ChangeOp.Create, tid, null, row(key, v), off))
+          case 1 if model.contains(key) =>
+            val b = model(key); model.put(key, row(key, v))
+            Some(LogRecord(off, ChangeOp.Update, tid, b, row(key, v), off))
+          case 2 if model.contains(key) =>
+            val b = model.remove(key).get
+            Some(LogRecord(off, ChangeOp.Delete, tid, b, null, off))
+          case _ => off -= 1; None
+        }
+      }
+      val inner = new InMemoryChangeLogProvider(meta, base, Seq.empty, staleOffset = 0)
+      val provider = new RacingProvider(inner, recs.grouped(perStep).toList.iterator)
+      drive(provider, inner, chunkSize, maxChunks,
+        s"RACING nBase=$nBase ops=${recs.size} chunk=$chunkSize cohort=$maxChunks perStep=$perStep")
+    })
+  }
+
+  /** Drives the stream through the DSv2 offset API and checks exactly-once
+    * + exact final state. Returns the Prop result. */
+  private def drive(provider: ChangeLogProvider, inner: InMemoryChangeLogProvider,
+      chunkSize: Int, maxChunks: Int, label: String): Boolean = {
+    {
       val name = s"prop-${counter.incrementAndGet()}"
       ProviderRegistry.register(name, provider)
 
@@ -156,12 +224,11 @@ class CohortStateMachinePropertySpec extends AnyFunSuite {
         case (id, _, "d", _, _)        => mat.remove(id)
         case other => throw new IllegalStateException(s"unexpected row $other")
       }
-      val expected = provider.inner.stateAt(Long.MaxValue)
+      val expected = inner.stateAt(Long.MaxValue)
         .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
       val ok = !dup && mat.toMap == expected && rounds < 200
-      if (!ok) println(s"FAIL nBase=$nBase ops=${recs.size} chunk=$chunkSize " +
-        s"cohort=$maxChunks perStep=$perStep dup=$dup rounds=$rounds\n  got=${mat.toMap}\n  exp=$expected")
+      if (!ok) println(s"FAIL $label dup=$dup rounds=$rounds\n  got=${mat.toMap}\n  exp=$expected")
       ok
-    })
+    }
   }
 }
