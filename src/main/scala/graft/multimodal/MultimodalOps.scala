@@ -19,8 +19,9 @@ final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   *    kernels (`Dataset.mapPartitions`, the JVM analogue of `mapInPandas`):
   *    one kernel instance per partition, streaming iterator in/out, no
   *    driver involvement, partitioning preserved (no Exchange in the plan);
-  *  - the decode kernels themselves are STUBS (this container has no
-  *    image/audio codecs): deterministic byte-level fakes, clearly marked.
+  *  - IMAGE decode is REAL (`decodeImageMetaReal`, javax.imageio from the
+  *    JDK, header-only parse); the audio/video kernels remain deterministic
+  *    byte-level fakes, clearly marked (this container has no av codecs).
   *    Swapping in a real codec changes only the kernel body — schema,
   *    batching, and plan shape stay as tested.
   */
@@ -51,6 +52,42 @@ object MultimodalOps {
         val w = 64 + (if (b.length > 0) (b(0) & 0xFF) % 512 else 0)
         val h = 64 + (if (b.length > 1) (b(1) & 0xFF) % 512 else 0)
         ImageMeta(m.doc_id, w, h, 3, b.length.toLong)
+      }
+    }
+  }
+
+  /** REAL image decode kernel backed by `javax.imageio` (ships in the JDK —
+    * no new dependency): header-only parse — `ImageReader.getWidth/getHeight`
+    * read the format header, not pixels, so the kernel is O(header) per row
+    * regardless of payload size (the property that matters when the payload
+    * column is terabytes of images). Plan shape identical to the stub
+    * kernel: one reader per partition element stream, no Exchange.
+    * Undecodable payloads map to `ImageMeta(doc_id, -1, -1, 0, nBytes)` —
+    * routable to quarantine, never a silent drop or a task failure. */
+  def decodeImageMetaReal(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.modality == "image").map { m =>
+        val bad = ImageMeta(m.doc_id, -1, -1, 0, m.content.length.toLong)
+        var iis: javax.imageio.stream.ImageInputStream = null
+        try {
+          iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) bad
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              val w = r.getWidth(0)
+              val h = r.getHeight(0)
+              val types = r.getImageTypes(0)
+              val channels = if (types.hasNext) types.next().getNumComponents else 3
+              ImageMeta(m.doc_id, w, h, channels, m.content.length.toLong)
+            } finally r.dispose()
+          }
+        } catch { case _: Exception => bad }
+        finally if (iis != null) iis.close()
       }
     }
   }

@@ -28,6 +28,48 @@ class MultimodalSpec extends SparkSpec {
       again.map(m => (m.doc_id, m.width, m.height)).sortBy(_._1).toSeq)
   }
 
+  test("REAL codec kernel: javax.imageio header parse of actual PNGs/JPEGs") {
+    import spark.implicits._
+    // real image bytes, generated in-test (BufferedImage → PNG/JPEG encode)
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8040)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def mrow(id: Long, bytes: Array[Byte], modality: String = "image") =
+      MediaRow(id, modality, bytes, MediaMeta("img", bytes.length.toLong))
+    val rows = Seq(
+      mrow(1L, png(320, 240)),
+      mrow(2L, png(17, 93)),
+      mrow(3L, jpeg(64, 48)),
+      mrow(4L, Array[Byte](1, 2, 3, 4)), // not an image → routable sentinel
+      mrow(5L, png(10, 10), modality = "audio")) // non-image → filtered out
+    val ds = spark.createDataset(rows)
+    val metas = MultimodalOps.decodeImageMetaReal(ds).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas.keySet === Set(1L, 2L, 3L, 4L))
+    assert((metas(1L).width, metas(1L).height, metas(1L).channels) === ((320, 240, 3)))
+    assert((metas(2L).width, metas(2L).height) === ((17, 93)))
+    assert((metas(3L).width, metas(3L).height, metas(3L).channels) === ((64, 48, 3)))
+    assert((metas(4L).width, metas(4L).height, metas(4L).channels) === ((-1, -1, 0)))
+    assert(metas(4L).n_bytes === 4L)
+    // same no-Exchange contract as the stub kernel
+    val plan = MultimodalOps.decodeImageMetaReal(ds)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange(") && !plan.contains("ShuffleExchange"),
+      s"unexpected shuffle in real-decode plan:\n$plan")
+  }
+
   test("decode adds no shuffle: plan has no Exchange") {
     val plan = MultimodalOps.decodeImageMeta(media).queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"unexpected shuffle in decode plan:\n$plan")
