@@ -161,21 +161,61 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
     new CloseableIterator(it, () => br.close())
   }
 
-  /** The `after` struct schema from the first envelope's schema block.
-    * `take(1)` never exhausts the iterator (close only fires on
-    * exhaustion), so close explicitly — this runs once per table dir per
-    * task and leaked one fd per call before. */
-  private def firstEnvelopeAfterSchema(dir: String): Option[JsonNode] = {
-    val it = rawLines(s"$dir/events.jsonl")
-    val first = try it.take(1).toSeq.headOption finally it.close()
-    first.flatMap { node =>
+  /** The `after` struct schemas of EVERY envelope schema block in capture
+    * order — the archived-topic half of the reference's continuous schema
+    * tracking (MySqlSchema evolving from DDL events, history via
+    * debezium/history/FlinkJsonTableChangeSerializer.java): a topic whose
+    * producer added a column mid-stream carries a fresh schema block on the
+    * first envelope after the change. One streaming pass; the iterator is
+    * exhausted, so the fd closes on exhaustion. */
+  private def allAfterSchemas(dir: String): Seq[JsonNode] =
+    rawLines(s"$dir/events.jsonl").flatMap { node =>
       Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
         sch.get("fields").elements().asScala.find(f => f.get("field").asText() == "after")
       }
+    }.toSeq
+
+  /** Union the after-struct fields across all schema blocks: fields keep
+    * first-seen ORDER (old rows stay positionally stable), a field's codec
+    * comes from the LAST block mentioning it. A column added mid-file thus
+    * appears in the table's current schema; rows written before it decode
+    * to null for it (payload lookup is by name), and
+    * `schema.evolution.mode=extras` carries it downstream without restart.
+    * A TYPE change mid-file takes the new codec — typed promotion of
+    * already-read rows still requires restart (F7, README "Known gaps"). */
+  private def unionCodecs(blocks: Seq[JsonNode]): Seq[Codec] = {
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Codec]
+    blocks.foreach { after =>
+      after.get("fields").elements().asScala.foreach { f =>
+        val (dt, dec) = codecOf(f)
+        acc.put(f.get("field").asText(), Codec(f.get("field").asText(), dt, dec))
+      }
+    }
+    acc.values.toSeq
+  }
+
+  /** Table metadata cache keyed by the events files' lengths: an archived
+    * topic a tail is still appending to (possibly with new schema blocks)
+    * re-resolves on growth, so mid-STREAM drift is picked up at the next
+    * planning probe, not just at query start. */
+  @transient private var dirCache: (Seq[(String, Long)], Seq[TableDir]) = null
+
+  private def tableDirs: Seq[TableDir] = synchronized {
+    val key = Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
+      .map { d =>
+        val ev = d.resolve("events.jsonl")
+        d.toString -> (if (Files.exists(ev)) Files.size(ev) else 0L)
+      }
+    if (dirCache != null && dirCache._1 == key) dirCache._2
+    else {
+      val built = buildTableDirs()
+      dirCache = (key, built)
+      built
     }
   }
 
-  @transient private lazy val tableDirs: Seq[TableDir] = {
+  private def buildTableDirs(): Seq[TableDir] = {
     val dirs = Files.list(Paths.get(root)).iterator().asScala
       .filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
     dirs.map { d =>
@@ -188,16 +228,15 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
         if (m.hasNonNull("db")) m.get("db").asText() else fallback.db,
         if (m.hasNonNull("table")) m.get("table").asText() else fallback.table)
       val pk = m.get("primaryKey").elements().asScala.map(_.asText()).toSeq
-      val codecs: Seq[Codec] = firstEnvelopeAfterSchema(d.toString) match {
-        case Some(after) => after.get("fields").elements().asScala.toSeq.map { f =>
-          val (dt, dec) = codecOf(f); Codec(f.get("field").asText(), dt, dec)
-        }
-        case None =>
+      val blocks = allAfterSchemas(d.toString)
+      val codecs: Seq[Codec] =
+        if (blocks.nonEmpty) unionCodecs(blocks)
+        else {
           require(m.hasNonNull("schema"),
             s"$dirName: no envelope schema block and no meta.json schema DDL")
           StructType.fromDDL(m.get("schema").asText()).fields.toSeq
             .map(f => Codec(f.name, f.dataType, plainDec(f.dataType)))
-      }
+        }
       TableDir(TableMeta(id, StructType(codecs.map(c => StructField(c.name, c.dataType))), pk),
         codecs, d.toString,
         if (m.hasNonNull("offsetField")) Some(m.get("offsetField").asText()) else None)
@@ -272,6 +311,29 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
   }
 
   override def tables: Seq[TableMeta] = tableDirs.map(_.meta)
+
+  /** Planning-time prerequisites (ChangeLogProvider.validate): root layout,
+    * parseable meta.json + schema source, pk present in the decoded schema,
+    * events file present. */
+  override def validate(): Unit = {
+    if (!Files.isDirectory(Paths.get(root)))
+      throw new ValidationException(s"provider root '$root' is not a directory")
+    val ts =
+      try tableDirs
+      catch { case e: Exception =>
+        throw new ValidationException(s"unreadable table metadata under $root: ${e.getMessage}", e) }
+    if (ts.isEmpty)
+      throw new ValidationException(s"no table directories (with meta.json) under $root")
+    ts.foreach { t =>
+      val missing = t.meta.primaryKey.filterNot(t.meta.schema.fieldNames.contains)
+      if (missing.nonEmpty)
+        throw new ValidationException(
+          s"table ${t.meta.id}: primaryKey columns ${missing.mkString(", ")} " +
+            s"not in schema ${t.meta.schema.fieldNames.mkString(", ")}")
+      if (!Files.exists(Paths.get(t.dir, "events.jsonl")))
+        throw new ValidationException(s"table ${t.meta.id}: no events.jsonl in ${t.dir}")
+    }
+  }
 
   override def currentOffset: Long =
     tableDirs.map(t => events(t).foldLeft(0L)((m, e) => math.max(m, e.offset)))

@@ -154,6 +154,76 @@ class DebeziumJsonProviderSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schema drift mid-file: union schema, old rows null for the added column") {
+    val root = Files.createTempDirectory("dbzdrift")
+    val dir = root.resolve("shop.items")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"), """{"primaryKey":["id"]}""")
+    def sch(cols: String) =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[$cols]},
+         |{"type":"struct","optional":true,"field":"after","fields":[$cols]}]}"""
+        .stripMargin.replace("\n", "")
+    val v1 = sch("""{"type":"int64","field":"id"},{"type":"string","field":"name"}""")
+    val v2 = sch("""{"type":"int64","field":"id"},{"type":"string","field":"name"},{"type":"string","field":"color"}""")
+    // producer added `color` mid-topic: fresh schema block on the first
+    // envelope after the change (what Debezium actually emits)
+    Files.writeString(dir.resolve("events.jsonl"),
+      s"""{"schema":$v1,"payload":{"before":null,"after":{"id":1,"name":"a"},"op":"r","ts_ms":1}}
+         |{"before":null,"after":{"id":2,"name":"b"},"op":"c","ts_ms":2}
+         |{"schema":$v2,"payload":{"before":null,"after":{"id":3,"name":"c","color":"red"},"op":"c","ts_ms":3}}
+         |""".stripMargin)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    assert(p.tables.head.schema.fieldNames.toSeq === Seq("id", "name", "color"),
+      "current table schema is the union, fields in first-seen order")
+    val rows = spark.read.format("cdc-log")
+      .option("path", root.toString).option("path.format", "debezium-json").load()
+      .select("id", "name", "color").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows === Set((1L, "a", None), (2L, "b", None), (3L, "c", Some("red"))))
+  }
+
+  test("schema drift mid-STREAM: appended schema block flows into _extras, no restart") {
+    val root = Files.createTempDirectory("dbzdrift2")
+    val dir = root.resolve("shop.items")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"), """{"primaryKey":["id"]}""")
+    def sch(cols: String) =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[$cols]},
+         |{"type":"struct","optional":true,"field":"after","fields":[$cols]}]}"""
+        .stripMargin.replace("\n", "")
+    val v1 = sch("""{"type":"int64","field":"id"},{"type":"string","field":"name"}""")
+    val v2 = sch("""{"type":"int64","field":"id"},{"type":"string","field":"name"},{"type":"string","field":"color"}""")
+    Files.writeString(dir.resolve("events.jsonl"),
+      s"""{"schema":$v1,"payload":{"before":null,"after":{"id":1,"name":"a"},"op":"r","ts_ms":1}}
+         |""".stripMargin)
+    val df = spark.readStream.format("cdc-log")
+      .option("path", root.toString).option("path.format", "debezium-json")
+      .option("schema.evolution.mode", "extras")
+      .load()
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "op", "_extras"))
+    val q = df.writeStream.format("memory").queryName("dbz_drift_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dbz_drift_sink").count() === 1)
+      // the topic tail appends: new schema block + an event using it
+      Files.writeString(dir.resolve("events.jsonl"),
+        Files.readString(dir.resolve("events.jsonl")) +
+          s"""{"schema":$v2,"payload":{"before":null,"after":{"id":2,"name":"b","color":"red"},"op":"c","ts_ms":2}}
+             |""".stripMargin)
+      q.processAllAvailable()
+      val rows = spark.table("dbz_drift_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getMap[String, String](3).toMap)).toSet
+      assert(rows === Set(
+        (1L, "a", "r", Map.empty[String, String]),
+        (2L, "b", "c", Map("color" -> "red"))),
+        "mid-stream added column rides in _extras without restart")
+    } finally q.stop()
+  }
+
   test("DDL fallback: payload-only events + meta.json schema") {
     val root = Files.createTempDirectory("dbzddl")
     val dir = root.resolve("shop.items")
