@@ -112,6 +112,31 @@ object CdcQueries {
         .select("k", "price", "st").orderBy("k")
     }),
 
+    // the SINK under the hash gate: the changelog streams through
+    // UpsertSink.upsertParquet (hash-bucketed parquet state, per-bucket
+    // crash-safe swaps) across several micro-batches; the on-disk state
+    // table must hash-match the same closed-form oracle as q24. Sink
+    // mechanics (bucketing, recovery, idempotent replay) are spec-tested
+    // in UpsertSinkSpec; this pins its end-to-end merge arithmetic.
+    "q78_upsert_sink_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q78_")
+      tmp.toFile.deleteOnExit()
+      val in = tmp.resolve("in").toString
+      val out = tmp.resolve("state").toString
+      val cl = changelog(s, dir)
+      cl.repartition(4).write.mode("overwrite").parquet(in)
+      val stream = s.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", "2").parquet(in)
+      val q = graft.streaming.UpsertSink
+        .upsertParquet(stream, Seq("k"), out, numBuckets = 16)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.UpsertSink.readState(s, out)
+        .select("k", "price", "st").orderBy("k")
+    }),
+
     // SCD2 history: every state each key held with its validity interval
     // (the temporal-table view downstream warehouses build from CDC)
     "q69_scd2_history" -> ((s, dir) =>
@@ -248,6 +273,14 @@ object CdcQueries {
     // source (chunked snapshot + per-chunk log fold) instead of relational
     // flattening
     "q73_source_state" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+        |  o_orderstatus AS st
+        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+
+    // same closed-form final state as q24 — reached through the bucketed
+    // upsert SINK's on-disk parquet state
+    "q78_upsert_sink_state" ->
       """SELECT o_orderkey AS k,
         |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
         |  o_orderstatus AS st

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.operators.ChangelogOps
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,7 +13,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * State is HASH-BUCKETED by primary key: the target directory holds
   * `__gb=<i>` Hive-style partition subdirectories (i = murmur3(pk) mod B).
   * Each micro-batch merges by primary key with last-writer-wins on
-  * (op_offset, after-image-wins); deletes drop the row. Only buckets that
+  * (op_offset, after-image-wins); deletes persist as TOMBSTONE rows
+  * (filtered by [[readState]], purged by [[compact]]) so a delete keeps
+  * winning against lower-offset events arriving in later batches. Only
+  * buckets that
   * contain a touched key are read and rewritten — untouched bucket files
   * are never opened, so per-batch I/O is O(touched state), not O(state).
   * That is the difference between a demo sink and one whose 100 TB state
@@ -56,12 +58,23 @@ object UpsertSink {
       mergeBatch(batch, pkCols, path, numBuckets)
     }
 
-  /** Read the current-state table without sink-internal columns. */
+  /** Read the current-state table: tombstones filtered, sink-internal and
+    * changelog columns dropped. */
   def readState(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(BucketCol)
+    spark.read.parquet(path).filter(col("op") =!= "d")
+      .drop("op", "op_offset", "row_kind", BucketCol)
 
   /** One merge step: previous snapshot ∪ batch → last-wins state. Exposed
-    * for tests and for batch backfills (same algebra, no stream). */
+    * for tests and for batch backfills (same algebra, no stream).
+    *
+    * State rows keep their winning event's (op, op_offset, row_kind) —
+    * including DELETES as tombstone rows. Tombstones are what make the
+    * merge correct when events for a key arrive across batches out of
+    * offset order (a delete at offset 9 in batch N must defeat a create at
+    * offset 5 arriving in batch N+1): without them the delete's victory is
+    * forgotten the moment the row leaves the state file. [[readState]]
+    * filters them; [[compact]] purges them once the caller knows no
+    * lower-offset stragglers remain. */
   def mergeBatch(batch: DataFrame, pkCols: Seq[String], path: String,
       numBuckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
@@ -82,22 +95,25 @@ object UpsertSink {
 
     val existing = touched.toSeq.sorted
       .map(i => new Path(target, s"$BucketCol=$i")).filter(fs.exists(_))
-    // previous state re-enters the merge as a changelog of plain inserts
-    // that lose to ANY batch event for the same key (offset -1). Reading
-    // bucket leaf dirs directly skips partition discovery, so no __gb
-    // column rides along; only touched buckets are ever opened.
+    // previous state re-enters the merge carrying its winning events'
+    // offsets, so replay is idempotent and stragglers lose to what already
+    // won. Reading bucket leaf dirs directly skips partition discovery, so
+    // no __gb column rides along; only touched buckets are ever opened.
     val prev =
-      if (existing.nonEmpty)
-        spark.read.parquet(existing.map(_.toString): _*)
-          .withColumn("op", lit("r"))
-          .withColumn("op_offset", lit(-1L))
-          .withColumn("row_kind", lit("+I"))
+      if (existing.nonEmpty) spark.read.parquet(existing.map(_.toString): _*)
       else batch.limit(0)
 
     // One shuffle job writes every touched bucket's new contents under
     // _tmp/__gb=<i>; merged rows can only hash into touched buckets (prev
-    // came from them, batch defines them).
-    val merged = ChangelogOps.materializeExact(prev.unionByName(batch), pkCols)
+    // came from them, batch defines them). Last event per key wins —
+    // (op_offset, after-image-beats-before-image), tombstones retained.
+    val seq = struct(col("op_offset"),
+      when(col("row_kind") === "-U", 0).otherwise(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col): _*).orderBy(seq.desc)
+    val merged = prev.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
       .withColumn(BucketCol, bucketOf.cast("int"))
     val tmp = new Path(target, "_tmp")
     merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
@@ -114,6 +130,36 @@ object UpsertSink {
       if (fs.exists(aside)) fs.delete(aside, true)
       if (fs.exists(live)) renameOrDie(fs, live, aside)
       // a bucket emptied by deletes has no staged dir: absent bucket = empty
+      if (fs.exists(staged)) renameOrDie(fs, staged, live)
+      fs.delete(aside, true)
+    }
+    fs.delete(tmp, true)
+  }
+
+  /** Purge tombstone rows from every bucket — run when the caller knows no
+    * event with a lower offset than any tombstone can still arrive (e.g.
+    * the stream is caught up, or the upstream log is offset-ordered per
+    * key, which a real binlog is). Same per-bucket crash-safe swap as the
+    * merge; a bucket left fully empty is removed. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, path)
+    val bucketDirs = if (fs.exists(target))
+      fs.listStatus(target).map(_.getPath).filter(_.getName.startsWith(s"$BucketCol="))
+    else Array.empty[Path]
+    if (bucketDirs.isEmpty) return
+    val tmp = new Path(target, "_tmp")
+    // partition discovery supplies __gb; live rows rewrite, tombstones drop
+    spark.read.parquet(path).filter(col("op") =!= "d")
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    val old = new Path(target, "_old")
+    fs.mkdirs(old)
+    bucketDirs.sortBy(_.getName).foreach { live =>
+      val staged = new Path(tmp, live.getName)
+      val aside = new Path(old, live.getName)
+      if (fs.exists(aside)) fs.delete(aside, true)
+      renameOrDie(fs, live, aside)
       if (fs.exists(staged)) renameOrDie(fs, staged, live)
       fs.delete(aside, true)
     }

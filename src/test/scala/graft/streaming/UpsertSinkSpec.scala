@@ -61,6 +61,30 @@ class UpsertSinkSpec extends SparkSpec {
     assert(once == Seq((1L, 1.5)) && twice == once)
   }
 
+  test("tombstones defeat lower-offset stragglers across batches; compact purges them") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert5_")
+    val out = tmp.resolve("state").toString
+    // out-of-order across batches: the delete (offset 10) lands in batch 1,
+    // the create it deletes (offset 5) straggles into batch 2
+    UpsertSink.mergeBatch(
+      Seq(row(9L, 9.0, "d", 10, "+I"), row(1L, 1.0, "c", 1, "+I")).toDF(cols: _*),
+      Seq("k"), out)
+    UpsertSink.mergeBatch(
+      Seq(row(9L, 8.0, "c", 5, "+I"), row(2L, 2.0, "c", 2, "+I")).toDF(cols: _*),
+      Seq("k"), out)
+    val live = UpsertSink.readState(spark, out).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(live == Seq((1L, 1.0), (2L, 2.0)),
+      "the straggling create must lose to the higher-offset tombstone")
+    // the tombstone is IN the state files, just not in readState
+    assert(spark.read.parquet(out).filter($"op" === "d").count() == 1)
+    UpsertSink.compact(spark, out)
+    assert(spark.read.parquet(out).filter($"op" === "d").count() == 0)
+    val after = UpsertSink.readState(spark, out).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == live, "compaction only removes tombstones")
+  }
+
   test("recover restores a bucket caught between its two swap renames") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert3_")
     val out = tmp.resolve("state").toString
