@@ -113,4 +113,51 @@ object TextStats {
           .otherwise(col("n_shared_spans").cast("double") / col("n_spans").cast("double"))
           .as("shared_frac"))
   }
+
+  /** Unigram-LM token-rarity scoring — the cheap perplexity proxy of a
+    * corpus pipeline (a doc whose tokens are all corpus-frequent is
+    * boilerplate-ish; one full of corpus-rare tokens is noise/garble; the
+    * quality band lives in between). Two passes over the exploded tokens:
+    * corpus counts (one shuffle keyed on token — Zipf-bounded cardinality,
+    * map-side combined), then a token→count join (same key, so the
+    * exchange is reused / broadcastable when the vocab fits) aggregated
+    * per doc. The mean frequency uses the decimal-exact dsum pattern so
+    * results hash-match across engines; integer `rarest` is the doc's
+    * hardest token. `splitOn` must match the oracle's tokenization. */
+  def tokenRarity(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", splitOn: String = " "): DataFrame = {
+    import graft.Q.{cnt, dsum}
+    val toks = docs.select(col(idCol), explode(split(col(textCol), splitOn)).as("tok"))
+    val counts = toks.groupBy("tok").agg(cnt.as("__c"))
+    toks.join(counts, "tok")
+      .groupBy(idCol)
+      .agg(cnt.as("n_tokens"),
+        (dsum(col("__c")) / cnt).as("mean_tok_freq"),
+        min(col("__c")).as("rarest"))
+  }
+
+  /** Cross-document repeated-span catalog — the cross-doc complement of
+    * [[repeatedSpanStats]] and the seed step of exact-substring dedup (cf.
+    * "Deduplicating Training Data Makes Language Models Better": long
+    * byte-spans shared verbatim across documents are memorization fuel).
+    * Emits every `spanLen`-char window at `stride` offsets and keeps spans
+    * occurring in ≥ `minDocs` distinct docs. One shuffle keyed on the
+    * span; at 100 TB the span key should be hashed to 64-bit pre-shuffle
+    * (carry longs, not strings — re-derive the top spans by a second
+    * filtered pass); kept as strings here so the result is directly
+    * SQL-oracle-comparable. */
+  def crossDocSpans(docs: DataFrame, spanLen: Int = 32, stride: Int = 16,
+      minDocs: Int = 2, topK: Int = 100, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.Q.cnt
+    val windows = docs.filter(length(col(textCol)) >= spanLen)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, length($textCol) - ${spanLen - 1}, $stride), " +
+          s"i -> substring($textCol, i, $spanLen))")).as("span"))
+    windows.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("n_docs"), cnt.as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(topK)
+  }
 }

@@ -219,6 +219,18 @@ object DataQueries {
       graft.operators.TextStats.repeatedSpanStats(t(s, dir, "documents"),
         "doc_id", "text", w = 3, portable = true).orderBy("doc_id")),
 
+    // unigram-LM token rarity (cheap perplexity proxy): per doc, mean and
+    // min corpus frequency of its tokens — decimal-exact mean so the
+    // double hash-matches DuckDB
+    "q79_token_rarity" -> ((s, dir) =>
+      graft.operators.TextStats.tokenRarity(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // cross-document repeated-span catalog (exact-substring dedup seeds):
+    // top 32-char windows (stride 16) shared verbatim by >= 2 docs
+    "q80_cross_doc_spans" -> ((s, dir) =>
+      graft.operators.TextStats.crossDocSpans(t(s, dir, "documents"))),
+
     // SQL surface: the same native expressions resolved by NAME through
     // spark.sql — registration via the function registry (GraftFunctions)
     "q77_sql_functions" -> ((s, dir) => {
@@ -568,6 +580,28 @@ object DataQueries {
         |  CAST(len(regexp_extract_all(t3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
         |  regexp_replace(t3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS text_scrubbed
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // unigram corpus counts joined back per token, decimal-exact mean
+    "q79_token_rarity" ->
+      """WITH toks AS (SELECT doc_id, u.t AS tok
+        |              FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CAST(c.c AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_tok_freq,
+        |  MIN(c.c) AS rarest
+        |FROM toks t JOIN counts c ON t.tok = c.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // 32-char windows at stride 16, shared verbatim across >= 2 docs
+    "q80_cross_doc_spans" ->
+      """SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       COUNT(*) AS n_occ
+        |FROM (SELECT doc_id, substring(text, CAST(i AS INT), 32) AS span
+        |      FROM (SELECT doc_id, text,
+        |              unnest(range(1, length(text) - 31 + 1, 16)) AS i
+        |            FROM documents WHERE length(text) >= 32))
+        |GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 100""".stripMargin,
 
     // distinct 3-token spans per doc (md5-keyed), spans shared by >= 2 docs
     "q76_repeated_spans" ->
