@@ -374,6 +374,27 @@ object Similarity {
         greatest(col("a.id"), col("b.id")).as("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (cf. Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): IVF-cell-blocked cosine pairs above `minSim` →
+    * star-contraction connected components → ONE representative (min id)
+    * kept per component; singletons keep themselves. Output one row per
+    * input id: (id, cluster_id, kept). Every stage is an already-audited
+    * bucketed shape — broadcast centroids, cell-local pair joins (never
+    * all-pairs), O(log n)-round clustering — so the composition inherits
+    * the 100 TB story of its parts. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
+    val pairs = cosineNearDupPairs(emb, idCol, vecCol, minSim, ncells, blocks)
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "id")
+    emb.select(col(idCol).cast("bigint").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster_id"),
+        (coalesce(col("component"), col("id")) === col("id")).as("kept"))
+  }
+
   /** Per-label centroid of an embedding column, one flat row per
     * (label, dimension) — the nearest-class-mean building block.
     * Components are quantized to integers first (same 2²⁴ grid as

@@ -99,6 +99,13 @@ object DataQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minSim = 0.35, ncells = 32).orderBy("id_a", "id_b")),
 
+    // SemDeDup composition: cosine pairs → components → min-id
+    // representative per cluster (engine-local hashing inside IVF → rows
+    // gate; keep/cluster semantics spec-asserted in DedupSimilaritySpec)
+    "q81_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minSim = 0.35, ncells = 32).orderBy("id")),
+
     // deterministic train/val/test split: membership = pure function of the
     // portable md5 hash — reproducible across runs, partitionings, engines
     "q56_hash_split" -> ((s, dir) => {

@@ -92,6 +92,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q71_retention").contains("BroadcastHashJoin"))
   }
 
+  test("q79 token rarity: hash aggs, no cartesian (token join stays keyed)") {
+    val p = plan("q79_token_rarity")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q80 cross-doc spans: window explode feeds one keyed hash agg") {
+    val p = plan("q80_cross_doc_spans")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // generation is per-row (Generate over the scan), not a join
+    assert(p.contains("Generate"), p)
+  }
+
   test("q51 salted agg: two hash-aggregation phases, both map-side partial") {
     val p = plan("q51_salted_agg")
     assert(!p.contains("SortAggregate"), p)

@@ -118,6 +118,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairSet(4) === plain, "hot-cell sharding must not change the pairs")
   }
 
+  test("semanticDedup: one min-id representative per component, singletons kept") {
+    val res = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      minSim = 0.3, ncells = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(res.length.toLong === emb.count(), "one row per input id")
+    // exactly one kept per cluster, and it is the min member id
+    val byCluster = res.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_._3) === 1, s"cluster $cid keeps exactly one")
+      assert(members.filter(_._3).head._1 === members.map(_._1).min &&
+        cid === members.map(_._1).min, s"representative of $cid is the min id")
+    }
+    // every DROPPED id really has a >= minSim neighbor (from the same pair
+    // generation the composition used)
+    val paired = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      minSim = 0.3, ncells = 4).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    res.filterNot(_._3).foreach { case (id, _, _) =>
+      assert(paired.contains(id), s"dropped $id has no near-dup pair")
+    }
+    assert(res.count(!_._3) > 0, "fixture must contain at least one near-dup")
+  }
+
   test("exact dedup: drop keeps one row per distinct text") {
     val withDups = docs.limit(50).unionAll(docs.limit(10)) // plant exact dups
     val deduped = Dedup.dropExactDuplicates(withDups, "doc_id", "text")
