@@ -312,6 +312,48 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
 
   override def tables: Seq[TableMeta] = tableDirs.map(_.meta)
 
+  /** Schema-block TRANSITIONS as control events — the archived-topic form
+    * of the reference's schema-change routing (MySqlRecordEmitter.java:
+    * 85-97 records DDL into split state; FlinkJsonTableChangeSerializer
+    * persists it): an envelope whose after-struct schema differs from the
+    * previous one emits (that event's offset, table, the new block as
+    * JSON) on the control stream, so CdcSchemaHistory can track when an
+    * archived topic drifted. The initial schema is not an event — it is
+    * already the table's schema in [[tables]]. */
+  override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
+    tableDirs.iterator.flatMap { t =>
+      var logIdx = 0L
+      var lastBlock: String = null
+      rawLines(s"${t.dir}/events.jsonl").flatMap { node =>
+        val payload = if (node.has("payload")) node.get("payload") else node
+        val offset: Long =
+          if (payload == null || payload.isNull) -1L // tombstone: no offset
+          else {
+            val op = if (payload.hasNonNull("op")) payload.get("op").asText() else null
+            if (op == null) -1L
+            else if (op == ChangeOp.Read) 0L
+            else t.offsetField match {
+              case Some(f) =>
+                val src = payload.get("source")
+                if (src != null && src.hasNonNull(f)) src.get(f).asLong()
+                else if (payload.hasNonNull(f)) payload.get(f).asLong()
+                else { logIdx += 1; logIdx }
+              case None => logIdx += 1; logIdx
+            }
+          }
+        val blockOpt = Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
+          sch.get("fields").elements().asScala.find(_.get("field").asText() == "after")
+        }.map(_.toString)
+        blockOpt match {
+          case Some(b) if lastBlock == null => lastBlock = b; None // initial schema
+          case Some(b) if b != lastBlock && offset >= 0 =>
+            lastBlock = b
+            Some((offset, t.meta.id, b))
+          case _ => None
+        }
+      }.filter(e => e._1 > fromExclusive && e._1 <= toInclusive)
+    }
+
   /** Planning-time prerequisites (ChangeLogProvider.validate): root layout,
     * parseable meta.json + schema source, pk present in the decoded schema,
     * events file present. */

@@ -176,6 +176,11 @@ class DebeziumJsonProviderSpec extends SparkSpec {
     val p = new DebeziumJsonChangeLogProvider(root.toString)
     assert(p.tables.head.schema.fieldNames.toSeq === Seq("id", "name", "color"),
       "current table schema is the union, fields in first-seen order")
+    // the drift surfaces as a control event at the drifting envelope's
+    // offset (2nd non-'r' event → offset 2), carrying the new block
+    val changes = p.schemaChanges(0L, Long.MaxValue).toSeq
+    assert(changes.map(c => (c._1, c._2)) === Seq((2L, TableId("shop", "items"))))
+    assert(changes.head._3.contains("color"), changes.head._3)
     val rows = spark.read.format("cdc-log")
       .option("path", root.toString).option("path.format", "debezium-json").load()
       .select("id", "name", "color").collect()
