@@ -48,12 +48,17 @@ object TrainingPipeline {
     // 3. quality + language + repetition gate
     val rep = TextStats.repetitionStats(nearDeduped, "doc_id", "text")
       .select("doc_id", "dup_token_frac", "top_bigram_frac")
+    // unigram-LM rarity (cheap perplexity proxy): drop the extreme
+    // boilerplate tail (every token ultra-frequent)
+    val rarity = TextStats.tokenRarity(nearDeduped)
+      .select(col("doc_id"), col("mean_tok_freq"))
     val gated = nearDeduped
       .withColumn("quality", qualityScore(col("text")))
       .withColumn("lang_pred", langId(col("text")))
       .filter(col("quality") > 0.3 && col("lang_pred") =!= "unknown")
       .join(rep, "doc_id")
       .filter(col("dup_token_frac") < 0.95 && col("top_bigram_frac") < 0.9)
+      .join(rarity, "doc_id")
       .persist()
     println(s"after quality/lang/repetition gate: ${gated.count()}")
 
@@ -91,6 +96,13 @@ object TrainingPipeline {
       k = 3, ncells = 8, nprobe = 2, iters = 1)
     println("sample ANN neighbours:")
     ann.show(9, false)
+
+    // 6b. SemDeDup pass over the embedding space: one representative per
+    // semantic near-dup cluster
+    val sem = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      minSim = 0.35, ncells = 8)
+    println(s"semantic dedup: kept ${sem.filter(col("kept")).count()} " +
+      s"of ${sem.count()} vectors")
     spark.stop()
   }
 }
