@@ -92,6 +92,85 @@ object ChunkSplitter {
     out.toSeq
   }
 
+  /** Incremental WINDOW planning for cursor-based streaming offsets: up to
+    * `maxChunks` chunks of the remaining keyspace starting at `cursor`
+    * (None = start of table), optionally clamped so the window ends exactly
+    * at `clampEnd` (replaying a cohort whose outer range a persisted offset
+    * already fixed). Returns (chunks, nextCursor); nextCursor None = table
+    * fully planned (last chunk unbounded above, or clamped).
+    *
+    * Why this exists: persisting EVERY pending chunk range in the offset is
+    * O(table/chunkSize) JSON per micro-batch — at 100 TB that is a
+    * checkpoint-killer. A cursor is O(1); each admission plans only its
+    * cohort. Under concurrent mutation the interior boundaries of a window
+    * may differ between admission and replay — that is sound, because
+    * correctness comes from the (outer range, high watermark) bracket, not
+    * from a specific interior chunking: any contiguous partition of the
+    * persisted cohort range reads the same union of rows. */
+  def planWindow(tableId: TableId, min: ChunkKey.Key, max: ChunkKey.Key,
+      approxRowCount: Long, cfg: Config, nextChunkEnd: NextChunkEnd,
+      cursor: Option[ChunkKey.Key], maxChunks: Int,
+      clampEnd: Option[Option[ChunkKey.Key]] = None)
+      : (Seq[SnapshotSplit], Option[ChunkKey.Key]) = {
+    require(maxChunks >= 1, s"maxChunks must be >= 1, got $maxChunks")
+    val terminalEnd: Option[ChunkKey.Key] = clampEnd.getOrElse(None)
+    def pastClamp(k: ChunkKey.Key): Boolean = clampEnd match {
+      case Some(Some(ce)) => ChunkKey.compare(k, ce) >= 0
+      case _              => false
+    }
+    val out = ArrayBuffer.empty[SnapshotSplit]
+    var chunkStart: Option[ChunkKey.Key] = cursor
+    def terminal(): (Seq[SnapshotSplit], Option[ChunkKey.Key]) = {
+      out += SnapshotSplit(tableId, out.size, chunkStart, terminalEnd)
+      (out.toSeq, None)
+    }
+    if (approxRowCount == 0) return terminal()
+    val evenParams: Option[(Long, Long)] =
+      (ChunkKey.asLong(min), ChunkKey.asLong(max)) match {
+        case (Some(mn), Some(mx)) =>
+          val factor = distributionFactor(mn, mx, approxRowCount)
+          if (isEvenlyDistributed(factor, cfg))
+            Some((mx, math.max(math.round(factor * cfg.chunkSize), 1L)))
+          else None
+        case _ => None
+      }
+    evenParams match {
+      case Some((mx, dynamic)) =>
+        var start = chunkStart.flatMap(ChunkKey.asLong)
+          .getOrElse(ChunkKey.asLong(min).get)
+        while (true) {
+          val end = start + dynamic
+          if (end > mx || pastClamp(ChunkKey.of(end))) return terminal()
+          out += SnapshotSplit(tableId, out.size, chunkStart, Some(ChunkKey.of(end)))
+          chunkStart = Some(ChunkKey.of(end))
+          start = end
+          if (out.size == maxChunks) return (out.toSeq, Some(ChunkKey.of(end)))
+        }
+        throw new IllegalStateException("unreachable")
+      case None =>
+        var from = chunkStart.getOrElse(min)
+        while (true) {
+          nextChunkEnd(from, cfg.chunkSize)
+            .filter(k => ChunkKey.compare(k, max) < 0 && !pastClamp(k)) match {
+            case Some(end) if chunkStart.contains(end) =>
+              // boundary did not advance (heavy duplicate keys) — same
+              // successor step as splitUnevenly
+              from = ChunkKey.asLong(end) match {
+                case Some(l) => ChunkKey.of(l + 1)
+                case None    => nextChunkEnd(end, 2).getOrElse(max)
+              }
+            case Some(end) =>
+              out += SnapshotSplit(tableId, out.size, chunkStart, Some(end))
+              chunkStart = Some(end)
+              from = end
+              if (out.size == maxChunks) return (out.toSeq, Some(end))
+            case None => return terminal()
+          }
+        }
+        throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** Full planning flow (reference ChunkSplitter.generateSplits:76-118 +
     * splitTableIntoChunks:144-161): single-column numeric keys may take the
     * probe-free arithmetic path when evenly distributed; every other key

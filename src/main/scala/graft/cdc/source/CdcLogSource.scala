@@ -174,14 +174,22 @@ object CdcOptions {
   * its cohort was consistent at. */
 final case class FinishedChunk(start: Option[Key], end: Option[Key], hw: Long)
 
-/** Streaming offset: snapshot-phase flag + global log position + pending
-  * chunk ranges + finished chunks with their high watermarks + the set of
-  * tables already incorporated (persisted so planInputPartitions replays
-  * deterministically after driver restart — the Spark analogue of the
+/** Streaming offset: snapshot-phase flag + global log position + per-table
+  * SNAPSHOT CURSORS + finished COHORT ranges with their high watermarks +
+  * the set of tables already incorporated (the Spark analogue of the
   * reference's PendingSplitsState checkpointing,
   * mysql/source/assigners/state/PendingSplitsStateSerializer.java, and its
   * FinishedSnapshotSplitInfo lists shipped to the binlog reader,
   * MySqlHybridSplitAssigner.java:192-220).
+  *
+  * Scale contract: the offset is O(#tables + #unpruned cohorts), NEVER
+  * O(#chunks). A table's snapshot progress is one cursor (the next chunk
+  * start; map presence = snapshot pending, None value = start of table);
+  * chunks are planned lazily per admission, and a cohort's persisted
+  * record is its OUTER range + pinned HW — any contiguous interior
+  * re-chunking on replay reads the same union of rows. A 100 TB table at
+  * 8k-row chunks is ~12M chunks; persisting ranges (the previous design)
+  * put ~12M key pairs in EVERY offset JSON the checkpoint log writes.
   *
   * `finished` entries are dropped per table once logPos passes the table's
   * max high watermark (pure log phase) — the offset shrinks back to a flag
@@ -190,7 +198,7 @@ final case class FinishedChunk(start: Option[Key], end: Option[Key], hw: Long)
 final case class CdcOffset(
     snapshotDone: Boolean,
     logPos: Long,
-    splits: Map[String, Seq[(Option[Key], Option[Key])]],
+    cursors: Map[String, Option[Key]],
     finished: Map[String, Seq[FinishedChunk]] = Map.empty,
     known: Seq[String] = Seq.empty) extends Offset {
 
@@ -199,14 +207,10 @@ final case class CdcOffset(
     val root = m.createObjectNode()
     root.put("snapshotDone", snapshotDone)
     root.put("logPos", logPos)
-    val ts = root.putObject("splits")
-    splits.toSeq.sortBy(_._1).foreach { case (t, rs) =>
+    val ts = root.putObject("cursors")
+    cursors.toSeq.sortBy(_._1).foreach { case (t, c) =>
       val arr = ts.putArray(t)
-      rs.foreach { case (s, e) =>
-        val pair = arr.addArray()
-        CdcOffset.writeBound(pair, s)
-        CdcOffset.writeBound(pair, e)
-      }
+      CdcOffset.writeBound(arr, c)
     }
     val fs = root.putObject("finished")
     finished.toSeq.sortBy(_._1).foreach { case (t, cs) =>
@@ -278,12 +282,8 @@ object CdcOffset {
 
   def parse(json: String): CdcOffset = {
     val root = new ObjectMapper().readTree(json).asInstanceOf[ObjectNode]
-    val splits = root.get("splits").properties().asScala.map { e =>
-      val rs = e.getValue.elements().asScala.map { pair =>
-        val it = pair.elements().asScala.toSeq
-        (readBound(it(0)), readBound(it(1)))
-      }.toSeq
-      e.getKey -> rs
+    val cursors = root.get("cursors").properties().asScala.map { e =>
+      e.getKey -> readBound(e.getValue.elements().asScala.next())
     }.toMap
     val finished =
       if (!root.has("finished")) Map.empty[String, Seq[FinishedChunk]]
@@ -298,7 +298,7 @@ object CdcOffset {
       if (!root.has("known")) Seq.empty[String]
       else root.get("known").elements().asScala.map(_.asText()).toSeq
     CdcOffset(root.get("snapshotDone").asBoolean(), root.get("logPos").asLong(),
-      splits, finished, known)
+      cursors, finished, known)
   }
 }
 
@@ -633,24 +633,55 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
       case None => new org.apache.spark.util.CollectionAccumulator[String]
     }
 
-  /** Raise finished-chunk HWs to any executor-observed values, so the log
-    * phase suppresses exactly what racing chunks already folded. */
+  // Option-bound comparisons under range semantics: None = -inf as a
+  // range START, +inf as a range END.
+  private def startLe(a: Option[Key], b: Option[Key]): Boolean = (a, b) match {
+    case (None, _)          => true
+    case (_, None)          => false
+    case (Some(x), Some(y)) => ChunkKey.compare(x, y) <= 0
+  }
+  private def endGe(a: Option[Key], b: Option[Key]): Boolean = (a, b) match {
+    case (None, _)          => true
+    case (_, None)          => false
+    case (Some(x), Some(y)) => ChunkKey.compare(x, y) >= 0
+  }
+
+  /** Raise finished HWs to executor-observed values so the log phase
+    * suppresses exactly what racing chunks already folded. Finished
+    * entries are COHORT-granular; a report names one CHUNK inside a
+    * cohort, so the raise SPLITS the cohort entry — raising the whole
+    * cohort would suppress events its sibling chunks never folded (data
+    * loss). Idempotent: a split fragment at the observed HW no longer
+    * satisfies `hw < observed`. */
   private def applyObservedHws(s: CdcOffset): CdcOffset = {
     val reports = observedHwAcc.value
     if (reports.isEmpty || s.finished.isEmpty) s
     else {
       val raises = reports.asScala.map(CdcOffset.parseObservedHw)
         .groupBy(r => (r._1, r._2, r._3))
-        .map { case (k, rs) => k -> rs.map(_._4).max }
-      val fin = s.finished.map { case (tid, cs) =>
-        tid -> cs.map { c =>
-          raises.get((tid, c.start, c.end))
-            .map(h => c.copy(hw = math.max(c.hw, h))).getOrElse(c)
+        .map { case (k, rs) => (k._1, k._2, k._3, rs.map(_._4).max) }
+      var fin = s.finished
+      raises.foreach { case (tid, cs, ce, hw) =>
+        fin.get(tid).foreach { entries =>
+          val idx = entries.indexWhere(f =>
+            startLe(f.start, cs) && endGe(f.end, ce) && f.hw < hw)
+          if (idx >= 0) {
+            val f = entries(idx)
+            val frags = Seq(
+              Option.when(f.start != cs)(FinishedChunk(f.start, cs, f.hw)),
+              Some(FinishedChunk(cs, ce, hw)),
+              Option.when(f.end != ce)(FinishedChunk(ce, f.end, f.hw))).flatten
+            fin = fin.updated(tid, entries.patch(idx, frags, 1))
+          }
         }
       }
       s.copy(finished = fin)
     }
   }
+
+  private def planCfg = ChunkSplitter.Config(chunkSize = opts.chunkSize)
+  private def boundaryProbe(tid: TableId): ChunkSplitter.NextChunkEnd =
+    (from, sz) => provider.nextChunkEnd(tid, from, sz)
 
   /** Trigger.AvailableNow: the bounded catch-up run processes everything
     * up to the log position observed at query start, then stops — the
@@ -689,10 +720,9 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     val known = matched.map(_.id.toString)
     opts.startupMode match {
       case "initial" =>
-        val splits = matched.map { tm =>
-          tm.id.toString -> CdcPlanner.planSplits(opts, provider, tm).map(s => (s.start, s.end))
-        }.toMap
-        CdcOffset(snapshotDone = false, logPos = cur, splits = splits, known = known)
+        // one O(1) cursor per table — chunks are planned lazily per cohort
+        val cursors = matched.map(tm => tm.id.toString -> (None: Option[Key])).toMap
+        CdcOffset(snapshotDone = false, logPos = cur, cursors = cursors, known = known)
       case "earliest"        => CdcOffset(snapshotDone = true, 0L, Map.empty, known = known)
       case "latest"          => CdcOffset(snapshotDone = true, cur, Map.empty, known = known)
       case "timestamp"       => CdcOffset(snapshotDone = true, 0L, Map.empty, known = known)
@@ -728,24 +758,30 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = applyObservedHws(start.asInstanceOf[CdcOffset])
     if (!s.snapshotDone) {
-      // snapshot phase: admit the next cohort, pin its HW now
+      // snapshot phase: plan + admit the next cohort from each table's
+      // cursor (lazily — the offset never carries chunk ranges), pin its
+      // HW now. A cohort's persisted record is its OUTER range + HW; the
+      // interior chunking is re-derived at planInputPartitions.
       val cur = observedOffset()
-      val ordered = s.splits.toSeq.sortBy(_._1)
       var budget = opts.maxChunksPerBatch
-      val remaining = scala.collection.mutable.LinkedHashMap[String, Seq[(Option[Key], Option[Key])]]()
-      val newlyFinished = scala.collection.mutable.LinkedHashMap[String, Seq[FinishedChunk]]()
-      ordered.foreach { case (tid, ranges) =>
-        val take = math.min(budget, ranges.size)
-        budget -= take
-        val (cohort, rest) = ranges.splitAt(take)
-        if (cohort.nonEmpty)
-          newlyFinished(tid) = cohort.map { case (st, en) => FinishedChunk(st, en, cur) }
-        if (rest.nonEmpty) remaining(tid) = rest
+      val newCursors = scala.collection.mutable.LinkedHashMap[String, Option[Key]]()
+      val newlyFinished = scala.collection.mutable.LinkedHashMap[String, FinishedChunk]()
+      s.cursors.toSeq.sortBy(_._1).foreach { case (tid, cursor) =>
+        if (budget <= 0) newCursors(tid) = cursor
+        else {
+          val tidObj = TableId.parse(tid)
+          val (mn, mx, cnt) = provider.keyBounds(tidObj)
+          val (chunks, next) = ChunkSplitter.planWindow(tidObj, mn, mx, cnt,
+            planCfg, boundaryProbe(tidObj), cursor, budget)
+          budget -= chunks.size
+          newlyFinished(tid) = FinishedChunk(cursor, next, cur)
+          next.foreach(k => newCursors(tid) = Some(k))
+        }
       }
       val finished = (s.finished.keySet ++ newlyFinished.keySet).map { tid =>
-        tid -> (s.finished.getOrElse(tid, Seq.empty) ++ newlyFinished.getOrElse(tid, Seq.empty))
+        tid -> (s.finished.getOrElse(tid, Seq.empty) ++ newlyFinished.get(tid).toSeq)
       }.toMap
-      CdcOffset(snapshotDone = remaining.isEmpty, s.logPos, remaining.toMap, finished, s.known)
+      CdcOffset(snapshotDone = newCursors.isEmpty, s.logPos, newCursors.toMap, finished, s.known)
     } else {
       // W7-lite: new regex-matched tables enter mid-stream — plan their
       // chunks; the log is held for one trigger while they snapshot.
@@ -754,10 +790,8 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
         if (availableNowCap >= 0) Seq.empty
         else matchedNow().filterNot(tm => s.known.contains(tm.id.toString))
       if (newTables.nonEmpty && opts.startupMode == "initial") {
-        val splits = newTables.map { tm =>
-          tm.id.toString -> CdcPlanner.planSplits(opts, provider, tm).map(sp => (sp.start, sp.end))
-        }.toMap
-        CdcOffset(snapshotDone = false, s.logPos, splits, s.finished,
+        val cursors = newTables.map(tm => tm.id.toString -> (None: Option[Key])).toMap
+        CdcOffset(snapshotDone = false, s.logPos, cursors, s.finished,
           s.known ++ newTables.map(_.id.toString))
       } else {
         val cur = observedOffset()
@@ -808,16 +842,29 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     // evolved; readers re-resolve it themselves) — provider metas only
     // supply newly-added tables
     val byId = (opts.matchedTables(provider) ++ matched).map(t => t.id.toString -> t).toMap
-    // cohort = pending in s but not in e; upTo = the HW recorded in e.finished
+    // cohort per table = cursor movement s→e; its outer range + pinned HW
+    // are persisted in e, the interior chunking is re-derived here (clamped
+    // to the persisted end — any contiguous interior is sound)
     val chunks: Seq[InputPartition] =
-      if (!s.snapshotDone) s.splits.toSeq.sortBy(_._1).flatMap { case (tid, ranges) =>
-        val still = e.splits.getOrElse(tid, Seq.empty).toSet
-        val hwByRange = e.finished.getOrElse(tid, Seq.empty)
-          .map(f => (f.start, f.end) -> f.hw).toMap
-        val tm = byId(tid)
-        ranges.filterNot(still).map { case (st, en) =>
-          ChunkPartition(opts, tm.id, physical, tm.primaryKey, st, en,
-            hwByRange.getOrElse((st, en), s.logPos))
+      if (!s.snapshotDone) s.cursors.toSeq.sortBy(_._1).flatMap { case (tid, cursor) =>
+        val cohortEnd: Option[Option[Key]] = e.cursors.get(tid) match {
+          case Some(c2) if c2 == cursor => None // budget exhausted: no cohort
+          case Some(c2)                 => Some(c2)
+          case None                     => Some(None) // final cohort, unbounded
+        }
+        cohortEnd match {
+          case None => Seq.empty
+          case Some(endBound) =>
+            val tm = byId(tid)
+            val hw = e.finished.getOrElse(tid, Seq.empty)
+              .find(f => f.start == cursor && f.end == endBound)
+              .map(_.hw).getOrElse(s.logPos)
+            val (mn, mx, cnt) = provider.keyBounds(tm.id)
+            val (cohort, _) = ChunkSplitter.planWindow(tm.id, mn, mx, cnt,
+              planCfg, boundaryProbe(tm.id), cursor, Int.MaxValue,
+              clampEnd = Some(endBound))
+            cohort.map(c =>
+              ChunkPartition(opts, tm.id, physical, tm.primaryKey, c.start, c.end, hw))
         }
       } else Seq.empty
     val logs: Seq[InputPartition] =

@@ -20,7 +20,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(noOracle === Set("q33_minhash_lsh_candidates", "q34_simhash_signatures",
       "q35_embedding_ivf_topk", "q39_cosine_near_dup", "q50_pq_topk",
-      "q55_approx_distinct"),
+      "q55_approx_distinct", "q81_semantic_dedup"),
       s"rows-only queries changed: $noOracle — update this spec deliberately")
   }
 

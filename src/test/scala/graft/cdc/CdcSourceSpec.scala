@@ -148,7 +148,7 @@ class CdcSourceSpec extends SparkSpec {
 
   test("offset JSON round-trips (checkpoint replay contract)") {
     val o = graft.cdc.source.CdcOffset(snapshotDone = false, logPos = 42,
-      splits = Map("db.t" -> Seq((None, Some(ChunkKey.of(10L))), (Some(ChunkKey.of(10L)), None))))
+      cursors = Map("db.t" -> Some(ChunkKey.of(10L)), "db.u" -> None))
     val back = graft.cdc.source.CdcOffset.parse(o.json())
     assert(back === o)
   }

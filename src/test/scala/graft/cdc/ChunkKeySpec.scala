@@ -68,10 +68,11 @@ class ChunkKeySpec extends AnyFunSuite {
   test("offset JSON round-trips string/binary/composite bounds, finished infos and known tables") {
     val o = graft.cdc.source.CdcOffset(
       snapshotDone = false, logPos = 7,
-      splits = Map(
-        "db.s" -> Seq((None, Some(ChunkKey.of("m"))), (Some(ChunkKey.of("m")), None)),
-        "db.b" -> Seq((Some(ChunkKey.of(Array[Byte](0, 0x80.toByte))), None)),
-        "db.c" -> Seq((Some(ChunkKey.of("x", 3L)), Some(ChunkKey.of("y", 1L))))),
+      cursors = Map(
+        "db.s" -> Some(ChunkKey.of("m")),
+        "db.b" -> Some(ChunkKey.of(Array[Byte](0, 0x80.toByte))),
+        "db.c" -> Some(ChunkKey.of("x", 3L)),
+        "db.0" -> None),
       finished = Map(
         "db.s" -> Seq(graft.cdc.source.FinishedChunk(None, Some(ChunkKey.of("m")), 5L)),
         "db.n" -> Seq(graft.cdc.source.FinishedChunk(Some(ChunkKey.of(10L)), None, 6L))),

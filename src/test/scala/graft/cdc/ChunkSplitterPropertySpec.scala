@@ -23,6 +23,40 @@ class ChunkSplitterPropertySpec extends AnyFunSuite {
     jitter <- Gen.listOfN(n, Gen.choose(0L, step - 1))
   } yield jitter.zipWithIndex.map { case (j, i) => base + i * step + j }.toVector.distinct
 
+  test("windowed planning: concatenated windows == full plan (stable store)") {
+    check(Prop.forAll(keysGen, Gen.choose(1, 50), Gen.choose(1, 7)) {
+      (keys, chunkSize, window) =>
+        val sorted = keys.sorted
+        val cfg = ChunkSplitter.Config(chunkSize = chunkSize)
+        def next(from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] = {
+          val c = sorted.filter(k => ChunkKey.compare(ChunkKey.of(k), from) >= 0).take(n)
+          if (c.size < n) None else Some(ChunkKey.of(c.last))
+        }
+        val full = ChunkSplitter.plan(t, ChunkKey.of(sorted.head), ChunkKey.of(sorted.last),
+          sorted.size, cfg, next).map(s => (s.start, s.end))
+        // drive windows like the offset state machine: cursor → cursor
+        var cursor: Option[ChunkKey.Key] = None
+        var done = false
+        val acc = Vector.newBuilder[(Option[ChunkKey.Key], Option[ChunkKey.Key])]
+        var guard = 0
+        while (!done && guard < 2000) {
+          val (chunks, nxt) = ChunkSplitter.planWindow(t, ChunkKey.of(sorted.head),
+            ChunkKey.of(sorted.last), sorted.size, cfg, next, cursor, window)
+          acc ++= chunks.map(s => (s.start, s.end))
+          // clamped replay of the same window must reproduce the same chunks
+          val (replay, _) = ChunkSplitter.planWindow(t, ChunkKey.of(sorted.head),
+            ChunkKey.of(sorted.last), sorted.size, cfg, next, cursor, Int.MaxValue,
+            clampEnd = Some(nxt))
+          assert(replay.map(s => (s.start, s.end)) == chunks.map(s => (s.start, s.end)),
+            s"clamped replay diverged: $replay vs $chunks")
+          done = nxt.isEmpty
+          cursor = nxt
+          guard += 1
+        }
+        acc.result() == full.toVector && guard < 2000
+    })
+  }
+
   test("planned chunks partition the key space (every key in exactly one chunk)") {
     check(Prop.forAll(keysGen, Gen.choose(1, 50)) { (keys, chunkSize) =>
       val sorted = keys.sorted
