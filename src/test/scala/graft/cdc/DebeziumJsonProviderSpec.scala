@@ -181,6 +181,12 @@ class DebeziumJsonProviderSpec extends SparkSpec {
     val changes = p.schemaChanges(0L, Long.MaxValue).toSeq
     assert(changes.map(c => (c._1, c._2)) === Seq((2L, TableId("shop", "items"))))
     assert(changes.head._3.contains("color"), changes.head._3)
+    // ...and the generic control-plane surface sees it (point-in-time too)
+    val hist = graft.cdc.CdcSchemaHistory.changes(spark, p).collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((2L, "shop", "items")))
+    assert(graft.cdc.CdcSchemaHistory.schemaAt(spark, p, 1L).count() === 0,
+      "before the drift offset the table had no DDL events")
     val rows = spark.read.format("cdc-log")
       .option("path", root.toString).option("path.format", "debezium-json").load()
       .select("id", "name", "color").collect()
