@@ -51,12 +51,25 @@ object UpsertSink {
 
   /** Wire a changelog stream (read with
     * `metadata.columns = "op_offset,row_kind"`) to a parquet current-state
-    * table at `path`. Returns the writer; caller sets checkpoint/trigger. */
+    * table at `path`. Returns the writer; caller sets checkpoint/trigger.
+    *
+    * `compactEveryBatches` > 0 runs [[compact]] after every Nth merge,
+    * bounding tombstone buildup on a long-running stream. Only enable it
+    * when the upstream delivers each key's events in offset order across
+    * batches (true of the cdc-log source's log phase) — compaction forgets
+    * a delete's victory, so an out-of-order lower-offset straggler arriving
+    * AFTER a compaction would resurrect the row. */
   def upsertParquet(changelog: DataFrame, pkCols: Seq[String], path: String,
-      numBuckets: Int = DefaultBuckets): DataStreamWriter[Row] =
+      numBuckets: Int = DefaultBuckets,
+      compactEveryBatches: Int = 0): DataStreamWriter[Row] = {
+    val counter = new java.util.concurrent.atomic.AtomicLong()
     changelog.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       mergeBatch(batch, pkCols, path, numBuckets)
+      if (compactEveryBatches > 0 &&
+          counter.incrementAndGet() % compactEveryBatches == 0)
+        compact(batch.sparkSession, path)
     }
+  }
 
   /** Read the current-state table: tombstones filtered, sink-internal and
     * changelog columns dropped. */

@@ -85,6 +85,29 @@ class UpsertSinkSpec extends SparkSpec {
     assert(after == live, "compaction only removes tombstones")
   }
 
+  test("compactEveryBatches: tombstones purged periodically during a stream") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert6_")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("state").toString
+    // two files → two micro-batches with maxFilesPerTrigger=1; the delete
+    // lands in batch 1, compaction fires after batch 2 (every 2)
+    Seq(row(1L, 1.0, "c", 1, "+I"), row(2L, 2.0, "d", 2, "+I"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    Seq(row(3L, 3.0, "c", 3, "+I"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q = UpsertSink.upsertParquet(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in),
+      Seq("k"), out, compactEveryBatches = 2)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).filter($"op" === "d").count() === 0,
+      "compaction after the 2nd batch must have purged the tombstone")
+    assert(UpsertSink.readState(spark, out).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
   test("recover restores a bucket caught between its two swap renames") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert3_")
     val out = tmp.resolve("state").toString
