@@ -249,6 +249,45 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
 
   private case class Ev(offset: Long, op: String, before: Array[Any], after: Array[Any], tsMs: Long)
 
+  /** Per-line op classification + offset numbering, shared by [[events]]
+    * and [[schemaChanges]] so both streams number the SAME line identically
+    * — including MongoDB change-stream lines (operationType, no 'op') and
+    * the offsetField-missing error. One instance per pass (carries the
+    * line-index counter). */
+  private final class OffsetAssigner(t: TableDir) {
+    private var logIdx = 0L
+    /** Data-event op of a payload line: the Debezium 'op' verbatim, or the
+      * mapped mongo operationType; null for tombstones and control events
+      * (drop/rename/invalidate) — lines that carry no data event and
+      * therefore consume no offset. */
+    def opOf(payload: JsonNode): String =
+      if (payload == null || payload.isNull) null // Kafka tombstone
+      else if (payload.hasNonNull("op")) payload.get("op").asText()
+      else if (payload.hasNonNull("operationType"))
+        payload.get("operationType").asText() match {
+          case "insert"             => ChangeOp.Create
+          case "update" | "replace" => ChangeOp.Update
+          case "delete"             => ChangeOp.Delete
+          case _                    => null // control events
+        }
+      else null
+    /** Offset of a data-event line (op != null): 0 for snapshot reads,
+      * else `offsetField` (source block first, event root second, missing
+      * → loud error) or the 1-based index among non-'r' data events. */
+    def offsetOf(payload: JsonNode, op: String): Long =
+      if (op == ChangeOp.Read) 0L
+      else t.offsetField match {
+        case Some(f) =>
+          val src = payload.get("source")
+          val node =
+            if (src != null && src.hasNonNull(f)) src.get(f)
+            else if (payload.hasNonNull(f)) payload.get(f)
+            else throw new IllegalArgumentException(s"offsetField '$f' missing from event")
+          node.asLong()
+        case None => logIdx += 1; logIdx
+      }
+  }
+
   private def decodeRow(t: TableDir, n: JsonNode): Array[Any] =
     if (n == null || n.isNull) null
     else t.codecs.map(c => c.decode(n.get(c.name))).toArray[Any]
@@ -271,41 +310,24 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
     * non-'r' events; snapshot ('r') events sit at offset 0 (the base the
     * log folds over). */
   private def events(t: TableDir): CloseableIterator[Ev] = {
-    var logIdx = 0L
+    val assigner = new OffsetAssigner(t)
     val raw = rawLines(s"${t.dir}/events.jsonl")
-    def offsetOf(payload: JsonNode, op: String): Long =
-      if (op == ChangeOp.Read) 0L
-      else t.offsetField match {
-        case Some(f) =>
-          val src = payload.get("source")
-          val node =
-            if (src != null && src.hasNonNull(f)) src.get(f)
-            else if (payload.hasNonNull(f)) payload.get(f)
-            else throw new IllegalArgumentException(s"offsetField '$f' missing from event")
-          node.asLong()
-        case None => logIdx += 1; logIdx
-      }
     val it = raw.flatMap { node =>
       val payload = if (node.has("payload")) node.get("payload") else node
-      if (payload == null || payload.isNull) None // Kafka tombstone
-      else if (payload.hasNonNull("op")) {
-        val op = payload.get("op").asText()
-        Some(Ev(offsetOf(payload, op), op,
-          decodeRow(t, payload.get("before")), decodeRow(t, payload.get("after")),
-          if (op == ChangeOp.Read) 0L else payload.path("ts_ms").asLong(0L)))
-      } else if (payload.hasNonNull("operationType")) {
-        val op = payload.get("operationType").asText() match {
-          case "insert"             => ChangeOp.Create
-          case "update" | "replace" => ChangeOp.Update
-          case "delete"             => ChangeOp.Delete
-          case _                    => null // drop/rename/invalidate → control events
-        }
-        if (op == null) None
-        else Some(Ev(offsetOf(payload, op), op,
-          if (op == ChangeOp.Delete) keyOnlyRow(t, payload.get("documentKey")) else null,
-          if (op == ChangeOp.Delete) null else decodeRow(t, payload.get("fullDocument")),
-          payload.path("ts_ms").asLong(0L)))
-      } else None
+      val op = assigner.opOf(payload)
+      if (op == null) None // tombstone or mongo control event
+      else {
+        val offset = assigner.offsetOf(payload, op)
+        if (payload.hasNonNull("op")) // Debezium envelope shape
+          Some(Ev(offset, op,
+            decodeRow(t, payload.get("before")), decodeRow(t, payload.get("after")),
+            if (op == ChangeOp.Read) 0L else payload.path("ts_ms").asLong(0L)))
+        else // raw MongoDB change-stream shape
+          Some(Ev(offset, op,
+            if (op == ChangeOp.Delete) keyOnlyRow(t, payload.get("documentKey")) else null,
+            if (op == ChangeOp.Delete) null else decodeRow(t, payload.get("fullDocument")),
+            payload.path("ts_ms").asLong(0L)))
+      }
     }
     new CloseableIterator(it, raw)
   }
@@ -322,34 +344,24 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
     * already the table's schema in [[tables]]. */
   override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
     tableDirs.iterator.flatMap { t =>
-      var logIdx = 0L
+      val assigner = new OffsetAssigner(t) // SAME numbering as events()
       var lastBlock: String = null
+      var pending: String = null
       rawLines(s"${t.dir}/events.jsonl").flatMap { node =>
         val payload = if (node.has("payload")) node.get("payload") else node
-        val offset: Long =
-          if (payload == null || payload.isNull) -1L // tombstone: no offset
-          else {
-            val op = if (payload.hasNonNull("op")) payload.get("op").asText() else null
-            if (op == null) -1L
-            else if (op == ChangeOp.Read) 0L
-            else t.offsetField match {
-              case Some(f) =>
-                val src = payload.get("source")
-                if (src != null && src.hasNonNull(f)) src.get(f).asLong()
-                else if (payload.hasNonNull(f)) payload.get(f).asLong()
-                else { logIdx += 1; logIdx }
-              case None => logIdx += 1; logIdx
-            }
-          }
-        val blockOpt = Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
+        // note the schema-block transition (if any) on this line first
+        Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
           sch.get("fields").elements().asScala.find(_.get("field").asText() == "after")
-        }.map(_.toString)
-        blockOpt match {
-          case Some(b) if lastBlock == null => lastBlock = b; None // initial schema
-          case Some(b) if b != lastBlock && offset >= 0 =>
-            lastBlock = b
-            Some((offset, t.meta.id, b))
-          case _ => None
+        }.map(_.toString).foreach { b =>
+          if (lastBlock == null) lastBlock = b // initial schema: not an event
+          else if (b != lastBlock) { lastBlock = b; pending = b }
+        }
+        val op = assigner.opOf(payload)
+        if (op == null) None // tombstone/control line consumes no offset; transition stays pending
+        else {
+          val offset = assigner.offsetOf(payload, op)
+          if (pending != null) { val b = pending; pending = null; Some((offset, t.meta.id, b)) }
+          else None
         }
       }.filter(e => e._1 > fromExclusive && e._1 <= toInclusive)
     }

@@ -41,9 +41,10 @@ object FileChangeLogProvider {
 
   /** Parallel arrays: entry i spans file bytes [starts(i), starts(i)+lens(i))
     * and sorts by key (chunk key for snapshots, offset for logs). */
-  private final class FileIndex[K](val fileLen: Long, val keys: Array[AnyRef],
-      val starts: Array[Long], val lens: Array[Int]) {
+  private final class FileIndex[K](val fileLen: Long, val fileMtime: Long,
+      val keys: Array[AnyRef], val starts: Array[Long], val lens: Array[Int]) {
     def size: Int = starts.length
+    @volatile var lastUsed: Long = 0L
   }
 
   /** JVM-WIDE index cache keyed by absolute file path. Each partition task
@@ -51,19 +52,27 @@ object FileChangeLogProvider {
     * rebuild the index once per CHUNK — exactly the O(chunks × file) this
     * index exists to remove. Per-JVM means: one build on the driver for
     * planning, at most one per executor for reads. Entries self-invalidate
-    * when the file length changes (append-only contract); the cache is
-    * bounded to stop long-lived JVMs (test suites over many tmp fixtures)
-    * accumulating dead indexes. */
+    * when the file length OR mtime changes — length alone would serve stale
+    * keys for a fixture rewritten in place to the same byte count. The
+    * cache is bounded to stop long-lived JVMs (test suites over many tmp
+    * fixtures) accumulating dead indexes; when full it evicts the
+    * least-recently-used entry, not the whole cache (hot entries survive). */
   private val idxCache = TrieMap.empty[String, FileIndex[_]]
   private val MaxCachedFiles = 64
+  private val useStamp = new java.util.concurrent.atomic.AtomicLong()
 
   private def cachedIndex[K](path: String,
       scan: String => Iterator[(String, Long, Int)], keyOf: String => K)
       (implicit ord: Ordering[K]): FileIndex[K] = {
     val abs = Paths.get(path).toAbsolutePath.toString
-    val curLen = if (Files.exists(Paths.get(path))) Files.size(Paths.get(path)) else 0L
+    val p = Paths.get(path)
+    val exists = Files.exists(p)
+    val curLen = if (exists) Files.size(p) else 0L
+    val curMtime = if (exists) Files.getLastModifiedTime(p).toMillis else 0L
     idxCache.get(abs) match {
-      case Some(idx) if idx.fileLen == curLen => idx.asInstanceOf[FileIndex[K]]
+      case Some(idx) if idx.fileLen == curLen && idx.fileMtime == curMtime =>
+        idx.lastUsed = useStamp.incrementAndGet()
+        idx.asInstanceOf[FileIndex[K]]
       case _ =>
         val entries = scan(path)
           .filter(_._1.nonEmpty)
@@ -71,9 +80,12 @@ object FileChangeLogProvider {
           .toArray
         java.util.Arrays.sort(entries,
           Ordering.by[(K, Long, Int), K](_._1): java.util.Comparator[(K, Long, Int)])
-        val idx = new FileIndex[K](curLen, entries.map(_._1.asInstanceOf[AnyRef]),
+        val idx = new FileIndex[K](curLen, curMtime,
+          entries.map(_._1.asInstanceOf[AnyRef]),
           entries.map(_._2), entries.map(_._3))
-        if (idxCache.size >= MaxCachedFiles) idxCache.clear()
+        idx.lastUsed = useStamp.incrementAndGet()
+        if (!idxCache.contains(abs) && idxCache.size >= MaxCachedFiles)
+          idxCache.toSeq.minByOption(_._2.lastUsed).foreach(e => idxCache.remove(e._1))
         idxCache.put(abs, idx)
         idx
     }

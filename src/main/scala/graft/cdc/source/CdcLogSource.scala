@@ -302,6 +302,59 @@ object CdcOffset {
   }
 }
 
+/** Durable mirror of the observed-HW accumulator: each racing chunk task
+  * persists its raise as a tiny sidecar file under the stream's checkpoint
+  * location BEFORE the task completes, so the raise survives a driver crash
+  * in the window after the chunk batch lands in the commit log but before
+  * the next planned offset persists the raised HW. (The in-memory
+  * accumulator alone loses reports in that window: the committed batch is
+  * not replayed, and the log phase would re-emit (pinnedHW, observedHW] —
+  * duplicates.) Files are content-addressed (SHA-1 of the encoded report),
+  * so replayed tasks re-persist idempotently; the driver prunes a file once
+  * the log position passes its HW (its suppression window is empty). */
+private[cdc] object ObservedHwStore {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.Path
+
+  def dirOf(checkpointLoc: String): String = s"$checkpointLoc/graft_observed_hws"
+
+  /** Executor-side: durably record one encoded report. A fresh
+    * Configuration loads the cluster's core/hdfs-site from the executor
+    * classpath — the same way file-sink committers resolve the fs. */
+  def persist(dirStr: String, encoded: String): Unit = {
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(encoded.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fin = new Path(dir, s"hw-$sha")
+    if (!fs.exists(fin)) {
+      val tmp = new Path(dir, s".hw-$sha.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(encoded.getBytes("UTF-8")) finally out.close()
+      // write-then-rename so the driver never reads a torn report; losing
+      // the rename race to a concurrent attempt is fine (same content)
+      if (!fs.rename(tmp, fin)) fs.delete(tmp, true)
+    }
+  }
+
+  /** Driver-side: all persisted reports, pruning those whose HW the log
+    * position has already passed (their suppression window (logPos, hw] is
+    * empty — they can never raise anything again). */
+  def readAndPrune(dirStr: String, conf: Configuration, logPos: Long): Seq[String] = {
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith("hw-")).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val encoded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      if (CdcOffset.parseObservedHw(encoded)._4 <= logPos) {
+        fs.delete(st.getPath, false); None
+      } else Some(encoded)
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Partitions + readers
 // ---------------------------------------------------------------------------
@@ -330,11 +383,12 @@ final case class LogPartition(opts: CdcOptions, table: TableId, physical: Struct
   * the factory deserializes from the task binary inside the running task,
   * where registration works. */
 final case class CdcReaderFactory(produced: StructType,
-    hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None)
+    hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None,
+    hwDir: Option[String] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: ChunkPartition => new ChunkReader(p, produced, hwAcc)
+      case p: ChunkPartition => new ChunkReader(p, produced, hwAcc, hwDir)
       case p: LogPartition   => new LogReader(p, produced)
     }
 }
@@ -419,7 +473,8 @@ private[source] final class RowBuilder(physical: StructType, produced: StructTyp
 }
 
 final class ChunkReader(p: ChunkPartition, produced: StructType,
-    hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None)
+    hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None,
+    hwDir: Option[String] = None)
   extends PartitionReader[InternalRow] {
   private val provider = p.opts.resolveProvider()
   // extras mode: rows arrive in the table's CURRENT layout — re-resolve it
@@ -456,7 +511,12 @@ final class ChunkReader(p: ChunkPartition, produced: StructType,
     val hwChunk = math.max(baseOffset, p.upTo)
     if (baseOffset > p.upTo) hwAcc match {
       case Some(acc) =>
-        acc.add(CdcOffset.encodeObservedHw(p.table.toString, p.start, p.end, baseOffset))
+        val encoded = CdcOffset.encodeObservedHw(p.table.toString, p.start, p.end, baseOffset)
+        acc.add(encoded)
+        // durable mirror: persisted BEFORE this task can complete, so the
+        // raise survives a driver crash between this batch's commit and the
+        // next offset write (the accumulator alone would lose it there)
+        hwDir.foreach(ObservedHwStore.persist(_, encoded))
       case None => () // bounded batch read: no log phase follows — the
       // chunk simply reflects the (newer) store state at read time
     }
@@ -548,7 +608,7 @@ final class CdcScan(opts: CdcOptions, physical: StructType, produced: StructType
   override def readSchema(): StructType = produced
   override def toBatch: Batch = new CdcBatch(opts, physical, produced, matched)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(opts, physical, produced, matched)
+    new CdcMicroBatchStream(opts, physical, produced, matched, Some(checkpointLocation))
   override def description(): String =
     s"cdc-log tables=${matched.map(_.id).mkString(",")} mode=${opts.startupMode}"
 }
@@ -610,20 +670,27 @@ object CdcPlanner {
   *     restart, no suspend/wakeup RPC: the driver owns both roles.
   */
 final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
-    produced: StructType, matched: Seq[TableMeta])
+    produced: StructType, matched: Seq[TableMeta],
+    checkpointLoc: Option[String] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private lazy val provider = opts.resolveProvider()
+
+  /** Sidecar dir for durable observed-HW raises (None only for direct
+    * offset-API harnesses constructed without a checkpoint location). */
+  private val hwDir: Option[String] = checkpointLoc.map(ObservedHwStore.dirOf)
 
   /** Executor→driver return channel for chunk tasks whose base raced past
     * their cohort's pinned HW (see ChunkReader): a Spark accumulator —
     * task results carry the reports back, so this works across real
     * executors, not just local mode. Never reset: applying a max-raise is
     * idempotent, and the entry count is bounded by the number of racing
-    * chunks. If the driver dies before the raised HW reaches a persisted
-    * offset, the replayed chunk batch simply re-observes it — the same
-    * at-least-once window the reference has before a
-    * FinishedSnapshotSplitsReport lands in a checkpoint. */
+    * chunks. Durability across driver crash comes from the sidecar mirror
+    * (ObservedHwStore): each racing task persists its raise under the
+    * checkpoint location before completing, and applyObservedHws merges
+    * file + accumulator reports — so a crash after the chunk batch commits
+    * but before the next offset persists the raise cannot resurrect
+    * duplicates in (pinnedHW, observedHW]. */
   private lazy val observedHwAcc: org.apache.spark.util.CollectionAccumulator[String] =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
@@ -654,10 +721,15 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     * loss). Idempotent: a split fragment at the observed HW no longer
     * satisfies `hw < observed`. */
   private def applyObservedHws(s: CdcOffset): CdcOffset = {
+    // durable sidecar reports first (survive driver restart), then the
+    // in-memory accumulator; duplicates are fine — max-raise is idempotent
+    val persisted = hwDir.map(d => ObservedHwStore.readAndPrune(d,
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration,
+      s.logPos)).getOrElse(Seq.empty)
     val reports = observedHwAcc.value
-    if (reports.isEmpty || s.finished.isEmpty) s
+    if ((reports.isEmpty && persisted.isEmpty) || s.finished.isEmpty) s
     else {
-      val raises = reports.asScala.map(CdcOffset.parseObservedHw)
+      val raises = (persisted ++ reports.asScala).map(CdcOffset.parseObservedHw)
         .groupBy(r => (r._1, r._2, r._3))
         .map { case (k, rs) => (k._1, k._2, k._3, rs.map(_._4).max) }
       var fin = s.finished
@@ -877,7 +949,7 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(produced, Some(observedHwAcc))
+    CdcReaderFactory(produced, Some(observedHwAcc), hwDir)
   override def deserializeOffset(json: String): Offset = CdcOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

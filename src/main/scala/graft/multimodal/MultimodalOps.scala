@@ -68,7 +68,10 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.filter(_.modality == "image").map { m =>
-        val bad = ImageMeta(m.doc_id, -1, -1, 0, m.content.length.toLong)
+        // null payloads are undecodable too — same routable sentinel, no NPE
+        val nBytes = if (m.content == null) 0L else m.content.length.toLong
+        val bad = ImageMeta(m.doc_id, -1, -1, 0, nBytes)
+        if (m.content == null) bad else {
         var iis: javax.imageio.stream.ImageInputStream = null
         try {
           iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -88,6 +91,7 @@ object MultimodalOps {
           }
         } catch { case _: Exception => bad }
         finally if (iis != null) iis.close()
+        }
       }
     }
   }

@@ -72,10 +72,16 @@ object UpsertSink {
   }
 
   /** Read the current-state table: tombstones filtered, sink-internal and
-    * changelog columns dropped. */
-  def readState(spark: SparkSession, path: String): DataFrame =
+    * changelog columns dropped. Runs [[recover]] first so a bucket caught
+    * between its two swap renames (rows only in `_old/`) is restored before
+    * the read — cheap no-op in the common case. */
+  def readState(spark: SparkSession, path: String): DataFrame = {
+    // restore buckets only — unlike full recover(), leave _tmp alone so a
+    // concurrent in-flight merge's staging write is never yanked from under it
+    restoreSaveAsides(spark, path)
     spark.read.parquet(path).filter(col("op") =!= "d")
       .drop("op", "op_offset", "row_kind", BucketCol)
+  }
 
   /** One merge step: previous snapshot ∪ batch → last-wins state. Exposed
     * for tests and for batch backfills (same algebra, no stream).
@@ -183,6 +189,13 @@ object UpsertSink {
     * (live dir gone, `_old/` copy present) and clear staging. Call before
     * starting the query (cheap no-op in the common case). */
   def recover(spark: SparkSession, path: String): Unit = {
+    restoreSaveAsides(spark, path)
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(target, "_tmp"), true)
+  }
+
+  private def restoreSaveAsides(spark: SparkSession, path: String): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(target, "_old")
@@ -191,7 +204,6 @@ object UpsertSink {
       if (!fs.exists(live)) renameOrDie(fs, st.getPath, live)
       else fs.delete(st.getPath, true) // swap completed; stale save-aside
     }
-    fs.delete(new Path(target, "_tmp"), true)
   }
 
   private def renameOrDie(fs: FileSystem, src: Path, dst: Path): Unit =

@@ -235,6 +235,64 @@ class DebeziumJsonProviderSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schemaChanges numbers mixed-shape topics identically to events()") {
+    val root = Files.createTempDirectory("dbzmixed")
+    val dir = root.resolve("shop.mixed")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"), """{"primaryKey":["id"]}""")
+    def sch(cols: String) =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[$cols]},
+         |{"type":"struct","optional":true,"field":"after","fields":[$cols]}]}"""
+        .stripMargin.replace("\n", "")
+    val v1 = sch("""{"type":"int64","field":"id"},{"type":"string","field":"name"}""")
+    val v2 = sch("""{"type":"int64","field":"id"},{"type":"string","field":"name"},{"type":"string","field":"color"}""")
+    // a topic mixing Debezium envelopes with raw mongo change-stream docs:
+    // the mongo insert consumes offset 1 and the drop (control) consumes
+    // none — so the drifting envelope's data event sits at offset 2, and
+    // the schema transition (noted on the CONTROL line) must attach there
+    Files.writeString(dir.resolve("events.jsonl"),
+      s"""{"schema":$v1,"payload":{"before":null,"after":{"id":1,"name":"a"},"op":"r","ts_ms":1}}
+         |{"operationType":"insert","fullDocument":{"id":2,"name":"b"},"documentKey":{"id":2},"ts_ms":2}
+         |{"schema":$v2,"payload":{"operationType":"drop"}}
+         |{"schema":$v2,"payload":{"before":null,"after":{"id":3,"name":"c","color":"red"},"op":"c","ts_ms":3}}
+         |""".stripMargin)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    val tid = TableId("shop", "mixed")
+    // events(): mongo insert = offset 1, envelope create = offset 2
+    assert(p.log(tid, 0L, 10L).map(e => (e.offset, e.op)).toSeq ===
+      Seq((1L, "c"), (2L, "c")))
+    // schemaChanges(): SAME numbering — the v2 transition lands at offset 2
+    // (previously mongo lines were numbered -1/skipped, so the two streams
+    // disagreed and mongo-topic drift events were dropped)
+    val changes = p.schemaChanges(0L, Long.MaxValue).toSeq
+    assert(changes.map(c => (c._1, c._2)) === Seq((2L, tid)))
+    assert(changes.head._3.contains("color"))
+  }
+
+  test("schemaChanges fails as loudly as events() on a missing offsetField") {
+    val root = Files.createTempDirectory("dbzmissing")
+    val dir = root.resolve("shop.badoff")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"primaryKey":["id"],"offsetField":"lsn"}""")
+    def sch(cols: String) =
+      s"""{"type":"struct","fields":[
+         |{"type":"struct","optional":true,"field":"before","fields":[$cols]},
+         |{"type":"struct","optional":true,"field":"after","fields":[$cols]}]}"""
+        .stripMargin.replace("\n", "")
+    val v1 = sch("""{"type":"int64","field":"id"}""")
+    Files.writeString(dir.resolve("events.jsonl"),
+      s"""{"schema":$v1,"payload":{"before":null,"after":{"id":1},"source":{"lsn":90},"op":"r","ts_ms":1}}
+         |{"before":null,"after":{"id":2},"op":"c","ts_ms":2}
+         |""".stripMargin)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    val tid = TableId("shop", "badoff")
+    intercept[IllegalArgumentException](p.log(tid, 0L, 10L).toSeq)
+    // previously this silently fell back to line numbering
+    intercept[IllegalArgumentException](p.schemaChanges(0L, Long.MaxValue).toSeq)
+  }
+
   test("DDL fallback: payload-only events + meta.json schema") {
     val root = Files.createTempDirectory("dbzddl")
     val dir = root.resolve("shop.items")

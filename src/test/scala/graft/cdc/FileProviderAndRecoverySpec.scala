@@ -44,6 +44,30 @@ class FileProviderAndRecoverySpec extends SparkSpec {
     assert(rows === Set((1L, "scooter2", 5.18), (3L, "hammer", 1.0)))
   }
 
+  test("index cache invalidates on a same-length in-place rewrite (mtime key)") {
+    val root = Files.createTempDirectory("cdcmtime").toString
+    val dir = Paths.get(root, "db.t")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"db":"db","table":"t","primaryKey":["id"],"schema":"id BIGINT, name STRING","baseOffset":0}""")
+    Files.writeString(dir.resolve("log.jsonl"),
+      """{"offset":1,"op":"c","before":null,"after":{"id":1,"name":"aaa"}}
+        |""".stripMargin)
+    val p = new FileChangeLogProvider(root)
+    assert(p.log(TableId("db", "t"), 0L, 10L).toSeq.head.after(1) === "aaa")
+    // rewrite in place to the SAME byte length, different content + offset
+    val orig = Files.readString(dir.resolve("log.jsonl"))
+    val replaced = orig.replace(""""offset":1""", """"offset":2""").replace("aaa", "bbb")
+    assert(replaced.getBytes("UTF-8").length === orig.getBytes("UTF-8").length)
+    Files.writeString(dir.resolve("log.jsonl"), replaced)
+    // mtime granularity can be coarse on some filesystems — force a tick
+    Files.setLastModifiedTime(dir.resolve("log.jsonl"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 1000))
+    val rec = p.log(TableId("db", "t"), 0L, 10L).toSeq.head
+    assert(rec.offset === 2L && rec.after(1) === "bbb",
+      "stale index served after a same-length in-place rewrite")
+  }
+
   test("validate(): bad file-provider config fails loudly at planning") {
     // empty root: no table dirs
     val empty = Files.createTempDirectory("cdcfile_empty").toString

@@ -53,11 +53,15 @@ class MultimodalSpec extends SparkSpec {
       mrow(2L, png(17, 93)),
       mrow(3L, jpeg(64, 48)),
       mrow(4L, Array[Byte](1, 2, 3, 4)), // not an image → routable sentinel
-      mrow(5L, png(10, 10), modality = "audio")) // non-image → filtered out
+      mrow(5L, png(10, 10), modality = "audio"), // non-image → filtered out
+      // null payload → routable sentinel, never a task failure
+      MediaRow(6L, "image", null, MediaMeta("img", 0L)))
     val ds = spark.createDataset(rows)
     val metas = MultimodalOps.decodeImageMetaReal(ds).collect()
       .map(m => m.doc_id -> m).toMap
-    assert(metas.keySet === Set(1L, 2L, 3L, 4L))
+    assert(metas.keySet === Set(1L, 2L, 3L, 4L, 6L))
+    assert((metas(6L).width, metas(6L).height, metas(6L).channels, metas(6L).n_bytes)
+      === ((-1, -1, 0, 0L)))
     assert((metas(1L).width, metas(1L).height, metas(1L).channels) === ((320, 240, 3)))
     assert((metas(2L).width, metas(2L).height) === ((17, 93)))
     assert((metas(3L).width, metas(3L).height, metas(3L).channels) === ((64, 48, 3)))
