@@ -334,6 +334,180 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("score"))
   }
 
+  // -------------------------------------------------------------------------
+  // Portable IVF — the cross-engine-deterministic variant (what q42's md5
+  // MinHash family is to q33's xxhash64 fast path). Every step is exact
+  // integer arithmetic or an IEEE-correctly-rounded double op (int→double,
+  // sqrt, ÷), so a DuckDB SQL mirror reproduces cell assignment, probing,
+  // and scores bit-for-bit.
+  // -------------------------------------------------------------------------
+
+  /** Quantization grid for portable CELL ASSIGNMENT: floor(x·2^12).
+    * Deliberately coarser than the 2^24 scoring grid — assignment only
+    * needs a deterministic argmax, and 2^12 keeps every intermediate
+    * inside exact BIGINT range in both engines even at the extremes:
+    * centroid sums over a 10k sample ≤ 10^4·2^12 = 2^25.3 per component,
+    * 64-dim dots against them ≤ 2^54, squared norms ≤ 2^57. */
+  private val IvfScale = 4096.0
+  private val ScoreScale = 16777216.0 // 2^24 — same grid as dotQuantized
+
+  /** floor(x·scale) per component as exact longs. */
+  def quantize(v: Column, scale: Double): Column =
+    transform(v, x => floor(x.cast("double") * lit(scale)).cast("long"))
+
+  /** Flat unrolled INTEGER dot product (codegen-friendly, order-free). */
+  private def dotLong(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  /** Portable IVF centroids: the training sample is the `maxTrainSample`
+    * lowest-(md5(id), id) vectors — a total order both engines share — and
+    * Lloyd runs on 2^12-quantized integer vectors, carrying each centroid
+    * as its integer SUM vector `csum` (never the mean: a cosine argmax
+    * against s/n equals one against s — the count cancels — so no lossy
+    * division ever happens). Assignment score = dot(v_q, s_c) / ‖s_c‖ with
+    * the dot and norm² exact integers, compared as correctly-rounded
+    * doubles; ties → lowest cell. Same bounded-TakeOrdered + driver-Lloyd
+    * shape as [[ivfCentroids]] (ONE corpus pass, no per-iteration shuffle).
+    * Empty cells are dropped and survivors densely reindexed in old-cell
+    * order, exactly mirroring the SQL oracle's row_number reindex. */
+  def ivfCentroidsPortable(emb: DataFrame, idCol: String, vecCol: String,
+      ncells: Int, iters: Int = 2, maxTrainSample: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Long]] = emb
+      .select(col(idCol).cast("string").as("sid"),
+        quantize(col(vecCol), IvfScale).as("v"))
+      .orderBy(md5(col("sid")), col("sid")).limit(maxTrainSample)
+      .as[(String, Seq[Long])].collect().map(_._2.toArray)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val k0 = math.min(ncells, sample.length)
+    var cents: Array[Array[Long]] = sample.take(k0).map(_.clone())
+    for (_ <- 0 until iters) {
+      val dim = cents(0).length
+      val norms = cents.map { c =>
+        var s = 0L; var i = 0
+        while (i < dim) { s += c(i) * c(i); i += 1 }
+        math.sqrt(s.toDouble)
+      }
+      val sums = Array.fill(cents.length, dim)(0L)
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0L; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          val s = d.toDouble / norms(c)
+          if (s > bestScore) { bestScore = s; best = c } // tie → lowest cell
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.collect { case c if counts(c) > 0 => sums(c) }.toArray
+    }
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "csum")
+  }
+
+  /** Distributed max-cosine assignment against portable (integer-sum)
+    * centroids — same broadcast + window-argmax plan as [[assignCells]],
+    * but every score is dot(v_q, s_c)/‖s_c‖ from exact integers, so DuckDB
+    * reproduces the cell of every row. Returns (idCol, vecCol, cell). */
+  def assignCellsPortable(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val dim = probeDim(emb, vecCol)
+    val cents = broadcast(centroids.withColumn("__cn",
+      sqrt(dotLong(col("csum"), col("csum"), dim).cast("double"))))
+    val scored = emb.select(col(idCol), col(vecCol))
+      .withColumn("__vq", quantize(col(vecCol), IvfScale))
+      .crossJoin(cents)
+      .withColumn("__sim",
+        dotLong(col("__vq"), col("csum"), dim).cast("double") / col("__cn"))
+    val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** Portable IVF ANN: portable centroids + assignment, and the candidate
+    * scoring is the exact 2^24-quantized integer dot (the q32 baseline's
+    * grid) so rank AND score hash-match DuckDB. Columns (qid, cid, rank,
+    * score_q) — directly comparable to [[bruteForceTopK]]. */
+  def ivfTopKPortable(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ncells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val dim = probeDim(emb, vecCol)
+    val centroids = ivfCentroidsPortable(emb, idCol, vecCol, ncells, iters)
+    val corpusCells = assignCellsPortable(emb, idCol, vecCol, centroids)
+      .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"), col("cell"))
+    val cents = broadcast(centroids.withColumn("__cn",
+      sqrt(dotLong(col("csum"), col("csum"), dim).cast("double"))))
+    val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("__vq", quantize(col("qv"), IvfScale))
+      .crossJoin(cents)
+      .withColumn("__sim",
+        dotLong(col("__vq"), col("csum"), dim).cast("double") / col("__cn"))
+    val wq = Window.partitionBy("qid").orderBy(col("__sim").desc, col("cell"))
+    val qCells = qScored.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), quantize(col("qv"), ScoreScale).as("qa"), col("cell"))
+    val scored = qCells.join(corpusCells, "cell").filter(col("qid") =!= col("cid"))
+      .withColumn("score_q", dotLong(col("qa"), col("ca"), dim))
+    val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("score_q"))
+  }
+
+  /** Portable cosine near-dup pairs: portable cells, and the pair
+    * similarity is computed from 2^24-quantized integer dot/norms —
+    * identical doubles in both engines, so the ≥ threshold cut and the
+    * emitted sim hash-match DuckDB. Same cell-blocked join (+ optional
+    * `blocks` hot-cell decomposition — block ids are engine-local but only
+    * split work, never change the pair set) as [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsPortable(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
+    val dim = probeDim(emb, vecCol)
+    val centroids = ivfCentroidsPortable(emb, idCol, vecCol, ncells)
+    val cells = assignCellsPortable(emb, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), quantize(col(vecCol), ScoreScale).as("v"), col("cell"))
+      .withColumn("n2", dotLong(col("v"), col("v"), dim).cast("double"))
+    val joined =
+      if (blocks <= 1)
+        cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      else {
+        val withB = cells.withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)))
+        val a = withB.withColumn("tb", explode(sequence(col("blk"), lit(blocks - 1))))
+        a.as("a").join(withB.as("b"),
+          col("a.cell") === col("b.cell") && col("a.tb") === col("b.blk") &&
+            (col("a.blk") < col("b.blk") || col("a.id") < col("b.id")))
+      }
+    joined
+      .withColumn("sim",
+        dotLong(col("a.v"), col("b.v"), dim).cast("double")
+          / (sqrt(col("a.n2")) * sqrt(col("b.n2"))))
+      .filter(col("sim") >= minSim)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"), col("sim"))
+  }
+
+  /** Portable SemDeDup: [[cosineNearDupPairsPortable]] pairs →
+    * star-contraction components → min-id representative. Same composition
+    * as [[semanticDedup]], every stage under the DuckDB oracle. */
+  def semanticDedupPortable(emb: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
+    val pairs = cosineNearDupPairsPortable(emb, idCol, vecCol, minSim, ncells, blocks)
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "id")
+    emb.select(col(idCol).cast("bigint").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster_id"),
+        (coalesce(col("component"), col("id")) === col("id")).as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * IVF-blocked (pairs only compared within a cell — the standard
     * embedding-dedup recipe; same-cell misses are the recall tradeoff).

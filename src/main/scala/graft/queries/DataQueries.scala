@@ -72,9 +72,15 @@ object DataQueries {
       Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
+    // PORTABLE IVF (md5-ordered sample, integer-sum centroids, 2^24 integer
+    // candidate scoring) — the whole index pipeline under the DuckDB hash
+    // gate: the oracle re-derives the k-means, the cell assignment, the
+    // probe set, and every score. The xxhash64/double fast path stays as
+    // Similarity.ivfTopK (recall-asserted in DedupSimilaritySpec, used by
+    // q50's PQ pipeline).
     "q35_embedding_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+      Similarity.ivfTopKPortable(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
         k = 3, ncells = 8, nprobe = 2, iters = 1).orderBy("qid", "rank")
     }),
 
@@ -90,20 +96,20 @@ object DataQueries {
     }),
 
     // embedding-cosine near-dup pairs, IVF-blocked (within-cell pairs only —
-    // the standard embedding-dedup recipe). Engine-local cell assignment →
-    // rows-only driver check; pair quality asserted in DedupSimilaritySpec.
-    // The synthetic corpus has no true near-dups (max off-diag cos ≈ 0.5),
-    // so the threshold exercises the operator shape on the top similarity
-    // tail rather than finding actual duplicates.
+    // the standard embedding-dedup recipe), PORTABLE variant: cells AND the
+    // pair sims (2^24 integer dot/norms → identical doubles) replay in
+    // DuckDB. The synthetic corpus has no true near-dups (max off-diag
+    // cos ≈ 0.5), so the threshold exercises the operator shape on the top
+    // similarity tail rather than finding actual duplicates.
     "q39_cosine_near_dup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.cosineNearDupPairsPortable(t(s, dir, "embeddings"), "vec_id", "embedding",
         minSim = 0.35, ncells = 32).orderBy("id_a", "id_b")),
 
-    // SemDeDup composition: cosine pairs → components → min-id
-    // representative per cluster (engine-local hashing inside IVF → rows
-    // gate; keep/cluster semantics spec-asserted in DedupSimilaritySpec)
+    // SemDeDup composition: portable cosine pairs → components → min-id
+    // representative per cluster — every stage under the DuckDB oracle
+    // (pairs replayed as above, components via the q57 recursive-CTE walk)
     "q81_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.semanticDedupPortable(t(s, dir, "embeddings"), "vec_id", "embedding",
         minSim = 0.35, ncells = 32).orderBy("id")),
 
     // deterministic train/val/test split: membership = pure function of the
@@ -339,6 +345,118 @@ object DataQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.ivfCentroidsPortable]] +
+    * [[Similarity.assignCellsPortable]] — generated CTE chain, parameterized
+    * the same way as the Spark side so the two can't drift:
+    *
+    *  - `fq`: 2^12-quantized integer vectors (cell-assignment grid);
+    *  - `v24`: 2^24-quantized integer vectors (scoring grid, = q32's);
+    *  - `sample`: rows in (md5(id), id) order, capped at 10000 — the
+    *    identical total order Spark's TakeOrdered uses;
+    *  - `cents0`: seeds = first ncells sample vectors;
+    *  - per Lloyd iteration i: `a_i` argmax-assigns the sample to
+    *    `cents_{i-1}` by dot(v,s)/‖s‖ (exact integer dot + norm², compared
+    *    as correctly-rounded doubles, ties → lowest cell), `cents_i` =
+    *    per-cell integer component sums, empty cells dropped and survivors
+    *    densely reindexed (row_number over old cell order);
+    *  - `cellsf`: full-corpus argmax assignment against the final
+    *    centroids.
+    * Callers append their own probe/pair/scoring tail. */
+  private def ivfPortableCtes(ncells: Int, iters: Int): String = {
+    def dotSql(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS DOUBLE)"
+    def scoreSql(v: String, s: String): String =
+      s"${dotSql(v, s)} / sqrt(${dotSql(s, s)})"
+    val iterCtes = (1 to iters).map { it =>
+      s"""a$it AS (SELECT rn, vq, cell FROM (
+         |  SELECT s.rn, s.vq, c.cell,
+         |    row_number() OVER (PARTITION BY s.rn
+         |      ORDER BY ${scoreSql("s.vq", "c.s")} DESC, c.cell) AS rk
+         |  FROM sample s CROSS JOIN cents${it - 1} c) WHERE rk = 1),
+         |g$it AS (SELECT cell, u.i AS i, CAST(SUM(vq[u.i]) AS BIGINT) AS sq
+         |         FROM a$it, UNNEST(range(1, len(vq)+1)) AS u(i) GROUP BY cell, u.i),
+         |c$it AS (SELECT cell, list(sq ORDER BY i) AS s FROM g$it GROUP BY cell),
+         |cents$it AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS cell, s FROM c$it)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""fq AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS vq
+       |       FROM embeddings),
+       |v24 AS (SELECT vec_id, list_transform(embedding,
+       |          x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS a
+       |        FROM embeddings),
+       |sample AS (SELECT vec_id, vq,
+       |             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |               CAST(vec_id AS VARCHAR)) - 1 AS rn
+       |           FROM fq QUALIFY rn < 10000),
+       |cents0 AS (SELECT rn AS cell, vq AS s FROM sample WHERE rn < $ncells),
+       |$iterCtes,
+       |cellsf AS (SELECT vec_id, cell FROM (
+       |  SELECT f.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY ${scoreSql("f.vq", "c.s")} DESC, c.cell) AS rk
+       |  FROM fq f CROSS JOIN cents$iters c) WHERE rk = 1)""".stripMargin
+  }
+
+  private def ivfDotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+
+  /** q35 oracle: probe tail over [[ivfPortableCtes]] — per query the
+    * `nprobe` best cells (same argmax score), candidates = probed cells'
+    * corpus members, scored with the exact 2^24 integer dot. */
+  private def ivfTopKOracleSql(ncells: Int, nprobe: Int, iters: Int, k: Int): String =
+    s"""WITH ${ivfPortableCtes(ncells, iters)},
+       |qc AS (SELECT vec_id AS qid, cell FROM (
+       |  SELECT f.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY CAST(${ivfDotSql("f.vq", "c.s")} AS DOUBLE)
+       |        / sqrt(CAST(${ivfDotSql("c.s", "c.s")} AS DOUBLE)) DESC, c.cell) AS rk
+       |  FROM fq f CROSS JOIN cents$iters c WHERE f.vec_id < 50) WHERE rk <= $nprobe),
+       |cand AS (SELECT qc.qid, cc.vec_id AS cid
+       |         FROM qc JOIN cellsf cc USING (cell) WHERE qc.qid <> cc.vec_id),
+       |dots AS (SELECT cand.qid, cand.cid,
+       |           CAST(${ivfDotSql("qa.a", "ca.a")} AS BIGINT) AS score_q
+       |         FROM cand JOIN v24 qa ON cand.qid = qa.vec_id
+       |                   JOIN v24 ca ON cand.cid = ca.vec_id)
+       |SELECT qid, cid, rank, score_q FROM (
+       |  SELECT qid, cid, score_q,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) AS rank
+       |  FROM dots)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** q39/q81 shared pair tail: within-cell pairs, sim from the 2^24
+    * integer dot and norms (identical doubles in both engines). */
+  private def ivfPairsSql(ncells: Int, iters: Int, minSim: Double): String =
+    s"""${ivfPortableCtes(ncells, iters)},
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         CAST(${ivfDotSql("va.a", "vb.a")} AS DOUBLE)
+       |           / (sqrt(CAST(${ivfDotSql("va.a", "va.a")} AS DOUBLE))
+       |              * sqrt(CAST(${ivfDotSql("vb.a", "vb.a")} AS DOUBLE))) AS sim
+       |       FROM cellsf a JOIN cellsf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       JOIN v24 va ON a.vec_id = va.vec_id
+       |       JOIN v24 vb ON b.vec_id = vb.vec_id),
+       |np AS (SELECT id_a, id_b, sim FROM pr WHERE sim >= $minSim)""".stripMargin
+
+  private def cosineNearDupOracleSql(ncells: Int, iters: Int, minSim: Double): String =
+    s"""WITH ${ivfPairsSql(ncells, iters, minSim)}
+       |SELECT id_a, id_b, sim FROM np ORDER BY id_a, id_b""".stripMargin
+
+  /** q81 oracle: q39's pairs + the q57 recursive label walk (component =
+    * min reachable id) + min-id keep decision per corpus row. */
+  private def semanticDedupOracleSql(ncells: Int, iters: Int, minSim: Double): String =
+    s"""WITH RECURSIVE ${ivfPairsSql(ncells, iters, minSim)},
+       |edges AS (SELECT id_a u, id_b v FROM np UNION SELECT id_b, id_a FROM np),
+       |walk(u, lbl) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+       |comp AS (SELECT u AS id, MIN(lbl) AS component FROM walk GROUP BY u)
+       |SELECT e.vec_id AS id,
+       |  COALESCE(c.component, e.vec_id) AS cluster_id,
+       |  (COALESCE(c.component, e.vec_id) = e.vec_id) AS kept
+       |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+       |ORDER BY id""".stripMargin
+
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
   private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
@@ -520,6 +638,12 @@ object DataQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
+
+    // portable-IVF family: the oracle re-derives the full index pipeline
+    // (md5-ordered sample → integer Lloyd → assignment → probe/pairs)
+    "q35_embedding_ivf_topk" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3),
+    "q39_cosine_near_dup" -> cosineNearDupOracleSql(ncells = 32, iters = 2, minSim = 0.35),
+    "q81_semantic_dedup" -> semanticDedupOracleSql(ncells = 32, iters = 2, minSim = 0.35),
 
     "q56_hash_split" ->
       """WITH b AS (SELECT doc_id,

@@ -141,6 +141,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.count(!_._3) > 0, "fixture must contain at least one near-dup")
   }
 
+  test("portable IVF: recall vs brute force, deterministic integer-sum cells") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKPortable(emb, queries, "vec_id", "embedding",
+      k = 5, ncells = 4, nprobe = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"portable IVF recall@5 = $recall")
+    // centroid training is a pure function of the data: identical on re-run
+    val c1 = Similarity.ivfCentroidsPortable(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val c2 = Similarity.ivfCentroidsPortable(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(c1 === c2)
+  }
+
+  test("portable cosine pairs: threshold, canonical order, blocks invariance") {
+    def pairSet(blocks: Int) =
+      Similarity.cosineNearDupPairsPortable(emb, "vec_id", "embedding",
+        minSim = 0.3, ncells = 4, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.cosineNearDupPairsPortable(emb, "vec_id", "embedding",
+      minSim = 0.3, ncells = 4).collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.3))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val plain = pairSet(1)
+    assert(plain.nonEmpty)
+    assert(pairSet(4) === plain, "hot-cell sharding must not change the pairs")
+  }
+
   test("exact dedup: drop keeps one row per distinct text") {
     val withDups = docs.limit(50).unionAll(docs.limit(10)) // plant exact dups
     val deduped = Dedup.dropExactDuplicates(withDups, "doc_id", "text")
