@@ -43,6 +43,13 @@ object Similarity {
   private def probeDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** The session's shuffle parallelism, for PINNED repartitions ahead of a
+    * broadcast-join blowup: a bare `repartition(col)` would let AQE
+    * coalesce the (tiny pre-blowup) shuffle back to one partition and
+    * re-serialize the scoring stage — the explicit count is the point. */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   def norm2(a: Column): Column = dot(a, a)
 
   def cosine(a: Column, b: Column, n2a: Column, n2b: Column): Column =
@@ -79,9 +86,16 @@ object Similarity {
     val dim = probeDim(corpus, vecCol)
     val S = lit(16777216.0) // 2^24
     val quant = (v: Column) => transform(v, x => floor(x.cast("double") * S).cast("long"))
+    // pre-partition the query side by qid: the top-k window clusters on qid
+    // anyway, so this moves its exchange BEFORE the |corpus|-fold blowup —
+    // the scored pairs never cross the wire, and the scoring loop runs on
+    // every core instead of however many input splits the (small) query
+    // side happened to have (measured 3× on the bench: one 512 KB parquet
+    // split was serializing the whole O(|Q|·|N|) scoring stage).
     val q = queries.select(col(idCol).as("qid"), quant(col(vecCol)).as("qa"))
+      .repartition(shufflePartitions(queries), col("qid"))
     val c = corpus.select(col(idCol).as("cid"), quant(col(vecCol)).as("ca"))
-    val scored = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+    val scored = q.crossJoin(broadcast(c)).filter(col("qid") =!= col("cid"))
       .withColumn("score_q",
         (1 to dim).map(i => element_at(col("qa"), i) * element_at(col("ca"), i))
           .reduce(_ + _))
@@ -161,7 +175,13 @@ object Similarity {
     // centroid norms computed once on the tiny broadcast side, not per pair
     val cents = broadcast(centroids.withColumn("__cnorm",
       sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
-    val scored = emb.select(col(idCol), col(vecCol)).crossJoin(cents)
+    // pre-partition by id: the argmax window clusters on id anyway, so the
+    // exchange happens BEFORE the ×ncells crossJoin blowup (N rows shuffle,
+    // not N×ncells) and the scoring stage parallelizes across all cores
+    // regardless of how few input splits the corpus file had
+    val scored = emb.select(col(idCol), col(vecCol))
+      .repartition(shufflePartitions(emb), col(idCol))
+      .crossJoin(cents)
       .withColumn("__sim", dotUnrolled(col(vecCol), col("centroid"), dim) / col("__cnorm"))
     // argmax as a row_number window, NOT max(struct(...)): a struct-typed
     // max cannot hash-aggregate (SortAggregate = two sorts + an exchange),
@@ -187,6 +207,7 @@ object Similarity {
     val cents = broadcast(centroids.withColumn("__cnorm",
       sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
     val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .repartition(shufflePartitions(queries), col("qid")) // probe window clusters on qid
       .crossJoin(cents)
       .withColumn("__sim", dotUnrolled(col("qv"), col("centroid"), dim) / col("__cnorm"))
     val wq = Window.partitionBy("qid").orderBy(col("__sim").desc, col("cell"))
@@ -309,6 +330,7 @@ object Similarity {
     val cents = broadcast(centroids.withColumn("__cnorm",
       sqrt(dotUnrolled(col("centroid"), col("centroid"), dim))))
     val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .repartition(shufflePartitions(queries), col("qid")) // probe window clusters on qid
       .crossJoin(cents)
       .withColumn("__sim", dotUnrolled(col("qv"), col("centroid"), dim) / col("__cnorm"))
     val wq = Window.partitionBy("qid").orderBy(col("__sim").desc, col("cell"))
@@ -421,7 +443,10 @@ object Similarity {
     val dim = probeDim(emb, vecCol)
     val cents = broadcast(centroids.withColumn("__cn",
       sqrt(dotLong(col("csum"), col("csum"), dim).cast("double"))))
+    // pre-partition by id — same exchange-before-blowup reasoning as
+    // assignCellsDim (the argmax window re-uses this partitioning)
     val scored = emb.select(col(idCol), col(vecCol))
+      .repartition(shufflePartitions(emb), col(idCol))
       .withColumn("__vq", quantize(col(vecCol), IvfScale))
       .crossJoin(cents)
       .withColumn("__sim",
@@ -444,6 +469,7 @@ object Similarity {
     val cents = broadcast(centroids.withColumn("__cn",
       sqrt(dotLong(col("csum"), col("csum"), dim).cast("double"))))
     val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .repartition(shufflePartitions(queries), col("qid")) // probe window clusters on qid
       .withColumn("__vq", quantize(col("qv"), IvfScale))
       .crossJoin(cents)
       .withColumn("__sim",
