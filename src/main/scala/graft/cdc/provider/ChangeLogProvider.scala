@@ -54,6 +54,21 @@ trait ChangeLogProvider extends Serializable {
   def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
     Iterator.empty
 
+  /** Opaque RESUME TOKEN marking the upstream position at which every event
+    * with offset <= `upTo` has been delivered — the MongoDB change-stream
+    * resume contract (each event carries a resume token `_id`; a restarted
+    * stream passes the last-processed token as `resumeAfter` and the server
+    * resumes strictly AFTER it — reference
+    * mongodb/internal/MongoDBConnectorSourceTask.java's resume flow). A
+    * caller persists the token next to its checkpoint and hands it back to
+    * the provider on restart (constructor/config): the upstream then skips
+    * everything at or before the token — no replay over the wire, no loss —
+    * instead of re-shipping history the checkpoint already committed.
+    * `None` = this provider has no upstream subscription to resume
+    * (file/JDBC providers re-read their store by offset instead, which is
+    * already replay-free). */
+  def resumeToken(upTo: Long): Option[String] = None
+
   /** Planning-time configuration check (reference MySqlValidator.java:65-138:
     * server version >= 5.6, binlog_format=ROW, row image FULL — all probed
     * BEFORE any split is planned). A provider verifies its prerequisites —

@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.cdc._
 import org.apache.spark.sql.types._
 
-import java.io.{BufferedReader, InputStreamReader}
+import java.io.BufferedInputStream
 import java.net.Socket
 import java.nio.charset.StandardCharsets
 
@@ -26,6 +26,17 @@ import java.nio.charset.StandardCharsets
   *  - an error on the client thread is captured and re-thrown on the next
   *    SPI call (Handover's error-propagation contract, :107-140).
   *
+  * RESUME TOKENS (the MongoDB change-stream contract, reference
+  * mongodb/internal/MongoDBConnectorSourceTask.java resume flow): the
+  * client counts the exact bytes of every delivered line, so
+  * [[resumeToken]] returns the stream byte position after the last event
+  * at or below a log offset. On (re)connect the client sends one
+  * handshake line `RESUME <bytes>` and the server replays strictly after
+  * that position — a stopped stream restarts with NO replay over the wire
+  * and NO loss, without the provider ever having spooled the skipped
+  * history. (Byte offset here plays the role of Mongo's opaque `_id`
+  * token; the SPI carries it as an opaque string either way.)
+  *
   * The source is LOG-ONLY (empty base; `startup.mode=initial` folds the
   * spooled log into its single unbounded chunk), which is exactly what a
   * wire protocol gives you. The spool is retained so `log(from, to)` can
@@ -36,31 +47,49 @@ import java.nio.charset.StandardCharsets
   * Lives behind ProviderRegistry (a live socket is not serializable): in
   * local mode readers share the JVM; on a cluster a live-client provider
   * registers per-executor via the `provider.class` path instead. */
-final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta)
+final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
+    resumeFrom: Option[String] = None)
   extends ChangeLogProvider with AutoCloseable {
 
   @transient private val mapper = new ObjectMapper()
-  @transient private val spool = scala.collection.mutable.ArrayBuffer.empty[LogRecord]
+  /** (record, stream byte position AFTER its line) in append order. */
+  @transient private val spool =
+    scala.collection.mutable.ArrayBuffer.empty[(LogRecord, Long)]
   @transient @volatile private var failure: Throwable = null
   @transient @volatile private var closed = false
+
+  private val resumeBase: Long = resumeFrom.map(_.toLong).getOrElse(0L)
 
   @transient private val socket = new Socket(host, port)
 
   @transient private val client = new Thread(() => {
     try {
-      val in = new BufferedReader(
-        new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
-      var line = in.readLine()
-      while (line != null && !closed) {
-        if (line.trim.nonEmpty) {
-          val rec = parse(mapper.readTree(line))
-          synchronized {
-            require(spool.isEmpty || rec.offset > spool.last.offset,
-              s"socket log must be append-ordered: got ${rec.offset} after ${spool.last.offset}")
-            spool += rec
+      // handshake: ask the server to resume strictly after the token
+      val out = socket.getOutputStream
+      out.write(s"RESUME $resumeBase\n".getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      val in = new BufferedInputStream(socket.getInputStream, 1 << 16)
+      val buf = new java.io.ByteArrayOutputStream(256)
+      var pos = resumeBase
+      var eof = false
+      while (!eof && !closed) {
+        buf.reset()
+        var b = in.read()
+        while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+        if (b == '\n') pos += 1
+        if (b == -1 && buf.size() == 0) eof = true
+        else {
+          val line = new String(buf.toByteArray, StandardCharsets.UTF_8)
+          if (line.trim.nonEmpty) {
+            val rec = parse(mapper.readTree(line))
+            val after = pos
+            synchronized {
+              require(spool.isEmpty || rec.offset > spool.last._1.offset,
+                s"socket log must be append-ordered: got ${rec.offset} after ${spool.last._1.offset}")
+              spool += ((rec, after))
+            }
           }
         }
-        line = in.readLine()
       }
     } catch {
       case _: Throwable if closed => () // normal shutdown race
@@ -101,7 +130,17 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta)
 
   override def currentOffset: Long = synchronized {
     checkFailure()
-    if (spool.isEmpty) 0L else spool.last.offset
+    if (spool.isEmpty) 0L else spool.last._1.offset
+  }
+
+  /** Byte position after the last delivered event with offset <= upTo —
+    * hand it to a new provider's `resumeFrom` to restart without replay.
+    * Before anything at or below upTo arrived, the token is the position
+    * this client itself resumed from (nothing to skip yet). */
+  override def resumeToken(upTo: Long): Option[String] = synchronized {
+    checkFailure()
+    val last = spool.reverseIterator.find(_._1.offset <= upTo).map(_._2)
+    Some(last.getOrElse(resumeBase).toString)
   }
 
   /** Log-only: the base is empty at offset 0; the chunk fold replays the
@@ -115,6 +154,10 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta)
 
   override def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) = {
     checkFailure()
+    // NOTE a resumed provider pairs with a CHECKPOINTED stream (its logPos
+    // at or past the token) — the skipped history is never asked for. A
+    // fresh query against a resumed provider would fold from empty base and
+    // miss pre-token events, same as a fresh Mongo stream with resumeAfter.
     (0L, Iterator.empty)
   }
 
@@ -122,7 +165,9 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta)
     synchronized {
       checkFailure()
       // spool is append-ordered; slice eagerly so the iterator needs no lock
-      spool.filter(r => r.offset > fromExclusive && r.offset <= toInclusive).toSeq.iterator
+      spool.iterator.map(_._1)
+        .filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
+        .toSeq.iterator
     }
 
   override def validate(): Unit = {

@@ -95,6 +95,130 @@ class CdcSocketProviderSpec extends SparkSpec {
     }
   }
 
+  /** Minimal resume-capable server: spools every published byte; a client
+    * connects, sends `RESUME <n>`, and receives bytes from position n on
+    * (plus everything published later) — the server-side half of the
+    * MongoDB change-stream resume contract the provider exercises. */
+  private final class ResumableServer {
+    private val server = new ServerSocket(0)
+    private val published = new java.io.ByteArrayOutputStream()
+    private val clients = new java.util.concurrent.CopyOnWriteArrayList[(java.io.OutputStream, Array[Int])]()
+    def port: Int = server.getLocalPort
+    @volatile private var closed = false
+    private val acceptor = new Thread(() => {
+      try while (!closed) {
+        val s = server.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+        val handshake = in.readLine() // "RESUME <n>"
+        val from = handshake.trim.split(" ")(1).toInt
+        val out = s.getOutputStream
+        val pos = Array(from)
+        synchronized { flushTo(out, pos) }
+        clients.add((out, pos))
+      } catch { case _: Throwable => () }
+    })
+    acceptor.setDaemon(true); acceptor.start()
+    private def flushTo(out: java.io.OutputStream, pos: Array[Int]): Unit = {
+      val bytes = published.toByteArray
+      if (pos(0) < bytes.length) {
+        out.write(bytes, pos(0), bytes.length - pos(0)); out.flush()
+        pos(0) = bytes.length
+      }
+    }
+    def publish(line: String): Unit = synchronized {
+      published.write((line + "\n").getBytes(StandardCharsets.UTF_8))
+      clients.forEach { case (out, pos) =>
+        try flushTo(out, pos) catch { case _: Throwable => () }
+      }
+    }
+    def close(): Unit = { closed = true; server.close() }
+  }
+
+  test("resume token: restart resumes strictly after the token — no replay, no loss") {
+    val server = new ResumableServer()
+    try {
+      // life 1: fresh subscription, three events arrive
+      val p1 = new SocketChangeLogProvider("localhost", server.port, meta)
+      server.publish(ev(1, "c", 1, "a"))
+      server.publish(ev(2, "c", 2, "b"))
+      server.publish(ev(3, "u", 1, "a2"))
+      awaitOffset(p1, 3)
+      // the consumer commits through offset 3 and persists the token
+      val token = p1.resumeToken(3).get
+      p1.close() // driver dies / stream stops
+
+      // events keep committing upstream while nothing is connected
+      server.publish(ev(4, "d", 2, "b"))
+      server.publish(ev(5, "c", 3, "c"))
+
+      // life 2: resume from the token — the server never re-sends 1..3
+      val p2 = new SocketChangeLogProvider("localhost", server.port, meta,
+        resumeFrom = Some(token))
+      awaitOffset(p2, 5)
+      // no loss: the offline events arrive in order
+      assert(p2.log(meta.id, 3, 5).map(r => (r.offset, r.op)).toSeq ===
+        Seq((4L, "d"), (5L, "c")))
+      // no replay: nothing at or below the token's offset was re-shipped
+      assert(p2.log(meta.id, 0, 3).isEmpty,
+        "resumed client must not have re-received pre-token events")
+      // token algebra: a resumed client's token for its floor = the floor
+      assert(p2.resumeToken(3).get === token)
+      // and its token advances past newly delivered events
+      assert(p2.resumeToken(5).get.toLong > token.toLong)
+      p2.close()
+
+      // a file/JDBC-style provider has no upstream subscription: None
+      val inMem = new graft.cdc.provider.InMemoryChangeLogProvider(meta, Seq.empty, Seq.empty)
+      assert(inMem.resumeToken(0).isEmpty)
+    } finally server.close()
+  }
+
+  test("resume token + checkpointed stream: restart across provider lives, exactly-once") {
+    val server = new ResumableServer()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_socket_resume_")
+    val outDir = tmp.resolve("out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("cdc-log")
+        .option("provider.name", "socket-resume")
+        .option("metadata.columns", "op_offset,row_kind")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      val p1 = new SocketChangeLogProvider("localhost", server.port, meta)
+      ProviderRegistry.register("socket-resume", p1)
+      server.publish(ev(1, "c", 1, "a"))
+      server.publish(ev(2, "c", 2, "b"))
+      awaitOffset(p1, 2)
+      runOnce()
+      val committed = 2L // the AvailableNow run drained through offset 2
+      val token = p1.resumeToken(committed).get
+      p1.close() // stream stopped, provider torn down
+
+      server.publish(ev(3, "c", 3, "c")) // arrives while offline
+      val p2 = new SocketChangeLogProvider("localhost", server.port, meta,
+        resumeFrom = Some(token))
+      ProviderRegistry.register("socket-resume", p2)
+      awaitOffset(p2, 3)
+      runOnce() // same checkpoint, resumed provider
+      val rows = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      // run 1 snapshotted {1->a, 2->b}; run 2 appended exactly the create
+      assert(rows.filter(_._3 == "r").map(x => (x._1, x._2)).sorted.toSeq ===
+        Seq((1L, "a"), (2L, "b")))
+      assert(rows.filter(_._4 > 2L).map(x => (x._1, x._2, x._3)).toSeq ===
+        Seq((3L, "c", "c")), s"wave-2 wrong: ${rows.toSeq}")
+      assert(rows.length === 3, "no duplicates across the resumed restart")
+      p2.close()
+    } finally server.close()
+  }
+
   test("socket client failure propagates loudly on the next SPI call") {
     val server = new ServerSocket(0)
     new Thread(() => { server.accept() }).start()
