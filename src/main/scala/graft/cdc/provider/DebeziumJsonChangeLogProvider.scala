@@ -53,8 +53,15 @@ import scala.jdk.CollectionConverters._
   * are the leading op='r' block with ts_ms forced to 0
   * (RecordUtils.java:197-225 does the same).
   */
-final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvider {
+final class DebeziumJsonChangeLogProvider(root: String,
+    serverTimeZone: String = "UTC") extends ChangeLogProvider {
   private val mapper = new ObjectMapper()
+
+  /** Zone for ZonedTimestamp strings that carry no offset (reference
+    * `server-time-zone`, applied in RowDataDebeziumDeserializeSchema.java:
+    * 490-512: a server-local rendering is interpreted in the configured
+    * server zone before conversion to the engine's UTC timestamp). */
+  private val serverZone = java.time.ZoneId.of(serverTimeZone)
 
   /** One field: declared Spark type + wire decoder for its payload node. */
   private case class Codec(name: String, dataType: DataType, dec: JsonNode => Any) {
@@ -79,7 +86,13 @@ final class DebeziumJsonChangeLogProvider(root: String) extends ChangeLogProvide
         (TimestampNTZType, n => Math.floorDiv(n.asLong(), 1000L))
       case "io.debezium.time.ZonedTimestamp" =>
         (TimestampType, n => {
-          val i = java.time.OffsetDateTime.parse(n.asText()).toInstant
+          val txt = n.asText()
+          // offset-carrying strings are absolute; offset-less strings are a
+          // server-local rendering → interpret in server-time-zone
+          val i =
+            try java.time.OffsetDateTime.parse(txt).toInstant
+            catch { case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDateTime.parse(txt).atZone(serverZone).toInstant }
           Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong)
         })
       case "io.debezium.time.Time" => (IntegerType, _.asInt()) // millis of day

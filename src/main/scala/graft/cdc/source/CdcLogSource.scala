@@ -63,12 +63,35 @@ final case class CdcOptions(
       * columns → null), and carry columns the declared schema lacks in a
       * `_extras MAP<STRING,STRING>` column — no restart, no data loss;
       * restarting the query promotes new columns to physical ones. */
-    schemaEvolutionMode: String = "strict") {
+    schemaEvolutionMode: String = "strict",
+    /** Zone LOCAL-rendered timestamps from the upstream server are in
+      * (reference MySqlSourceOptions.java:71-76, applied in
+      * RowDataDebeziumDeserializeSchema.java:490-512): a Debezium
+      * ZonedTimestamp string WITHOUT an offset is interpreted in this zone
+      * before conversion to Spark's UTC-based TimestampType. */
+    serverTimeZone: String = "UTC",
+    /** Mid-stream newly-added-table admission (reference
+      * scan.newly-added-table.enabled, MySqlSourceOptions.java:211-214).
+      * Default TRUE here (deviation from the reference's false, documented:
+      * the micro-batch model re-probes the table list for free, no
+      * suspend/wakeup RPC needed); `false` pins the query-start table set. */
+    newlyAddedTables: Boolean = true,
+    /** Distribution-factor bounds for even-vs-uneven chunking (reference
+      * split-key.even-distribution.factor.upper/lower-bound,
+      * MySqlSourceOptions.java:187-210). */
+    distributionFactorUpper: Double = 1000.0,
+    distributionFactorLower: Double = 0.05,
+    /** `jdbc.properties.*` / `debezium.*` passthrough (reference
+      * JdbcUrlUtils/DebeziumOptions): accepted and carried (stripped of the
+      * prefix) for `provider.class` implementations to consume; the
+      * built-in offline providers dial no databases and ignore them. */
+    passthrough: Map[String, String] = Map.empty) {
 
   def resolveProvider(): ChangeLogProvider = providerKind match {
     case "registry" => ProviderRegistry.get(providerArg)
     case "file"     => new FileChangeLogProvider(providerArg)
-    case "debezium" => new graft.cdc.provider.DebeziumJsonChangeLogProvider(providerArg)
+    case "debezium" =>
+      new graft.cdc.provider.DebeziumJsonChangeLogProvider(providerArg, serverTimeZone)
     case "class" => Class.forName(providerArg).getDeclaredConstructor()
       .newInstance().asInstanceOf[ChangeLogProvider]
     case other => throw new IllegalArgumentException(s"unknown provider kind '$other'")
@@ -106,7 +129,43 @@ object CdcOptions {
     * schema.evolution.mode=extras. */
   val ExtrasCol = "_extras"
 
+  /** Reference keys that imply a live database connection this offline
+    * build cannot make — REJECTED loudly (silently accepting them would let
+    * a user believe they pointed the source at a server). */
+  private val RejectedConnectionKeys = Seq(
+    "hostname", "port", "username", "password", "server-id")
+
+  /** Reference tuning keys with no offline analogue — ACCEPTED as no-ops
+    * so a ported reference DDL runs unchanged. Rationales:
+    * connect.timeout / connect.max-retries / connection.pool.size — the
+    * built-in providers hold no connection pool (files / embedded JDBC);
+    * heartbeat.interval — micro-batch heartbeats are free (empty batches
+    * advance offsets, F6/W8); scan.snapshot.fetch.size — providers stream
+    * with their own fetch sizing (JdbcSql uses the store's streaming mode);
+    * scan.startup.specific-offset.file — provider offsets are one
+    * total-ordered long, use scan.startup.specific-offset(.pos);
+    * scan.incremental.close-idle-reader.enabled — Spark tasks end with
+    * their partition, there is no long-lived idle reader to close. */
+  private val AcceptedNoOpKeys = Seq(
+    "connect.timeout", "connect.max-retries", "connection.pool.size",
+    "heartbeat.interval", "scan.snapshot.fetch.size",
+    "scan.startup.specific-offset.file",
+    "scan.incremental.close-idle-reader.enabled")
+
   def from(o: CaseInsensitiveStringMap): CdcOptions = {
+    RejectedConnectionKeys.foreach { k =>
+      require(!o.containsKey(k),
+        s"option '$k' implies a live database wire protocol, which this " +
+          "build does not ship (offline). Point the source at a change-log " +
+          "store instead: path=<dir> (JSONL or path.format=debezium-json), " +
+          "provider.name=<registered>, or provider.class=<impl> (e.g. a " +
+          "JDBC provider taking a full JDBC URL).")
+    }
+    if (o.containsKey("scan.incremental.snapshot.enabled"))
+      require(o.getBoolean("scan.incremental.snapshot.enabled", true),
+        "scan.incremental.snapshot.enabled=false (the legacy SourceFunction " +
+          "path) is not carried over: the incremental snapshot source is the " +
+          "only engine here; its single-parallelism mode is the S1 analogue.")
     // provider.name/.class take precedence: the session catalog injects a
     // `path` option (the table's warehouse location) into every
     // `CREATE TABLE ... USING cdc-log`, which must not shadow an explicit
@@ -128,24 +187,43 @@ object CdcOptions {
       .getOrElse(Seq.empty)
     val bad = meta.filterNot(Set(MetaDatabaseName, MetaTableName, MetaOpTs, MetaOffset, MetaRowKind))
     require(bad.isEmpty, s"unknown metadata.columns: $bad")
+    val tz = o.getOrDefault("server-time-zone", "UTC")
+    try java.time.ZoneId.of(tz)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"invalid server-time-zone '$tz': ${e.getMessage}") }
+    val passthrough = o.asCaseSensitiveMap().asScala.collect {
+      case (k, v) if k.startsWith("jdbc.properties.") =>
+        k.stripPrefix("jdbc.properties.") -> v
+      case (k, v) if k.startsWith("debezium.") =>
+        k.stripPrefix("debezium.") -> v
+    }.toMap
     CdcOptions(kind, arg,
       o.getOrDefault("database-name", ".*"),
       o.getOrDefault("table-name", ".*"),
       o.getInt("scan.incremental.snapshot.chunk.size", 8096),
       o.getOrDefault("scan.startup.mode", "initial"),
       o.getLong("scan.startup.timestamp-millis", 0L),
-      o.getLong("scan.startup.specific-offset", 0L),
+      // `.pos` is the reference's two-part (file, pos) form; offsets here
+      // are one total-ordered long, so `.pos` aliases the plain key
+      o.getLong("scan.startup.specific-offset",
+        o.getLong("scan.startup.specific-offset.pos", 0L)),
       o.getLong("scan.log.max-offsets-per-batch", Long.MaxValue),
       o.getLong("scan.log.min-offsets-per-batch", 0L),
       o.getLong("scan.log.max-trigger-delay-ms", 15 * 60 * 1000L),
-      o.getInt("scan.snapshot.max-chunks-per-batch", 1000),
+      o.getInt("scan.snapshot.max-chunks-per-batch",
+        o.getInt("chunk-meta.group.size", 1000)),
       meta,
       o.getOrDefault("changelog.mode", "full"),
       o.getOrDefault("schema.evolution.mode", "strict") match {
         case m @ ("strict" | "extras") => m
         case other => throw new IllegalArgumentException(
           s"unknown schema.evolution.mode '$other' (strict | extras)")
-      })
+      },
+      tz,
+      o.getBoolean("scan.newly-added-table.enabled", true),
+      o.getDouble("split-key.even-distribution.factor.upper-bound", 1000.0),
+      o.getDouble("split-key.even-distribution.factor.lower-bound", 0.05),
+      passthrough)
   }
 
   /** physical ++ op STRING ++ requested metadata — the fork's contract of a
@@ -643,7 +721,9 @@ object CdcPlanner {
     val (mn, mx, cnt) = provider.keyBounds(tm.id)
     if (cnt == 0) Seq(SnapshotSplit(tm.id, 0, None, None))
     else ChunkSplitter.plan(tm.id, mn, mx, cnt,
-      ChunkSplitter.Config(chunkSize = opts.chunkSize),
+      ChunkSplitter.Config(chunkSize = opts.chunkSize,
+        distributionFactorUpper = opts.distributionFactorUpper,
+        distributionFactorLower = opts.distributionFactorLower),
       (from, sz) => provider.nextChunkEnd(tm.id, from, sz))
   }
 }
@@ -751,7 +831,9 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     }
   }
 
-  private def planCfg = ChunkSplitter.Config(chunkSize = opts.chunkSize)
+  private def planCfg = ChunkSplitter.Config(chunkSize = opts.chunkSize,
+    distributionFactorUpper = opts.distributionFactorUpper,
+    distributionFactorLower = opts.distributionFactorLower)
   private def boundaryProbe(tid: TableId): ChunkSplitter.NextChunkEnd =
     (from, sz) => provider.nextChunkEnd(tid, from, sz)
 
@@ -859,7 +941,7 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
       // chunks; the log is held for one trigger while they snapshot.
       // Suspended under Trigger.AvailableNow (bounded run).
       val newTables =
-        if (availableNowCap >= 0) Seq.empty
+        if (availableNowCap >= 0 || !opts.newlyAddedTables) Seq.empty
         else matchedNow().filterNot(tm => s.known.contains(tm.id.toString))
       if (newTables.nonEmpty && opts.startupMode == "initial") {
         val cursors = newTables.map(tm => tm.id.toString -> (None: Option[Key])).toMap

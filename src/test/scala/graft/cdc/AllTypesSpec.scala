@@ -111,6 +111,39 @@ class AllTypesSpec extends SparkSpec {
     assert(b.getMap[String, Long](17) === Map("j" -> 1L))
   }
 
+  test("server-time-zone: offset-less ZonedTimestamp interpreted in the server zone") {
+    // the reference shifts server-local TIMESTAMP renderings by the
+    // configured zone (MySqlSourceOptions server-time-zone, applied in
+    // RowDataDebeziumDeserializeSchema.java:490-512) — mirror: an archived
+    // Debezium topic whose ZonedTimestamp strings carry no offset
+    val root = Files.createTempDirectory("cdctz").toString
+    val dir = Paths.get(root, "tzdb.t")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"), """{"primaryKey":["id"]}""")
+    val sch =
+      """{"type":"struct","fields":[
+        |{"type":"struct","optional":true,"field":"before","fields":[{"type":"int64","field":"id"},{"type":"string","name":"io.debezium.time.ZonedTimestamp","field":"ts"}]},
+        |{"type":"struct","optional":true,"field":"after","fields":[{"type":"int64","field":"id"},{"type":"string","name":"io.debezium.time.ZonedTimestamp","field":"ts"}]}
+        |]}""".stripMargin.replace("\n", "")
+    Files.writeString(dir.resolve("events.jsonl"),
+      s"""{"schema":$sch,"payload":{"before":null,"after":{"id":1,"ts":"2020-03-14T01:00:00"},"op":"r","ts_ms":1}}
+         |{"before":null,"after":{"id":2,"ts":"2020-03-14T01:00:00+02:00"},"op":"c","ts_ms":2}
+         |""".stripMargin)
+    // Berlin is UTC+1 on 2020-03-14 → the offset-less string shifts by -1h
+    val p = new graft.cdc.provider.DebeziumJsonChangeLogProvider(root, "Europe/Berlin")
+    val tid = TableId("tzdb", "t")
+    val local = p.snapshotBase(tid, SnapshotSplit(tid, 0, None, None))._2.next()
+    assert(local(1) === java.time.Instant.parse("2020-03-14T00:00:00Z").toEpochMilli * 1000L,
+      "offset-less rendering interpreted in server-time-zone")
+    // strings WITH an offset are absolute regardless of the option
+    val abs = p.log(tid, 0L, 10L).next().after
+    assert(abs(1) === java.time.Instant.parse("2020-03-13T23:00:00Z").toEpochMilli * 1000L)
+    // default zone (UTC) keeps the old behavior: offset-less = UTC
+    val pUtc = new graft.cdc.provider.DebeziumJsonChangeLogProvider(root)
+    val utc = pUtc.snapshotBase(tid, SnapshotSplit(tid, 0, None, None))._2.next()
+    assert(utc(1) === java.time.Instant.parse("2020-03-14T01:00:00Z").toEpochMilli * 1000L)
+  }
+
   test("file provider round-trips the extended types (date/ntz/binary/decimal/array/struct)") {
     val root = Files.createTempDirectory("cdcalltypes").toString
     val dir = Paths.get(root, "types.wide")

@@ -146,6 +146,61 @@ class CdcSourceSpec extends SparkSpec {
     assert(df.collect().length === 9)
   }
 
+  test("option parity: every MySqlSourceOptions key is mapped, accepted, or loudly rejected") {
+    import graft.cdc.source.CdcOptions
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    def opts(kv: (String, String)*): CdcOptions =
+      CdcOptions.from(new CaseInsensitiveStringMap(
+        (Map("provider.name" -> "parity") ++ kv.toMap).asJava))
+
+    // REJECTED: connection-identity keys imply a live wire protocol this
+    // offline build does not ship — silent acceptance would mislead
+    Seq("hostname" -> "db1", "port" -> "3306", "username" -> "u",
+        "password" -> "p", "server-id" -> "5400-5404").foreach { case (k, v) =>
+      val e = intercept[IllegalArgumentException](opts(k -> v))
+      assert(e.getMessage.contains(k) && e.getMessage.contains("provider"),
+        s"rejection for '$k' must name the key and the alternative")
+    }
+    // REJECTED: the legacy non-incremental SourceFunction path
+    intercept[IllegalArgumentException](opts("scan.incremental.snapshot.enabled" -> "false"))
+    opts("scan.incremental.snapshot.enabled" -> "true") // our only engine
+
+    // MAPPED: full translation of the reference surface
+    val m = opts(
+      "database-name" -> "db", "table-name" -> "t.*",
+      "scan.incremental.snapshot.chunk.size" -> "1024",
+      "scan.startup.mode" -> "specific-offset",
+      "scan.startup.specific-offset.pos" -> "42", // aliases our plain key
+      "scan.startup.timestamp-millis" -> "1000",
+      "server-time-zone" -> "Europe/Berlin",
+      "scan.newly-added-table.enabled" -> "false",
+      "split-key.even-distribution.factor.upper-bound" -> "500.0",
+      "split-key.even-distribution.factor.lower-bound" -> "0.1",
+      "chunk-meta.group.size" -> "77", // aliases max-chunks-per-batch
+      "jdbc.properties.useSSL" -> "false", // prefix passthrough
+      "debezium.snapshot.mode" -> "never")
+    assert(m.chunkSize === 1024)
+    assert(m.startupSpecificOffset === 42L)
+    assert(m.serverTimeZone === "Europe/Berlin")
+    assert(!m.newlyAddedTables)
+    assert(m.distributionFactorUpper === 500.0 && m.distributionFactorLower === 0.1)
+    assert(m.maxChunksPerBatch === 77)
+    assert(m.passthrough === Map("useSSL" -> "false", "snapshot.mode" -> "never"))
+
+    // ACCEPTED no-ops (documented rationale in CdcOptions): tuning keys
+    // with no offline analogue — a ported reference DDL runs unchanged
+    val noop = opts("connect.timeout" -> "30s", "connect.max-retries" -> "3",
+      "connection.pool.size" -> "20", "heartbeat.interval" -> "30s",
+      "scan.snapshot.fetch.size" -> "1024",
+      "scan.startup.specific-offset.file" -> "mysql-bin.000003",
+      "scan.incremental.close-idle-reader.enabled" -> "true")
+    assert(noop.startupSpecificOffset === 0L)
+
+    // invalid zones fail at option parse, not mid-read
+    intercept[IllegalArgumentException](opts("server-time-zone" -> "Mars/OlympusMons"))
+  }
+
   test("offset JSON round-trips (checkpoint replay contract)") {
     val o = graft.cdc.source.CdcOffset(snapshotDone = false, logPos = 42,
       cursors = Map("db.t" -> Some(ChunkKey.of(10L)), "db.u" -> None))
