@@ -6,6 +6,8 @@ import graft.Tables.t
 import graft.Q._
 import graft.operators.ChangelogOps
 
+import scala.jdk.CollectionConverters._
+
 /** Changelog-semantics queries for the DuckDB-oracle gate.
   *
   * The DSv2 source itself is exercised by ScalaTest (CdcSourceSpec); these
@@ -195,48 +197,68 @@ object CdcQueries {
     * file-provider table: snapshot.jsonl = original rows, log.jsonl =
     * update pairs and before-image deletes in offset order.
     *
-    * Fixture-generation scaffolding, not an engine operator: the collect is
-    * bounded by the orders table (150k rows at sf0.1) and runs ONCE per
-    * (JVM, sf dir) — q73 and q74 share the written table, so the cost sits
-    * in whichever gate query runs first and nothing else. */
+    * Fixture-generation scaffolding, not an engine operator — but built
+    * DISTRIBUTED: lines are rendered inside `mapPartitions` over the
+    * key-sorted dataset and written with `write.text`; the global sort
+    * lands as range-ordered part files which a driver-side STREAMING byte
+    * concat stitches into one JSONL file (O(1) driver memory — no
+    * `.collect()`, so the fixture path works at any SF the orders table
+    * does). Event order: offsets are k·3+1 / k·3+2, monotone in k with the
+    * update before the delete per key, so key order IS offset order.
+    * Runs ONCE per (JVM, sf dir); q73 and q74 share the written table. */
   private val fixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def writeFileProviderTable(s: SparkSession, dir: String): String =
     fixtureCache.computeIfAbsent(dir, _ => {
       import java.nio.file.{Files, Paths}
+      import s.implicits._
       val root = Files.createTempDirectory("graft_cdcfile_").toString
       val d = Paths.get(root, "db.orders")
       Files.createDirectories(d)
       Files.writeString(d.resolve("meta.json"),
         """{"db":"db","table":"orders","primaryKey":["k"],
           |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
-      // one collect feeds both files; rows arrive key-sorted so the
-      // snapshot file is written in chunk-key order (contiguous index runs)
+      def js(k: Long, price: Double, st: String): String =
+        s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
       val rows = t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
           col("o_orderstatus").as("st"))
-        .orderBy("k").collect()
-      def js(k: Long, price: Double, st: String): String =
-        s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
-      val snap = new java.io.BufferedWriter(
-        new java.io.FileWriter(d.resolve("snapshot.jsonl").toFile), 1 << 20)
-      val events = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      rows.foreach { r =>
-        val (k, p0, st) = (r.getLong(0), r.getDouble(1), r.getString(2))
-        snap.write(js(k, p0, st)); snap.newLine()
+        .orderBy("k").as[(Long, Double, String)]
+      val snapLines = rows.mapPartitions(_.map { case (k, p0, st) => js(k, p0, st) })
+      val logLines = rows.mapPartitions(_.flatMap { case (k, p0, st) =>
         val upd = k % 5 == 2
         val p2 = if (upd) p0 * 1.1 else p0
-        if (upd) events += ((k * 3 + 1,
-          s"""{"offset":${k * 3 + 1},"op":"u","tsMs":100,"before":${js(k, p0, st)},"after":${js(k, p2, st)}}"""))
-        if (k % 7 == 3) events += ((k * 3 + 2,
-          s"""{"offset":${k * 3 + 2},"op":"d","tsMs":200,"before":${js(k, p2, st)},"after":null}"""))
-      }
-      snap.close()
-      val log = new java.io.BufferedWriter(
-        new java.io.FileWriter(d.resolve("log.jsonl").toFile), 1 << 20)
-      events.sortBy(_._1).foreach { case (_, line) => log.write(line); log.newLine() }
-      log.close()
+        val u = if (upd) Iterator(
+          s"""{"offset":${k * 3 + 1},"op":"u","tsMs":100,"before":${js(k, p0, st)},"after":${js(k, p2, st)}}""")
+        else Iterator.empty
+        val dl = if (k % 7 == 3) Iterator(
+          s"""{"offset":${k * 3 + 2},"op":"d","tsMs":200,"before":${js(k, p2, st)},"after":null}""")
+        else Iterator.empty
+        u ++ dl
+      })
+      concatText(snapLines, Paths.get(root, "_snap_parts"), d.resolve("snapshot.jsonl"))
+      concatText(logLines, Paths.get(root, "_log_parts"), d.resolve("log.jsonl"))
       root
     })
+
+  /** write.text the (already range-sorted) lines, then stream the part
+    * files in name order into one JSONL file. Part names follow partition
+    * ids, which follow the range sort, so byte order == global key order. */
+  private def concatText(lines: org.apache.spark.sql.Dataset[String],
+      partsDir: java.nio.file.Path, target: java.nio.file.Path): Unit = {
+    lines.write.mode("overwrite").text(partsDir.toString)
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(target), 1 << 20)
+    try {
+      java.nio.file.Files.list(partsDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .foreach(p => java.nio.file.Files.copy(p, out))
+      out.flush()
+    } finally out.close()
+    // best-effort cleanup of the staging dir (temp space either way)
+    java.nio.file.Files.walk(partsDir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 
   private val D = "DECIMAL(38,6)"
   private def oSum(e: String) = s"CAST(SUM(CAST($e AS $D)) AS DOUBLE)"
