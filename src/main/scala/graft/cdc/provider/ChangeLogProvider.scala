@@ -45,6 +45,19 @@ trait ChangeLogProvider extends Serializable {
   /** Log records for a table with offset in (fromExclusive, toInclusive]. */
   def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord]
 
+  /** Log records of the slice whose CHUNK KEY falls in `range` — the
+    * per-chunk catch-up fold's read. Default: the full slice (callers
+    * filter by key themselves, which is correct but O(chunks × slice) when
+    * every chunk of a table folds the same long slice). A provider with a
+    * key-capable log index SHOULD override this to O(range's events) —
+    * FileChangeLogProvider keys a secondary byte-offset index by chunk key
+    * for exactly this (the analogue of a store answering the reference's
+    * bounded per-split binlog backfill from its index). May return a
+    * superset of the range (callers re-filter); must never miss an event. */
+  def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
+      range: SnapshotSplit): Iterator[LogRecord] =
+    log(table, fromExclusive, toInclusive)
+
   /** Schema-change (DDL) events with offset in (fromExclusive, toInclusive]
     * — the reference records these into split state and optionally emits
     * them (MySqlRecordEmitter.java:85-97, FlinkJsonTableChangeSerializer).

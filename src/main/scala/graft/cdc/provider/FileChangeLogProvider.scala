@@ -61,10 +61,10 @@ object FileChangeLogProvider {
   private val MaxCachedFiles = 64
   private val useStamp = new java.util.concurrent.atomic.AtomicLong()
 
-  private def cachedIndex[K](path: String,
+  private def cachedIndex[K](path: String, variant: String,
       scan: String => Iterator[(String, Long, Int)], keyOf: String => K)
       (implicit ord: Ordering[K]): FileIndex[K] = {
-    val abs = Paths.get(path).toAbsolutePath.toString
+    val abs = Paths.get(path).toAbsolutePath.toString + "#" + variant
     val p = Paths.get(path)
     val exists = Files.exists(p)
     val curLen = if (exists) Files.size(p) else 0L
@@ -177,13 +177,28 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
 
   private def snapIdx(tf: TableFiles): FileIndex[ChunkKey.Key] = {
     import ChunkKey.ordering
-    cachedIndex[ChunkKey.Key](s"${tf.dir}/snapshot.jsonl", scanLines,
+    cachedIndex[ChunkKey.Key](s"${tf.dir}/snapshot.jsonl", "key", scanLines,
       line => keyOf(tf, row(tf.meta.schema, mapper.readTree(line))))
   }
 
   private def logIdx(tf: TableFiles): FileIndex[Long] =
-    cachedIndex[Long](s"${tf.dir}/log.jsonl", scanLines,
+    cachedIndex[Long](s"${tf.dir}/log.jsonl", "off", scanLines,
       line => mapper.readTree(line).get("offset").asLong())
+
+  private implicit val keyOffOrd: Ordering[(ChunkKey.Key, Long)] =
+    Ordering.Tuple2(ChunkKey.ordering, implicitly[Ordering[Long]])
+
+  /** Secondary log index sorted by (chunk key, offset): lets a snapshot
+    * chunk's catch-up fold read ONLY its own key range's events instead of
+    * scanning the full slice — the difference between O(chunks × log) and
+    * O(log) total fold work when many chunks share one long slice. */
+  private def logKeyIdx(tf: TableFiles): FileIndex[(ChunkKey.Key, Long)] =
+    cachedIndex[(ChunkKey.Key, Long)](s"${tf.dir}/log.jsonl", "bykey", scanLines,
+      { line =>
+        val n = mapper.readTree(line)
+        val img = if (n.get("op").asText() == "d") n.get("before") else n.get("after")
+        (keyOf(tf, row(tf.meta.schema, img)), n.get("offset").asLong())
+      })
 
   /** First index in [0, n) whose key is >= `key` under `cmp` (lower bound). */
   private def lowerBound[K](idx: FileIndex[K], key: K, cmp: (K, K) => Int): Int = {
@@ -306,11 +321,35 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     // offsets are unique per record; (from, to] = [from+1, to+1) as lower bounds
     val lo = lowerBound[Long](idx, fromExclusive + 1, java.lang.Long.compare(_, _))
     val hi = lowerBound[Long](idx, toInclusive + 1, java.lang.Long.compare(_, _))
-    readEntries(s"${tf.dir}/log.jsonl", (lo until hi).toArray, idx) { line =>
-      val n = mapper.readTree(line)
-      LogRecord(n.get("offset").asLong(), n.get("op").asText(), tf.meta.id,
-        row(tf.meta.schema, n.get("before")), row(tf.meta.schema, n.get("after")),
-        if (n.has("tsMs")) n.get("tsMs").asLong() else 0L)
-    }
+    readEntries(s"${tf.dir}/log.jsonl", (lo until hi).toArray, idx)(decodeLog(tf))
+  }
+
+  /** Key-indexed slice read: binary-search the (key, offset) index to the
+    * chunk's key range, then keep offsets in (from, to]. Cost is the
+    * range's own events + O(log n) seeks — a chunk fold never rescans the
+    * slice its 124 sibling chunks also need. */
+  override def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
+      range: SnapshotSplit): Iterator[LogRecord] = {
+    val tf = files(table)
+    val idx = logKeyIdx(tf)
+    val cmp = (a: (ChunkKey.Key, Long), b: (ChunkKey.Key, Long)) => keyOffOrd.compare(a, b)
+    // coarse bounds (range is [start, end)): entries below start excluded,
+    // entries at/after end excluded; exact contains-check follows
+    val lo = range.start.map(k =>
+      lowerBound[(ChunkKey.Key, Long)](idx, (k, Long.MinValue), cmp)).getOrElse(0)
+    val hi = range.end.map(k =>
+      lowerBound[(ChunkKey.Key, Long)](idx, (k, Long.MinValue), cmp)).getOrElse(idx.size)
+    val picks = (lo until hi).filter { i =>
+      val (key, off) = idx.keys(i).asInstanceOf[(ChunkKey.Key, Long)]
+      off > fromExclusive && off <= toInclusive && range.contains(key)
+    }.toArray
+    readEntries(s"${tf.dir}/log.jsonl", picks, idx)(decodeLog(tf))
+  }
+
+  private def decodeLog(tf: TableFiles)(line: String): LogRecord = {
+    val n = mapper.readTree(line)
+    LogRecord(n.get("offset").asLong(), n.get("op").asText(), tf.meta.id,
+      row(tf.meta.schema, n.get("before")), row(tf.meta.schema, n.get("after")),
+      if (n.has("tsMs")) n.get("tsMs").asLong() else 0L)
   }
 }

@@ -598,7 +598,10 @@ final class ChunkReader(p: ChunkPartition, produced: StructType,
       case None => () // bounded batch read: no log phase follows — the
       // chunk simply reflects the (newer) store state at read time
     }
-    val catchUp = tracked(provider.log(p.table, baseOffset, hwChunk))
+    // range-aware slice read: a key-indexed provider serves only this
+    // chunk's events (O(chunk) instead of O(slice) — the contains filter
+    // stays as the correctness backstop for superset-returning providers)
+    val catchUp = tracked(provider.logForRange(p.table, baseOffset, hwChunk, range))
       .filter(r => range.contains(keyOf(if (r.op == ChangeOp.Delete) r.before else r.after)))
     // snapshot rows: op='r', ts forced to 0 (reference RecordUtils.java:197-225)
     Normalizer.normalize(base, catchUp, keyOf)

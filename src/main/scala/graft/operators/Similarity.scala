@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.VectorExpressions.{doubleDot, longDot}
 
 /** Similarity search over embedding columns (array<float>).
   *
@@ -27,15 +28,13 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, t) => acc + t)
 
-  /** Fixed-dim dot product unrolled into a flat codegen'd sum of
-    * `element_at` products: no array allocation, no lambda dispatch, stays
-    * inside whole-stage codegen. Left-to-right addition order matches the
-    * HOF fold, so results are bit-identical to [[dot]]. This is the form
-    * every per-candidate scoring path uses. */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+  /** Per-candidate double dot product — the native [[graft.functions
+    * .DoubleArrayDot]] expression: ONE tight loop over the ArrayData per
+    * row (no per-term dispatch, no array allocation, no lambda). Addition
+    * is left-to-right like the HOF fold, so results are bit-identical to
+    * [[dot]] and to the previous element_at chain (the DuckDB gate relies
+    * on this). `dim` is kept in the signature for call-site symmetry. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column = doubleDot(a, b)
 
   /** One planning-time scalar probe for the embedding dimension — a
     * bounded driver action at plan-construction time (the same pattern as
@@ -96,9 +95,7 @@ object Similarity {
       .repartition(shufflePartitions(queries), col("qid"))
     val c = corpus.select(col(idCol).as("cid"), quant(col(vecCol)).as("ca"))
     val scored = q.crossJoin(broadcast(c)).filter(col("qid") =!= col("cid"))
-      .withColumn("score_q",
-        (1 to dim).map(i => element_at(col("qa"), i) * element_at(col("ca"), i))
-          .reduce(_ + _))
+      .withColumn("score_q", longDot(col("qa"), col("ca")))
     val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -377,9 +374,8 @@ object Similarity {
   def quantize(v: Column, scale: Double): Column =
     transform(v, x => floor(x.cast("double") * lit(scale)).cast("long"))
 
-  /** Flat unrolled INTEGER dot product (codegen-friendly, order-free). */
-  private def dotLong(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+  /** Exact integer dot product (order-free) — native expression. */
+  private def dotLong(a: Column, b: Column, dim: Int): Column = longDot(a, b)
 
   /** Portable IVF centroids: the training sample is the `maxTrainSample`
     * lowest-(md5(id), id) vectors — a total order both engines share — and

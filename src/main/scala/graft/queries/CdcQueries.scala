@@ -161,9 +161,14 @@ object CdcQueries {
         .select("k", "price", "st").orderBy("k")),
 
     // the source's STREAMING path under the gate: cdc-log micro-batches
-    // (snapshot cohorts, then log batches) feed the stateful
-    // materialization; the final state store contents must hash-match the
-    // same closed-form oracle. Source → stream → state, end to end.
+    // (snapshot cohorts, then log batches) feed the PRODUCTION
+    // materialization shape — UpsertSink's hash-bucketed O(touched) merges
+    // — and the final state table must hash-match the same closed-form
+    // oracle. Source → stream → durable state, end to end. (Round 6: was a
+    // complete-output memory sink, which rewrites ALL state every
+    // micro-batch — measured super-linear at the sf1 scale probe; the
+    // upsert sink path scales linearly, see SCALE_PROBE_sf1.md. The
+    // complete-mode materialization operator itself stays gated via q43.)
     "q74_source_stream_state" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val root = writeFileProviderTable(s, dir)
@@ -172,23 +177,18 @@ object CdcQueries {
       val stream = s.readStream.format("cdc-log").option("path", root)
         .option("metadata.columns", "op_offset,row_kind")
         .option("scan.incremental.snapshot.chunk.size", "12000")
-        // 13 chunks / 8 per cohort → 2 snapshot cohorts + log batches: still
-        // a REAL multi-batch run (deeper cohort schedules are property-tested
-        // in CohortStateMachinePropertySpec); fewer batches = fewer
-        // complete-mode state rewrites in the timed gate query
+        // multiple snapshot cohorts + log batches: a REAL multi-batch run
+        // (deeper cohort schedules are property-tested in
+        // CohortStateMachinePropertySpec)
         .option("scan.snapshot.max-chunks-per-batch", "8")
         .load()
-      val qname = "q74_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        ChangelogOps.materializeStreaming(stream, Seq("k"))
-          .writeStream.outputMode("complete").format("memory").queryName(qname)
-          .option("checkpointLocation", tmp.toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val state = tmp.resolve("state").toString
+      val q = graft.streaming.UpsertSink
+        .upsertParquet(stream, Seq("k"), state, numBuckets = 16)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(qname).filter(col("op") =!= "d")
+      graft.streaming.UpsertSink.readState(s, state)
         .select("k", "price", "st").orderBy("k")
     })
   )

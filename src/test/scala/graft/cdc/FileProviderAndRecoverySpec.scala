@@ -44,6 +44,42 @@ class FileProviderAndRecoverySpec extends SparkSpec {
     assert(rows === Set((1L, "scooter2", 5.18), (3L, "hammer", 1.0)))
   }
 
+  test("logForRange == log().filter(range) — key-indexed slice reads") {
+    val root = Files.createTempDirectory("cdckeyidx").toString
+    val dir = Paths.get(root, "db.t")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("meta.json"),
+      """{"db":"db","table":"t","primaryKey":["id"],"schema":"id BIGINT, v STRING","baseOffset":0}""")
+    // interleaved keys so key order != offset order
+    Files.writeString(dir.resolve("log.jsonl"),
+      """{"offset":1,"op":"c","before":null,"after":{"id":5,"v":"a"}}
+        |{"offset":2,"op":"c","before":null,"after":{"id":1,"v":"b"}}
+        |{"offset":3,"op":"u","before":{"id":5,"v":"a"},"after":{"id":5,"v":"c"}}
+        |{"offset":4,"op":"d","before":{"id":1,"v":"b"},"after":null}
+        |{"offset":5,"op":"c","before":null,"after":{"id":9,"v":"d"}}
+        |""".stripMargin)
+    val p = new FileChangeLogProvider(root)
+    val tid = TableId("db", "t")
+    def rangeOf(s: Option[Long], e: Option[Long]) =
+      SnapshotSplit(tid, 0, s.map(ChunkKey.of(_)), e.map(ChunkKey.of(_)))
+    val cases = Seq(
+      (rangeOf(Some(1L), Some(6L)), 0L, 5L),
+      (rangeOf(None, Some(9L)), 0L, 5L),
+      (rangeOf(Some(5L), None), 2L, 5L), // offset sub-slice too
+      (rangeOf(None, None), 0L, 3L))
+    cases.foreach { case (range, from, to) =>
+      def keyOf(r: LogRecord) =
+        ChunkKey.of((if (r.op == "d") r.before else r.after)(0))
+      val expected = p.log(tid, from, to).filter(r => range.contains(keyOf(r)))
+        .map(r => (r.offset, r.op)).toSeq
+      val got = p.logForRange(tid, from, to, range)
+        .filter(r => range.contains(keyOf(r))) // reader-side backstop
+        .map(r => (r.offset, r.op)).toSeq
+      assert(got === expected, s"range $range ($from,$to]")
+      assert(got == got.sorted, "events arrive in offset order")
+    }
+  }
+
   test("index cache invalidates on a same-length in-place rewrite (mtime key)") {
     val root = Files.createTempDirectory("cdcmtime").toString
     val dir = Paths.get(root, "db.t")
