@@ -155,16 +155,40 @@ object Dedup {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** Cross-engine-deterministic 31-bit shingle hash: the 7 little-endian
-    * bytes of md5 (== DuckDB `md5_number_upper(s) >> 8`, which is the
-    * little-endian uint64 of the first 8 digest bytes) mod 2^31−1. ONE md5
-    * per shingle — the k permutations then cost k integer ops, not k
-    * hashes. conv() of 14 hex chars < 2^56, so the long cast is ANSI-safe. */
-  private[graft] def portableH31(s: Column): Column = {
+  /** Cross-engine-deterministic RAW 56-bit string hash: the 7 little-endian
+    * bytes of md5 (== DuckDB `md5_number_upper(s) >> 8`, the little-endian
+    * uint64 of the first 8 digest bytes). conv() of 14 hex chars < 2^56,
+    * so the long cast is ANSI-safe. */
+  private[graft] def portableH56(s: Column): Column = {
     val h = md5(s)
     val le = concat(substring(h, 15, 2), substring(h, 13, 2), substring(h, 11, 2),
       substring(h, 9, 2), substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2))
-    pmod(conv(le, 16, 10).cast("long"), lit(P31))
+    conv(le, 16, 10).cast("long")
+  }
+
+  /** Cross-engine-deterministic 31-bit shingle hash: [[portableH56]] mod
+    * 2^31−1. ONE md5 per shingle — the k permutations then cost k integer
+    * ops, not k hashes. */
+  private[graft] def portableH31(s: Column): Column = pmod(portableH56(s), lit(P31))
+
+  /** Cross-engine-deterministic SimHash: 56-bit signature over the
+    * [[portableH56]] hashes of a document's DISTINCT tokens — the portable
+    * twin of [[simHashSignatures]] (what q42's md5 MinHash is to q33): bit
+    * b of the signature is set iff more distinct tokens have bit b set
+    * than clear. All-integer votes → 56 codegen'd hash-aggregates with
+    * map-side combine, one shuffle keyed on the doc id; DuckDB replays the
+    * identical arithmetic from `md5_number_upper(t) >> 8`. */
+  def md5SimHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(shingleStrings(col(textCol), 1)).as("t"))
+      .select(col("id"), portableH56(col("t")).as("h"))
+    val votes = (0 until 56).map { b =>
+      sum(when(col("h").bitwiseAND(1L << b) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 56).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** MinHash signature with a PORTABLE hash family: base hash =

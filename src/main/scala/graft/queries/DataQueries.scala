@@ -72,6 +72,12 @@ object DataQueries {
       Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
+    // md5-keyed SimHash — the cross-engine-deterministic twin of q34,
+    // fully under the DuckDB hash gate (56-bit signatures, integer votes)
+    "q82_simhash_md5" -> ((s, dir) =>
+      Dedup.md5SimHashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+
     // PORTABLE IVF (md5-ordered sample, integer-sum centroids, 2^24 integer
     // candidate scoring) — the whole index pipeline under the DuckDB hash
     // gate: the oracle re-derives the k-means, the cell assignment, the
@@ -457,6 +463,25 @@ object DataQueries {
        |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
        |ORDER BY id""".stripMargin
 
+  /** DuckDB mirror of [[Dedup.md5SimHashSignatures]]: same 56-bit
+    * md5-derived token hash (`md5_number_upper(t) >> 8`), same integer
+    * votes, same sign rule — generated so the two sides can't drift. */
+  private def simHashMd5OracleSql: String = {
+    val voteCols = (0 until 56).map(b =>
+      s"SUM(CASE WHEN (h & ${1L << b}) <> 0 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n         ")
+    val sigSum = (0 until 56).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT DISTINCT doc_id, u.t
+       |              FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+       |hs AS (SELECT doc_id, ((md5_number_upper(t) >> 8))::BIGINT AS h FROM toks),
+       |votes AS (SELECT doc_id,
+       |         $voteCols
+       |        FROM hs GROUP BY doc_id)
+       |SELECT doc_id AS id, CAST($sigSum AS BIGINT) AS simhash
+       |FROM votes ORDER BY id""".stripMargin
+  }
+
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
   private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
@@ -638,6 +663,7 @@ object DataQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
+    "q82_simhash_md5" -> simHashMd5OracleSql,
 
     // portable-IVF family: the oracle re-derives the full index pipeline
     // (md5-ordered sample → integer Lloyd → assignment → probe/pairs)
