@@ -33,4 +33,35 @@ object CdcSchemaHistory {
     changes(spark, provider, 0L, offset)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Promotion signal — the ergonomic half of F7's restart path: compares
+    * the provider's CURRENT per-table schemas (name-unioned, first-seen
+    * field order — the same union an extras-mode reader resolves) against
+    * the schema a running query declared, and returns `Some(promoted)`
+    * when a restart would turn `_extras`-carried columns into typed
+    * physical ones. The promote-restart recipe is then three lines:
+    *
+    * {{{
+    * CdcSchemaHistory.promotedSchema(provider, stream.schema).foreach { _ =>
+    *   query.stop()                      // same checkpointLocation:
+    *   restart(spark.readStream...load)  // no replay, no loss — offsets
+    * }                                   // carry logPos, not schemas
+    * }}}
+    *
+    * Spec-verified E2E (SchemaEvolutionSpec): a checkpointed stream
+    * restarted this way resumes exactly after its committed offset with
+    * the promoted column typed. */
+  def promotedSchema(provider: ChangeLogProvider,
+      declared: org.apache.spark.sql.types.StructType): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.StructField
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    provider.tables.foreach(_.schema.fields.foreach(f =>
+      if (!acc.contains(f.name)) acc.put(f.name, f)))
+    val current = org.apache.spark.sql.types.StructType(acc.values.toSeq)
+    // compare against the declared PHYSICAL columns only (op/_extras/
+    // metadata columns are source-appended, never provider columns)
+    val declaredPhysical = declared.fields.takeWhile(f =>
+      f.name != "op" && f.name != "_extras")
+    if (current.fields.toSeq == declaredPhysical.toSeq) None else Some(current)
+  }
 }

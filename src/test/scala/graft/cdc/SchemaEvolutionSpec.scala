@@ -80,6 +80,60 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(state === Set((1L, "scooter2", 3.25), (2L, "car", null), (3L, "hammer", 1.5)))
   }
 
+  test("checkpointed promote-restart: typed column after drift, no replay, no loss") {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = new EvolvingProvider
+    ProviderRegistry.register("evolve-4", p)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_promote_")
+    val outDir = tmp.resolve("out").toString
+    def runOnce(): org.apache.spark.sql.DataFrame = {
+      val df = spark.readStream.format("cdc-log")
+        .option("provider.name", "evolve-4")
+        .option("schema.evolution.mode", "extras")
+        .option("metadata.columns", "op_offset")
+        .load()
+      val q = df.drop("_extras") // parquet sink keeps physical columns only
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      df
+    }
+    // life 1: v1 schema, snapshot of 2 rows
+    val df1 = runOnce()
+    assert(CdcSchemaHistory.promotedSchema(p, df1.schema).isEmpty,
+      "no drift yet → no promotion signal")
+
+    // ALTER TABLE ADD COLUMN weight + new-layout events while running —
+    // the promotion signal fires; the operator stops and restarts
+    p.inner = new InMemoryChangeLogProvider(TableMeta(tid, v2, Seq("id")),
+      Seq(Array[Any](1L, "scooter", null), Array[Any](2L, "car", null)),
+      Seq(
+        LogRecord(1L, ChangeOp.Create, tid, null, Array[Any](3L, "hammer", 1.5), 100L),
+        LogRecord(2L, ChangeOp.Update, tid,
+          Array[Any](1L, "scooter", null), Array[Any](1L, "scooter2", 3.25), 200L)),
+      staleOffset = 0)
+    assert(CdcSchemaHistory.promotedSchema(p, df1.schema).contains(v2),
+      "drift → promotion signal carries the evolved schema")
+
+    // life 2: SAME checkpoint, fresh load() — the evolved column is now a
+    // typed physical column; the stream resumes after its committed offset
+    val df2 = runOnce()
+    assert(df2.schema.fieldNames.take(3).toSeq === Seq("id", "name", "weight"))
+    val rows = spark.read.option("mergeSchema", "true").parquet(outDir)
+    // no replay: the v1 snapshot rows appear once; no loss: both post-drift
+    // events arrived, with weight TYPED (not stringified in _extras)
+    val byOffset = rows.collect().map { r =>
+      (r.getAs[Long]("id"), Option(r.getAs[String]("name")).orNull,
+        r.getAs[Any]("weight"), r.getAs[String]("op"), r.getAs[Long]("op_offset"))
+    }
+    assert(byOffset.count(_._4 == "r") === 2, s"v1 snapshot replayed: ${byOffset.toSeq}")
+    assert(byOffset.filter(_._5 > 0L).map(x => (x._1, x._2, x._3, x._4)).toSet ===
+      Set((3L, "hammer", 1.5, "c"), (1L, "scooter", null, "u"), (1L, "scooter2", 3.25, "u")),
+      s"post-promotion events wrong: ${byOffset.toSeq}")
+  }
+
   test("dropped column reads as null; strict mode rejects drift loudly") {
     val p = new EvolvingProvider
     // evolve DOWN to (id) only: 'name' dropped upstream
