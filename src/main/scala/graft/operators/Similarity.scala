@@ -515,6 +515,142 @@ object Similarity {
         greatest(col("a.id"), col("b.id")).as("id_b"), col("sim"))
   }
 
+  /** Portable PQ codebooks: integer L2 k-means per subspace on the SAME
+    * md5-ordered 2^12-quantized sample as [[ivfCentroidsPortable]].
+    * Codeword c is carried as (integer SUM vector s_c, count n_c) — for
+    * L2 the count does NOT cancel, so the argmin compares
+    * g(c) = (‖s_c‖² − 2·dot(v,s_c)·n_c) / n_c² (the ‖v‖² term is constant
+    * across c and drops): numerator and denominator are exact longs
+    * (subspace dim 8, sample ≤ 10k, scale 2^12 → |num| < 2^56), their
+    * double quotient correctly rounded — bit-identical in DuckDB. Ties →
+    * lowest codeword; empty codewords drop with dense reindex.
+    * Returns [m] arrays of (s_c: Array[Long], n_c: Long). */
+  def pqTrainPortable(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int,
+      maxTrainSample: Int = 10000): Array[Array[(Array[Long], Long)]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Long]] = emb
+      .select(col(idCol).cast("string").as("sid"),
+        quantize(col(vecCol), IvfScale).as("v"))
+      .orderBy(md5(col("sid")), col("sid")).limit(maxTrainSample)
+      .as[(String, Seq[Long])].collect().map(_._2.toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    (0 until m).map { mi =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, mi * ds, (mi + 1) * ds))
+      val k0 = math.min(k, sub.length)
+      // seeds: first k sample subvectors as one-member sums
+      var books: Array[(Array[Long], Long)] = sub.take(k0).map(v => (v.clone(), 1L))
+      for (_ <- 0 until iters) {
+        val s2 = books.map { case (s, _) =>
+          var t = 0L; var i = 0
+          while (i < ds) { t += s(i) * s(i); i += 1 }
+          t
+        }
+        val sums = Array.fill(books.length, ds)(0L)
+        val counts = new Array[Long](books.length)
+        sub.foreach { v =>
+          var best = 0
+          var bestScore = Double.PositiveInfinity
+          var c = 0
+          while (c < books.length) {
+            val (s, n) = books(c)
+            var d = 0L; var i = 0
+            while (i < ds) { d += v(i) * s(i); i += 1 }
+            val g = (s2(c) - 2L * d * n).toDouble / (n * n).toDouble
+            if (g < bestScore) { bestScore = g; best = c } // tie → lowest
+            c += 1
+          }
+          var i = 0
+          while (i < ds) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        books = books.indices.collect {
+          case c if counts(c) > 0 => (sums(c), counts(c))
+        }.toArray
+      }
+      books
+    }.toArray
+  }
+
+  /** Append `pq_code` (array<int>) from portable codebooks: per subspace,
+    * the g-argmin codeword index (same exact arithmetic as training). One
+    * shuffle-free projection; codebooks ride as broadcast literals. */
+  def pqEncodePortable(emb: DataFrame, vqCol: String,
+      books: Array[Array[(Array[Long], Long)]]): DataFrame = {
+    val ds = books(0)(0)._1.length
+    val codeCols = books.zipWithIndex.map { case (book, mi) =>
+      val sub = slice(col(vqCol), mi * ds + 1, ds)
+      val scores = array(book.map { case (s, n) =>
+        val s2 = s.map(x => x * x).sum
+        (lit(s2) - lit(2L * n) * longDot(sub, typedLit(s.toSeq))).cast("double") /
+          lit((n * n).toDouble)
+      }.toIndexedSeq: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    emb.withColumn("pq_code",
+      array(scala.collection.immutable.ArraySeq.unsafeWrapArray(codeCols): _*))
+  }
+
+  /** Portable IVF-PQ ANN — every stage of the 100 TB retrieval shape under
+    * the DuckDB oracle: portable IVF cells prune to nprobe/ncells, portable
+    * PQ-ADC scores candidates from codes (lut[c] = dot(q_sub, s_c)/n_c —
+    * exact-long quotient, deterministic doubles; the ADC sum runs in fixed
+    * subspace order), the top rescoreFactor·k per query rescore with the
+    * exact 2^24 integer dot, and the final rank is (score_q desc, cid).
+    * Columns match [[ivfTopKPortable]]. */
+  def ivfPqTopKPortable(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ncells: Int, nprobe: Int, m: Int = 8,
+      pqK: Int = 16, rescoreFactor: Int = 4, iters: Int = 2,
+      pqIters: Int = 2): DataFrame = {
+    val dim = probeDim(emb, vecCol)
+    val ds = dim / m
+    val books = pqTrainPortable(emb, idCol, vecCol, m, pqK, pqIters)
+    val centroids = ivfCentroidsPortable(emb, idCol, vecCol, ncells, iters)
+    val corpusCells = pqEncodePortable(
+      assignCellsPortable(emb, idCol, vecCol, centroids)
+        .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"),
+          quantize(col(vecCol), IvfScale).as("cq"), col("cell")),
+      "cq", books).drop("cq")
+    val cents = broadcast(centroids.withColumn("__cn",
+      sqrt(dotLong(col("csum"), col("csum"), dim).cast("double"))))
+    val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .repartition(shufflePartitions(queries), col("qid"))
+      .withColumn("__vq", quantize(col("qv"), IvfScale))
+      .crossJoin(cents)
+      .withColumn("__sim",
+        dotLong(col("__vq"), col("csum"), dim).cast("double") / col("__cn"))
+    val wq = Window.partitionBy("qid").orderBy(col("__sim").desc, col("cell"))
+    // per-query ADC lookup tables from the 2^12 query subvectors:
+    // lut[mi][c] = dot(q_sub, s_c)/n_c — deterministic double quotients
+    val luts = array(books.zipWithIndex.map { case (book, mi) =>
+      val sub = slice(col("__vq"), mi * ds + 1, ds)
+      array(book.map { case (s, n) =>
+        longDot(sub, typedLit(s.toSeq)).cast("double") / lit(n.toDouble)
+      }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    val qCells = qScored.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), quantize(col("qv"), ScoreScale).as("qa"),
+        luts.as("__lut"), col("cell"))
+    val adc = (0 until m).map(mi =>
+      element_at(element_at(col("__lut"), mi + 1), element_at(col("pq_code"), mi + 1) + 1))
+      .reduce(_ + _)
+    val cand = qCells.join(corpusCells, "cell").filter(col("qid") =!= col("cid"))
+      .withColumn("__adc", adc)
+    val wAdc = Window.partitionBy("qid").orderBy(col("__adc").desc, col("cid"))
+    val shortlist = cand.withColumn("__arn", row_number().over(wAdc))
+      .filter(col("__arn") <= k * rescoreFactor)
+    val rescored = shortlist.withColumn("score_q", dotLong(col("qa"), col("ca"), dim))
+    val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
+    rescored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("score_q"))
+  }
+
   /** Portable SemDeDup: [[cosineNearDupPairsPortable]] pairs →
     * star-contraction components → min-id representative. Same composition
     * as [[semanticDedup]], every stage under the DuckDB oracle. */

@@ -92,12 +92,15 @@ object DataQueries {
 
     // IVF-PQ: coarse cells + product-quantized ADC shortlist + exact
     // rescore — the 100 TB retrieval shape (codes, not vectors, ride the
-    // candidate exchange). Engine-local k-means → rows-only driver check;
-    // recall asserted in DedupSimilaritySpec.
+    // candidate exchange). PORTABLE variant: integer L2 k-means codebooks
+    // as (sum, count) pairs + exact-quotient ADC → DuckDB replays the
+    // complete index (cells, codes, shortlist, rescore). The xxhash64/
+    // double fast path stays as ivfPqTopK (recall spec).
     "q50_pq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
-        k = 3, ncells = 8, nprobe = 2, m = 8, pqK = 16, rescoreFactor = 4, iters = 1)
+      Similarity.ivfPqTopKPortable(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 3, ncells = 8, nprobe = 2, m = 8, pqK = 16, rescoreFactor = 4,
+        iters = 1, pqIters = 2)
         .orderBy("qid", "rank")
     }),
 
@@ -430,6 +433,84 @@ object DataQueries {
        |  FROM dots)
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** q50 oracle: the full portable IVF-PQ pipeline in DuckDB. Subspaces
+    * are FLATTENED into rows (one Lloyd chain handles all m via (mi, cw)
+    * keys) — training argmin compares the exact-integer L2 surrogate
+    * g = (‖s‖² − 2·d·n)/n² as correctly-rounded doubles, matching
+    * [[graft.operators.Similarity.pqTrainPortable]] bit for bit. The ADC
+    * tail unrolls the m lut joins so the double additions run in the same
+    * fixed subspace order as the Spark expression. */
+  private def ivfPqOracleSql(ncells: Int, nprobe: Int, ivfIters: Int,
+      m: Int, pqK: Int, pqIters: Int, rescoreFactor: Int, k: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+    // L2 argmin surrogate for subvector `v` vs codeword (s, n)
+    def g(v: String, s: String, n: String): String =
+      s"CAST(${dot(s, s)} - 2*${dot(v, s)}*$n AS DOUBLE) / CAST($n*$n AS DOUBLE)"
+    val slice = s"list_slice(vq, t.mi*(len(vq)//$m)+1, (t.mi+1)*(len(vq)//$m))"
+    val pqIterCtes = (1 to pqIters).map { it =>
+      s"""pa$it AS (SELECT rn, mi, sub, cw FROM (
+         |  SELECT s.rn, s.mi, s.sub, b.cw,
+         |    row_number() OVER (PARTITION BY s.rn, s.mi
+         |      ORDER BY ${g("s.sub", "b.s", "b.n")} ASC, b.cw) AS rk
+         |  FROM sample_sub s JOIN pb${it - 1} b USING (mi)) WHERE rk = 1),
+         |pg$it AS (SELECT mi, cw, u.i AS i, CAST(SUM(sub[u.i]) AS BIGINT) AS sq
+         |          FROM pa$it, UNNEST(range(1, len(sub)+1)) AS u(i) GROUP BY mi, cw, u.i),
+         |pc$it AS (SELECT mi, cw, list(sq ORDER BY i) AS s FROM pg$it GROUP BY mi, cw),
+         |pn$it AS (SELECT mi, cw, COUNT(*) AS n FROM pa$it GROUP BY mi, cw),
+         |pb$it AS (SELECT c.mi, row_number() OVER (PARTITION BY c.mi ORDER BY c.cw) - 1 AS cw,
+         |                 c.s, n.n
+         |          FROM pc$it c JOIN pn$it n ON c.mi = n.mi AND c.cw = n.cw)"""
+        .stripMargin
+    }.mkString(",\n")
+    val lutJoins = (0 until m).map { mi =>
+      s"""JOIN pe e$mi ON e$mi.vec_id = cand.cid AND e$mi.mi = $mi
+         |JOIN pl l$mi ON l$mi.qid = cand.qid AND l$mi.mi = $mi AND l$mi.cw = e$mi.code"""
+        .stripMargin
+    }.mkString("\n  ")
+    val adcSum = (0 until m).map(mi => s"l$mi.lv").mkString(" + ")
+    s"""WITH ${ivfPortableCtes(ncells, ivfIters)},
+       |subs AS (SELECT unnest(range(0, $m)) AS mi),
+       |sample_sub AS (SELECT rn, t.mi, $slice AS sub FROM sample, subs t),
+       |pb0 AS (SELECT mi, rn AS cw, sub AS s, CAST(1 AS BIGINT) AS n
+       |        FROM sample_sub WHERE rn < $pqK),
+       |$pqIterCtes,
+       |corpus_sub AS (SELECT vec_id, t.mi, $slice AS sub FROM fq, subs t),
+       |pe AS (SELECT vec_id, mi, cw AS code FROM (
+       |  SELECT f.vec_id, f.mi, b.cw,
+       |    row_number() OVER (PARTITION BY f.vec_id, f.mi
+       |      ORDER BY ${g("f.sub", "b.s", "b.n")} ASC, b.cw) AS rk
+       |  FROM corpus_sub f JOIN pb$pqIters b USING (mi)) WHERE rk = 1),
+       |pl AS (SELECT q.vec_id AS qid, q.mi, b.cw,
+       |         CAST(${dot("q.sub", "b.s")} AS DOUBLE) / CAST(b.n AS DOUBLE) AS lv
+       |       FROM (SELECT vec_id, t.mi, $slice AS sub
+       |             FROM fq, subs t WHERE vec_id < 50) q
+       |       JOIN pb$pqIters b USING (mi)),
+       |qc AS (SELECT vec_id AS qid, cell FROM (
+       |  SELECT f.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY CAST(${ivfDotSql("f.vq", "c.s")} AS DOUBLE)
+       |        / sqrt(CAST(${ivfDotSql("c.s", "c.s")} AS DOUBLE)) DESC, c.cell) AS rk
+       |  FROM fq f CROSS JOIN cents$ivfIters c WHERE f.vec_id < 50) WHERE rk <= $nprobe),
+       |cand AS (SELECT qc.qid, cc.vec_id AS cid
+       |         FROM qc JOIN cellsf cc USING (cell) WHERE qc.qid <> cc.vec_id),
+       |adc AS (SELECT cand.qid, cand.cid, $adcSum AS adc
+       |        FROM cand
+       |  $lutJoins),
+       |short AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rk
+       |  FROM adc) WHERE rk <= ${k * rescoreFactor}),
+       |dots AS (SELECT short.qid, short.cid,
+       |           CAST(${dot("qa.a", "ca.a")} AS BIGINT) AS score_q
+       |         FROM short JOIN v24 qa ON short.qid = qa.vec_id
+       |                    JOIN v24 ca ON short.cid = ca.vec_id)
+       |SELECT qid, cid, rank, score_q FROM (
+       |  SELECT qid, cid, score_q,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) AS rank
+       |  FROM dots)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** q39/q81 shared pair tail: within-cell pairs, sim from the 2^24
     * integer dot and norms (identical doubles in both engines). */
   private def ivfPairsSql(ncells: Int, iters: Int, minSim: Double): String =
@@ -668,6 +749,8 @@ object DataQueries {
     // portable-IVF family: the oracle re-derives the full index pipeline
     // (md5-ordered sample → integer Lloyd → assignment → probe/pairs)
     "q35_embedding_ivf_topk" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3),
+    "q50_pq_topk" -> ivfPqOracleSql(ncells = 8, nprobe = 2, ivfIters = 1,
+      m = 8, pqK = 16, pqIters = 2, rescoreFactor = 4, k = 3),
     "q39_cosine_near_dup" -> cosineNearDupOracleSql(ncells = 32, iters = 2, minSim = 0.35),
     "q81_semantic_dedup" -> semanticDedupOracleSql(ncells = 32, iters = 2, minSim = 0.35),
 

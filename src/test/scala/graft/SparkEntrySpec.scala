@@ -18,11 +18,12 @@ class SparkEntrySpec extends SparkSpec {
   test("every oracle key has a query; rows-only set is exactly the hash-free ops") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // round 6: q35/q39/q81 flipped to the oracle via portable IVF — the
-    // remaining four are engine-local by nature (xxhash64 LSH/SimHash fast
-    // paths, HLL sketch bits, PQ codebooks)
+    // round 6: q35/q39/q50/q81 flipped to the oracle via the portable
+    // IVF/PQ family — the remaining three are engine-local by nature
+    // (xxhash64 LSH/SimHash fast paths, HLL sketch bits), each with a
+    // portable oracle-checked twin (q42/q82) or an error-bound spec (q55)
     assert(noOracle === Set("q33_minhash_lsh_candidates", "q34_simhash_signatures",
-      "q50_pq_topk", "q55_approx_distinct"),
+      "q55_approx_distinct"),
       s"rows-only queries changed: $noOracle — update this spec deliberately")
   }
 

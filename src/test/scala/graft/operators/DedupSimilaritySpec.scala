@@ -158,6 +158,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(c1 === c2)
   }
 
+  test("portable IVF-PQ: recall vs brute force, deterministic codebooks") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopKPortable(emb, queries, "vec_id", "embedding",
+      k = 5, ncells = 4, nprobe = 2, m = 8, pqK = 16, rescoreFactor = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"portable IVF-PQ recall@5 = $recall")
+    // codebooks are a pure function of the data
+    def train() = Similarity.pqTrainPortable(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2).map(_.map { case (s, n) => (s.toSeq, n) }.toSeq).toSeq
+    assert(train() === train())
+  }
+
   test("portable cosine pairs: threshold, canonical order, blocks invariance") {
     def pairSet(blocks: Int) =
       Similarity.cosineNearDupPairsPortable(emb, "vec_id", "embedding",
