@@ -10,11 +10,15 @@ import graft.operators.{Dedup, Similarity}
 /** Training-data pipeline queries (dedup / text analysis / similarity
   * search) over the `documents` and `embeddings` tables.
   *
-  * Oracle-checked where the computation is cross-engine-deterministic
-  * (md5, rational arithmetic, decimal-exact dot products). MinHash/SimHash/
-  * IVF use engine-local hashing (xxhash64/murmur3) — those are declared
-  * without oracle SQL (driver rows-check) and quality-asserted in
-  * DedupSimilaritySpec instead (recall against the exact operators).
+  * Oracle-checked wherever the computation can be made cross-engine-
+  * deterministic: md5-derived hash families (MinHash q42, SimHash q82),
+  * integer-quantized vector arithmetic (brute force q32, IVF q35, cosine
+  * near-dup q39, IVF-PQ q50, SemDeDup q81 — the oracle re-derives the
+  * full index pipelines from generated SQL), rational/decimal-exact
+  * aggregates everywhere else. The xxhash64 fast paths (q33/q34) and the
+  * HLL/CMS/Bloom sketches (q55) are the only rows-only entries — each
+  * quality-asserted in DedupSimilaritySpec/SketchesSpec against its exact
+  * or portable counterpart.
   */
 object DataQueries {
   import TextFunctions._
