@@ -30,11 +30,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("similarity operators plan no SortAggregate and no cartesian product") {
-    Seq("q35_embedding_ivf_topk", "q39_cosine_near_dup").foreach { q =>
+    Seq("q35_embedding_ivf_topk", "q39_cosine_near_dup", "q50_pq_topk",
+        "q82_simhash_md5").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortAggregate"), s"$q planned a SortAggregate:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct:\n$p")
     }
+  }
+
+  test("similarity hot paths score through the native dot expressions") {
+    // regression guard for the element_at-chain slowdown (DRIFT_NOTE_r06):
+    // the scoring stages must plan long_array_dot/double_array_dot, not
+    // dim-term element_at chains
+    assert(plan("q32_embedding_topk").contains("long_array_dot"))
+    assert(plan("q35_embedding_ivf_topk").contains("long_array_dot"))
+    assert(plan("q39_cosine_near_dup").contains("long_array_dot"))
   }
 
   test("shingle hashing runs as the native expression inside codegen (q30)") {
