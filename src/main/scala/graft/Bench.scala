@@ -62,7 +62,7 @@ object Bench {
       "q33_minhash_lsh_candidates", "q35_embedding_ivf_topk",
       "q39_cosine_near_dup", "q42_minhash_lsh_md5", "q50_pq_topk",
       "q43_streaming_materialize", "q52_streaming_window",
-      "q57_dedup_clusters").foreach { n =>
+      "q57_dedup_clusters", "q82_simhash_md5").foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
