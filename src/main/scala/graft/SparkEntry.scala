@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Battery: q01–q82 (no q66) = 81 queries, 78 oracle-checked + 3 rows-only. */
+  * Battery: q01–q83 (no q66) = 82 queries, 79 oracle-checked + 3 rows-only. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

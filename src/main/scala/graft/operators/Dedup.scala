@@ -210,6 +210,31 @@ object Dedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** PER-ROW md5 MinHash band keys — the streaming-friendly form of the
+    * banded signature: the k mins run as `array_min(transform(...))` over
+    * the row's own shingle array (no aggregation, no shuffle), so the
+    * whole banding is a stateless projection usable inside a streaming
+    * query ahead of a stateful operator. Values are IDENTICAL to the
+    * grouped [[md5MinHashSignatures]] (min over the same shingle set).
+    * Output: (idCol, band, bhv) — same band keys as
+    * [[md5MinHashLshCandidates]]. Docs with no shingles emit no rows. */
+  def md5BandsPerRow(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    require(k == bands * 2, "portable LSH uses r=2 (band key = one packed long)")
+    // materialize the shingle-hash array once per row (it feeds all k
+    // mins; multi-referenced non-cheap expressions stay un-collapsed)
+    val withHs = df.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol),
+        transform(shingleStrings(col(textCol), n), s => portableH31(s)).as("__hs"))
+    val minCols = hashParams(k).map { case (a, b) =>
+      array_min(transform(col("__hs"), h => pmod(h * a + b, lit(P31))))
+    }
+    val bandArr = array((0 until bands).map(b =>
+      minCols(2 * b) * P31 + minCols(2 * b + 1)): _*)
+    withHs.select(col(idCol), posexplode(bandArr))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bhv"))
+  }
+
   /** LSH candidate pairs over [[md5MinHashSignatures]] (r = k/bands = 2):
     * band key = (band, m_even·(2^31−1) + m_odd) — one long per (doc, band),
     * exact in both engines (< 2^62), so the banded self-join shuffles

@@ -82,6 +82,55 @@ object DataQueries {
       Dedup.md5SimHashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
+    // streaming LSH dedup-at-ingest: docs stream in id order, each md5
+    // band bucket is claimed by the first doc presenting it
+    // (flatMapGroupsWithState — one boolean per bucket), and a doc is
+    // admitted iff it claims ALL its buckets. A REAL multi-batch
+    // AvailableNow run whose admission decisions hash-match the
+    // closed-form min-per-bucket oracle.
+    "q83_streaming_lsh_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q83_")
+      tmp.toFile.deleteOnExit()
+      val in = tmp.resolve("in").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // stage sorted-by-id part files with staggered mtimes so micro-batches
+      // consume the corpus in id order (the q61 ingest harness pattern)
+      docs.orderBy("doc_id").write.mode("overwrite").parquet(in)
+      val parts = new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+      // 2 files per trigger → a REAL multi-batch run at every cpu count
+      // (the part count follows shuffle parallelism): within-batch claims
+      // exercise the min-over-group path, cross-batch claims the state
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2").parquet(in)
+      val bandStream = Dedup.md5BandsPerRow(stream, "doc_id", "text")
+        .as[graft.streaming.BandRow]
+      val qname = "q83_lsh_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.StreamingOps.lshBucketClaims(bandStream)
+          .toDF().writeStream.outputMode("append").format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      q.awaitTermination()
+      val claims = s.table(qname) // (band, bhv, first_doc)
+      val bands = Dedup.md5BandsPerRow(docs, "doc_id", "text")
+      val perdoc = bands.join(claims, Seq("band", "bhv"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bands"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_own"))
+      docs.select("doc_id").join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+          coalesce(col("n_own") === col("n_bands"), lit(true)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // PORTABLE IVF (md5-ordered sample, integer-sum centroids, 2^24 integer
     // candidate scoring) — the whole index pipeline under the DuckDB hash
     // gate: the oracle re-derives the k-means, the cell assignment, the
@@ -329,7 +378,9 @@ object DataQueries {
     * Spark's conv(reversed 14 hex chars) — then mod 2^31−1; permutations
     * and the packed band key are pure 64-bit integer arithmetic (< 2^62),
     * bit-identical across engines. */
-  private def minHashMd5OracleSql(k: Int, bands: Int): String = {
+  /** Shared CTE chain for the md5 MinHash family: shingles → 56-bit md5
+    * base hashes mod 2^31−1 → k-min signature → packed band keys. */
+  private def md5SigBandCtes(k: Int, bands: Int): String = {
     require(k == bands * 2)
     val P = 2147483647L
     val minCols = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -338,9 +389,7 @@ object DataQueries {
     val bandRows = (0 until bands).map { b =>
       s"SELECT doc_id, $b AS band, m${2 * b} * $P + m${2 * b + 1} AS bhv FROM sig"
     }.mkString("\n  UNION ALL ")
-    val matchSum = (0 until k).map(i =>
-      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS s
        |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
        |hs AS (SELECT doc_id, ((md5_number_upper(s) >> 8) % $P)::BIGINT AS h0 FROM sh),
@@ -348,7 +397,13 @@ object DataQueries {
        |         $minCols
        |        FROM hs GROUP BY doc_id),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  private def minHashMd5OracleSql(k: Int, bands: Int): String = {
+    val matchSum = (0 until k).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${md5SigBandCtes(k, bands)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b
        |         ON a.band = b.band AND a.bhv = b.bhv AND a.doc_id < b.doc_id)
@@ -357,6 +412,23 @@ object DataQueries {
        |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** q83 oracle — the closed form of streaming dedup-at-ingest: with docs
+    * arriving in doc_id order, a bucket's claimant is its min doc_id, and
+    * a doc is admitted iff it claims EVERY one of its buckets (docs with
+    * no bands — under n tokens — are vacuously kept). */
+  private def streamingLshDedupOracleSql(k: Int, bands: Int): String =
+    s"""WITH ${md5SigBandCtes(k, bands)},
+       |firsts AS (SELECT band, bhv, MIN(doc_id) AS fd FROM bands GROUP BY 1, 2),
+       |perdoc AS (SELECT b.doc_id, COUNT(*) AS n_bands,
+       |             SUM(CASE WHEN f.fd = b.doc_id THEN 1 ELSE 0 END) AS n_own
+       |           FROM bands b JOIN firsts f ON b.band = f.band AND b.bhv = f.bhv
+       |           GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.n_bands, 0) AS BIGINT) AS n_bands,
+       |  (CASE WHEN p.doc_id IS NULL THEN TRUE ELSE p.n_own = p.n_bands END) AS kept
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB mirror of [[Similarity.ivfCentroidsPortable]] +
     * [[Similarity.assignCellsPortable]] — generated CTE chain, parameterized
@@ -749,6 +821,7 @@ object DataQueries {
 
     "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
     "q82_simhash_md5" -> simHashMd5OracleSql,
+    "q83_streaming_lsh_dedup" -> streamingLshDedupOracleSql(k = 16, bands = 8),
 
     // portable-IVF family: the oracle re-derives the full index pipeline
     // (md5-ordered sample → integer Lloyd → assignment → probe/pairs)

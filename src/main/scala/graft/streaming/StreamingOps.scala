@@ -107,4 +107,38 @@ object StreamingOps {
       lateness: String): DataFrame =
     events.withWatermark(tsCol, lateness)
       .dropDuplicates(keys)
+
+  /** Streaming LSH bucket claims — the stateful heart of dedup-at-ingest:
+    * the input is a stream of (doc, band, bhv) band rows (see
+    * `Dedup.md5BandsPerRow`) arriving in doc order; each (band, bhv)
+    * bucket is CLAIMED by the first document that presents it, and the
+    * operator emits one (band, bhv, first_doc) row per bucket, exactly
+    * once, in the micro-batch where the claim happens.
+    *
+    * Determinism the hash gate depends on: the per-batch winner is the
+    * MIN doc id over the batch's group (order-free — groupByKey hands the
+    * whole batch's rows for a key to one invocation), and cross-batch the
+    * state blocks re-emission, so with doc-ordered arrival the winner is
+    * the global min per bucket — a closed-form SQL fact, unlike
+    * dropDuplicates' partition-arrival-order row pick.
+    *
+    * State is one boolean per distinct bucket (the claim), partitioned by
+    * the shuffle on the bucket key — the same O(buckets) footprint a
+    * Bloom-style ingest filter would hold, but exact. */
+  def lshBucketClaims(bands: Dataset[BandRow]): Dataset[BucketClaim] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(r => (r.band, r.bhv))
+      .flatMapGroupsWithState[Boolean, BucketClaim](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, bhv), it, state: GroupState[Boolean]) =>
+          if (state.exists) { it.foreach(_ => ()); Iterator.empty } // already claimed
+          else {
+            state.update(true)
+            Iterator(BucketClaim(band, bhv, it.map(_.doc_id).min))
+          }
+      }
+  }
 }
+
+final case class BandRow(doc_id: Long, band: Int, bhv: Long)
+final case class BucketClaim(band: Int, bhv: Long, first_doc: Long)
