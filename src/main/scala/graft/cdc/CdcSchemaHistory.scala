@@ -62,6 +62,13 @@ object CdcSchemaHistory {
     // metadata columns are source-appended, never provider columns)
     val declaredPhysical = declared.fields.takeWhile(f =>
       f.name != "op" && f.name != "_extras")
-    if (current.fields.toSeq == declaredPhysical.toSeq) None else Some(current)
+    // compare on (name, dataType) only: the promotion signal is about
+    // columns and their types. Spark's streaming schema path may normalize
+    // nullability or strip field metadata — full StructField equality would
+    // then report a phantom promotion forever and turn user restart
+    // automation into a restart loop
+    def shape(fs: Seq[StructField]) = fs.map(f => (f.name, f.dataType))
+    if (shape(current.fields.toSeq) == shape(declaredPhysical.toSeq)) None
+    else Some(current)
   }
 }

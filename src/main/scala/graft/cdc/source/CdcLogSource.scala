@@ -396,12 +396,15 @@ private[cdc] object ObservedHwStore {
 
   def dirOf(checkpointLoc: String): String = s"$checkpointLoc/graft_observed_hws"
 
-  /** Executor-side: durably record one encoded report. A fresh
-    * Configuration loads the cluster's core/hdfs-site from the executor
-    * classpath — the same way file-sink committers resolve the fs. */
-  def persist(dirStr: String, encoded: String): Unit = {
+  /** Executor-side: durably record one encoded report. `conf` is the
+    * DRIVER's hadoop conf shipped via SerializableConfiguration on the
+    * reader factory (the same pattern Spark's file-sink committers use) —
+    * it carries spark.hadoop.* settings a fresh executor-side
+    * Configuration would miss, and guarantees persist resolves the same
+    * FileSystem readAndPrune does. */
+  def persist(dirStr: String, conf: Configuration, encoded: String): Unit = {
     val dir = new Path(dirStr)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val sha = java.security.MessageDigest.getInstance("SHA-1")
       .digest(encoded.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -462,11 +465,12 @@ final case class LogPartition(opts: CdcOptions, table: TableId, physical: Struct
   * where registration works. */
 final case class CdcReaderFactory(produced: StructType,
     hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None,
-    hwDir: Option[String] = None)
+    hwDir: Option[String] = None,
+    hwConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: ChunkPartition => new ChunkReader(p, produced, hwAcc, hwDir)
+      case p: ChunkPartition => new ChunkReader(p, produced, hwAcc, hwDir, hwConf)
       case p: LogPartition   => new LogReader(p, produced)
     }
 }
@@ -552,7 +556,8 @@ private[source] final class RowBuilder(physical: StructType, produced: StructTyp
 
 final class ChunkReader(p: ChunkPartition, produced: StructType,
     hwAcc: Option[org.apache.spark.util.CollectionAccumulator[String]] = None,
-    hwDir: Option[String] = None)
+    hwDir: Option[String] = None,
+    hwConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
   extends PartitionReader[InternalRow] {
   private val provider = p.opts.resolveProvider()
   // extras mode: rows arrive in the table's CURRENT layout — re-resolve it
@@ -593,8 +598,14 @@ final class ChunkReader(p: ChunkPartition, produced: StructType,
         acc.add(encoded)
         // durable mirror: persisted BEFORE this task can complete, so the
         // raise survives a driver crash between this batch's commit and the
-        // next offset write (the accumulator alone would lose it there)
-        hwDir.foreach(ObservedHwStore.persist(_, encoded))
+        // next offset write (the accumulator alone would lose it there).
+        // The hadoop conf is the DRIVER's, shipped in the factory: a fresh
+        // executor-side Configuration would miss spark.hadoop.* settings
+        // (S3A credentials, custom fs impls) and could resolve a different
+        // FileSystem than the driver reads
+        hwDir.foreach(d => ObservedHwStore.persist(d,
+          hwConf.map(_.value).getOrElse(
+            new org.apache.hadoop.conf.Configuration()), encoded))
       case None => () // bounded batch read: no log phase follows — the
       // chunk simply reflects the (newer) store state at read time
     }
@@ -807,7 +818,13 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     // durable sidecar reports first (survive driver restart), then the
     // in-memory accumulator; duplicates are fine — max-raise is idempotent
     val persisted = hwDir.map(d => ObservedHwStore.readAndPrune(d,
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration,
+      // driver-side: the session's conf when one exists; direct offset-API
+      // harnesses (no session on this thread) read the local fs with a
+      // fresh Configuration — same fallback shape as observedHwAcc above
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration()),
       s.logPos)).getOrElse(Seq.empty)
     val reports = observedHwAcc.value
     if ((reports.isEmpty && persisted.isEmpty) || s.finished.isEmpty) s
@@ -1034,7 +1051,15 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(produced, Some(observedHwAcc), hwDir)
+    CdcReaderFactory(produced, Some(observedHwAcc), hwDir,
+      // driver conf snapshot, serialized into the task binary — carries
+      // spark.hadoop.* (object-store credentials etc.) to the executors;
+      // direct offset-API harnesses (no session) fall back to executor-side
+      // Configuration resolution in ChunkReader
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(s => new org.apache.spark.util.SerializableConfiguration(
+          s.sessionState.newHadoopConf())))
   override def deserializeOffset(json: String): Offset = CdcOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

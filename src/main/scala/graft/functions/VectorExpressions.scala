@@ -19,15 +19,28 @@ import org.apache.spark.sql.types._
   * Spark's own regexp/json expressions), keeping the scoring stage a
   * codegen-fused map.
   *
-  * Value semantics are EXACTLY the forms they replace (this matters — the
-  * results sit under the DuckDB hash gate):
+  * Value semantics on WELL-FORMED input (equal-length arrays, no null
+  * elements, |terms| within the documented 2^54 bounds) are EXACTLY the
+  * forms they replace (this matters — the results sit under the DuckDB
+  * hash gate):
   *  - [[LongArrayDot]]: Σ a(i)·b(i) over long arrays — 64-bit integer
   *    arithmetic, order-free, == the unrolled integer chain and the
   *    oracle's list_sum(list_transform(...)).
   *  - [[DoubleArrayDot]]: left-to-right Σ double(a(i))·double(b(i)) over
   *    float/double arrays — identical fp-addition ORDER to the unrolled
   *    `.cast("double")` chain (float→double widening is exact), so every
-  *    double it produces is bit-identical to the old expression's. */
+  *    double it produces is bit-identical to the old expression's.
+  *
+  * On MALFORMED input the old element_at chains failed quietly (null
+  * propagation / silent Long wrap under non-ANSI) — which downstream of a
+  * hash gate surfaces as an inscrutable oracle mismatch. These expressions
+  * fail LOUDLY instead: length mismatch and null elements throw
+  * IllegalArgumentException, and [[LongArrayDot]] uses
+  * Math.addExact/multiplyExact so a violation of the 2^54 contract is an
+  * ArithmeticException at the offending row, not a wrong hash. (We do not
+  * statically reject ArrayType(containsNull=true): Spark marks containsNull
+  * conservatively on most constructed arrays, so the nullability check must
+  * be per-element at runtime.) */
 final case class LongArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -42,10 +55,13 @@ final case class LongArrayDot(left: Expression, right: Expression)
   override def prettyName: String = "long_array_dot"
 
   def compute(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorExpressions.checkedLength(prettyName, a, b)
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
     s
   }
 
@@ -83,7 +99,7 @@ final case class DoubleArrayDot(left: Expression, right: Expression)
   private lazy val rightFloat = isFloat(right)
 
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorExpressions.checkedLength(prettyName, a, b)
     var s = 0.0
     var i = 0
     // float→double widening is exact; accumulation is left-to-right, so
@@ -110,6 +126,23 @@ final case class DoubleArrayDot(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** Validates the two sides are equal-length with no null slots; returns
+    * the common length. Loud failure beats a silently-wrong dot (see the
+    * class doc): garbage from a null slot or a truncated loop would only
+    * surface later as an oracle hash mismatch. */
+  private[functions] def checkedLength(op: String, a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"$op requires equal-length arrays, got $n vs ${b.numElements()}")
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"$op: null element at index $i")
+      i += 1
+    }
+    n
+  }
+
   /** Exact integer dot of two array<bigint> columns (order-free). */
   def longDot(a: Column, b: Column): Column =
     ColumnGlue.column(LongArrayDot(ColumnGlue.expression(a), ColumnGlue.expression(b)))

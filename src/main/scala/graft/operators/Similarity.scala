@@ -79,9 +79,16 @@ object Similarity {
     * codegen with no per-pair floor/cast work and no array allocation.
     * Identical values to [[dotQuantized]] (integer sums are order-free).
     * This stays the exactness baseline/verifier; [[ivfTopK]] is the scale
-    * path — at 100 TB cap |Q| or route through IVF with exact rescoring. */
+    * path — at 100 TB cap |Q| or route through IVF with exact rescoring.
+    *
+    * The corpus side is broadcast only while it provably fits: a bounded
+    * `limit(maxBroadcastRows+1).count()` probe (stops scanning at the
+    * threshold) gates the hint, and above it the plan falls back to the
+    * streamed CartesianProduct — slower per pair but never capped by the
+    * 8 GB broadcast limit / executor memory. Values are identical on both
+    * paths, so the gate can't perturb the oracle. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, maxBroadcastRows: Long = 200000L): DataFrame = {
     val dim = probeDim(corpus, vecCol)
     val S = lit(16777216.0) // 2^24
     val quant = (v: Column) => transform(v, x => floor(x.cast("double") * S).cast("long"))
@@ -94,7 +101,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), quant(col(vecCol)).as("qa"))
       .repartition(shufflePartitions(queries), col("qid"))
     val c = corpus.select(col(idCol).as("cid"), quant(col(vecCol)).as("ca"))
-    val scored = q.crossJoin(broadcast(c)).filter(col("qid") =!= col("cid"))
+    val probeRows = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt + 1
+    val corpusFits =
+      corpus.select(col(idCol)).limit(probeRows).count() <= maxBroadcastRows
+    val pairs = if (corpusFits) q.crossJoin(broadcast(c)) else q.crossJoin(c)
+    val scored = pairs.filter(col("qid") =!= col("cid"))
       .withColumn("score_q", longDot(col("qa"), col("ca")))
     val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))

@@ -249,15 +249,23 @@ object CdcQueries {
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(target), 1 << 20)
     try {
-      java.nio.file.Files.list(partsDir).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-"))
+      // Files.list returns a Stream holding a directory handle — close it
+      // before the cleanup below, or the open handle can make the delete
+      // fail on some filesystems
+      val listing = java.nio.file.Files.list(partsDir)
+      val parts =
+        try listing.iterator().asScala.toSeq finally listing.close()
+      parts.filter(_.getFileName.toString.startsWith("part-"))
         .sortBy(_.getFileName.toString)
         .foreach(p => java.nio.file.Files.copy(p, out))
       out.flush()
     } finally out.close()
     // best-effort cleanup of the staging dir (temp space either way)
-    java.nio.file.Files.walk(partsDir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val walk = java.nio.file.Files.walk(partsDir)
+    val toDelete =
+      try walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq
+      finally walk.close()
+    toDelete.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   private val D = "DECIMAL(38,6)"

@@ -46,8 +46,9 @@ class ObservedHwDurabilitySpec extends SparkSpec {
     // a racing chunk task persists its raise (as ChunkReader does) — then
     // the driver dies: the accumulator's copy of the report is gone
     val encoded = CdcOffset.encodeObservedHw(tid, cohort.start, cohort.end, raisedHw)
-    ObservedHwStore.persist(ObservedHwStore.dirOf(ckpt), encoded)
-    ObservedHwStore.persist(ObservedHwStore.dirOf(ckpt), encoded) // task replay: idempotent
+    val conf = spark.sessionState.newHadoopConf()
+    ObservedHwStore.persist(ObservedHwStore.dirOf(ckpt), conf, encoded)
+    ObservedHwStore.persist(ObservedHwStore.dirOf(ckpt), conf, encoded) // task replay: idempotent
 
     // stream #2 = the restarted driver (fresh, empty accumulator). The next
     // planned offset must still carry the raised HW, read from the sidecar.
