@@ -96,19 +96,30 @@ object Bench {
         (name, t, err1, Some((t1, t2)))
       } else (name, t1, err1, None)
     }
-    val qs = results.map { case (k, v, err, _) =>
-      s"\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
+    // The driver commits a bounded TAIL of this process's stdout and parses
+    // the metric line out of it; full-precision times pushed the 82-query
+    // line past that budget in r6 ("parsed": null, head queries lost). So:
+    // millisecond precision on the one-line wire format (plenty for a
+    // seconds-scale bench), and the full-precision map goes to a sidecar
+    // file that is committed alongside the round artifacts.
+    def ms(v: Double): String = "%.3f".format(v)
+    def qmap(fmt: Double => String): String = results.map { case (k, v, err, _) =>
+      s"\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val reruns = results.collect { case (k, _, _, Some((a, b))) =>
-      s"\"" + k + "\":[" + a + "," + b + "]"
+    def rrmap(fmt: Double => String): String = results.collect {
+      case (k, _, _, Some((a, b))) => s"\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // machine load at start/end rides along so a reader can tell a settled
     // run from one racing another JVM's exit (documented 2.5× degradation)
     val loadEnd = load1()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$reruns,"sf":"$sfDir","load1_initial":$loadInitial,"load1_start":$loadStart,"load1_end":$loadEnd,"settle_wait_sec":$waited}""")
+    def line(fmt: Double => String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(fmt)},"errors":$errs,"reruns":${rrmap(fmt)},"sf":"$sfDir","load1_initial":$loadInitial,"load1_start":$loadStart,"load1_end":$loadEnd,"settle_wait_sec":$waited}"""
+    println(line(ms))
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_PARSED.json"),
+      (line(_.toString) + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
