@@ -18,7 +18,8 @@ import graft.operators.{Dedup, Similarity}
   * aggregates everywhere else. The xxhash64 fast paths (q33/q34) and the
   * HLL/CMS/Bloom sketches (q55) are the only rows-only entries — each
   * quality-asserted in DedupSimilaritySpec/SketchesSpec against its exact
-  * or portable counterpart.
+  * or portable counterpart; q84 puts q55's exact-side columns under the
+  * hash gate, so the unverified surface is the pure estimates.
   */
 object DataQueries {
   import TextFunctions._
@@ -188,6 +189,15 @@ object DataQueries {
     // SketchesSpec)
     "q55_approx_distinct" -> ((s, dir) =>
       graft.operators.Sketches.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
+        .orderBy("event_type")),
+
+    // the exact side of the sketch tier under the hash gate: the SAME
+    // aggregation q55 runs, minus the engine-local HLL register estimate —
+    // the battery's unverified surface shrinks to the pure estimates
+    // (whose error bounds SketchesSpec asserts)
+    "q84_sketch_exact_side" -> ((s, dir) =>
+      graft.operators.Sketches.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
+        .select(col("event_type"), col("exact_distinct"), col("n"))
         .orderBy("event_type")),
 
     // TF-IDF keyword extraction: integer tf/df/N core + the portable
@@ -644,6 +654,11 @@ object DataQueries {
   private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    "q84_sketch_exact_side" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q27_doc_exact_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
