@@ -49,6 +49,40 @@ object Similarity {
   private def shufflePartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Occupancy-targeting cell-count default: `corpusRows / targetOccupancy`
+    * cells, clamped to [minCells, maxCells]. A PINNED ncells has linear
+    * per-cell occupancy growth — candidate pairs then grow quadratically
+    * with the corpus (the sf1 probe measured ncells 32→320 cutting
+    * candidates 10× at 10× data). Targeting a fixed occupancy keeps the
+    * per-cell working set — and so per-task memory and pair counts — flat
+    * as data scales, which is the invariant a 100 TB deployment needs.
+    *
+    * Two operating points, chosen by what the operator does inside a cell:
+    *  - [[RetrievalOccupancy]] (1024) for top-k probing ([[ivfTopK]],
+    *    [[ivfPqTopK]]): per-query cost is LINEAR in occupancy, and
+    *    1-4k points per cell is the classic IVF recipe (FAISS guidance).
+    *  - [[PairOccupancy]] (64) for within-cell pair enumeration
+    *    ([[cosineNearDupPairs]], [[semanticDedup]]): cost is QUADRATIC in
+    *    occupancy (n_c² pairs per cell), so the target is much lower —
+    *    this is exactly the Sf1Extras measurement (ncells 32→320 at 10×
+    *    data cut candidate pairs 10×, restoring linear total cost). */
+  def autoCells(corpusRows: Long, targetOccupancy: Long = RetrievalOccupancy,
+      minCells: Int = 16, maxCells: Int = 1 << 18): Int =
+    math.min(maxCells.toLong,
+      math.max(minCells.toLong, corpusRows / math.max(1L, targetOccupancy))).toInt
+
+  val RetrievalOccupancy = 1024L
+  val PairOccupancy = 64L
+
+  /** `ncells <= 0` means auto: size from the corpus via [[autoCells]].
+    * The count is a planning-time metadata aggregate on columnar sources
+    * (parquet row-group counts — no data scan). Gate queries pin explicit
+    * values for cross-engine determinism; the auto default is what a
+    * production caller should use. */
+  private def resolveCells(emb: DataFrame, ncells: Int,
+      targetOccupancy: Long = RetrievalOccupancy): Int =
+    if (ncells > 0) ncells else autoCells(emb.count(), targetOccupancy)
+
   def norm2(a: Column): Column = dot(a, a)
 
   def cosine(a: Column, b: Column, n2a: Column, n2b: Column): Column =
@@ -203,11 +237,13 @@ object Similarity {
 
   /** IVF ANN: probe the `nprobe` nearest cells per query, exact cosine only
     * inside those cells. corpus-side assignment is computed once (in a real
-    * pipeline: persisted/bucketed by cell). */
+    * pipeline: persisted/bucketed by cell). `ncells <= 0` (the default)
+    * sizes the cell count from the corpus via [[autoCells]] — flat per-cell
+    * occupancy as data grows. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, ncells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+      k: Int, ncells: Int = -1, nprobe: Int = 8, iters: Int = 2): DataFrame = {
     val dim = probeDim(emb, vecCol)
-    val centroids = ivfCentroids(emb, idCol, vecCol, ncells, iters)
+    val centroids = ivfCentroids(emb, idCol, vecCol, resolveCells(emb, ncells), iters)
     val corpusCells = assignCellsDim(emb, idCol, vecCol, centroids, dim)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell"))
       .withColumn("cn2", dotUnrolled(col("cv"), col("cv"), dim))
@@ -326,11 +362,11 @@ object Similarity {
     * top-k ranks by the exact score. Columns match [[ivfTopK]]
     * (qid, cid, rank, score) so recall is directly comparable. */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, ncells: Int, nprobe: Int, m: Int = 8, pqK: Int = 16,
+      k: Int, ncells: Int = -1, nprobe: Int = 8, m: Int = 8, pqK: Int = 16,
       rescoreFactor: Int = 4, iters: Int = 2): DataFrame = {
     val dim = probeDim(emb, vecCol)
     val books = pqTrain(emb, idCol, vecCol, m, pqK)
-    val centroids = ivfCentroids(emb, idCol, vecCol, ncells, iters)
+    val centroids = ivfCentroids(emb, idCol, vecCol, resolveCells(emb, ncells), iters)
     val corpusCells = pqEncode(
       assignCellsDim(emb, idCol, vecCol, centroids, dim)
         .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("cell")), "cv", books)
@@ -468,9 +504,11 @@ object Similarity {
     * grid) so rank AND score hash-match DuckDB. Columns (qid, cid, rank,
     * score_q) — directly comparable to [[bruteForceTopK]]. */
   def ivfTopKPortable(emb: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, ncells: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+      vecCol: String, k: Int, ncells: Int = -1, nprobe: Int = 8,
+      iters: Int = 2): DataFrame = {
     val dim = probeDim(emb, vecCol)
-    val centroids = ivfCentroidsPortable(emb, idCol, vecCol, ncells, iters)
+    val centroids =
+      ivfCentroidsPortable(emb, idCol, vecCol, resolveCells(emb, ncells), iters)
     val corpusCells = assignCellsPortable(emb, idCol, vecCol, centroids)
       .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"), col("cell"))
     val cents = broadcast(centroids.withColumn("__cn",
@@ -500,9 +538,10 @@ object Similarity {
     * `blocks` hot-cell decomposition — block ids are engine-local but only
     * split work, never change the pair set) as [[cosineNearDupPairs]]. */
   def cosineNearDupPairsPortable(emb: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
+      minSim: Double, ncells: Int = -1, blocks: Int = 1): DataFrame = {
     val dim = probeDim(emb, vecCol)
-    val centroids = ivfCentroidsPortable(emb, idCol, vecCol, ncells)
+    val centroids = ivfCentroidsPortable(emb, idCol, vecCol,
+      resolveCells(emb, ncells, PairOccupancy))
     val cells = assignCellsPortable(emb, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), quantize(col(vecCol), ScoreScale).as("v"), col("cell"))
       .withColumn("n2", dotLong(col("v"), col("v"), dim).cast("double"))
@@ -614,13 +653,14 @@ object Similarity {
     * exact 2^24 integer dot, and the final rank is (score_q desc, cid).
     * Columns match [[ivfTopKPortable]]. */
   def ivfPqTopKPortable(emb: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, ncells: Int, nprobe: Int, m: Int = 8,
+      vecCol: String, k: Int, ncells: Int = -1, nprobe: Int = 8, m: Int = 8,
       pqK: Int = 16, rescoreFactor: Int = 4, iters: Int = 2,
       pqIters: Int = 2): DataFrame = {
     val dim = probeDim(emb, vecCol)
     val ds = dim / m
     val books = pqTrainPortable(emb, idCol, vecCol, m, pqK, pqIters)
-    val centroids = ivfCentroidsPortable(emb, idCol, vecCol, ncells, iters)
+    val centroids =
+      ivfCentroidsPortable(emb, idCol, vecCol, resolveCells(emb, ncells), iters)
     val corpusCells = pqEncodePortable(
       assignCellsPortable(emb, idCol, vecCol, centroids)
         .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"),
@@ -666,7 +706,7 @@ object Similarity {
     * star-contraction components → min-id representative. Same composition
     * as [[semanticDedup]], every stage under the DuckDB oracle. */
   def semanticDedupPortable(emb: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
+      minSim: Double, ncells: Int = -1, blocks: Int = 1): DataFrame = {
     val pairs = cosineNearDupPairsPortable(emb, idCol, vecCol, minSim, ncells, blocks)
     val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "id")
@@ -689,9 +729,10 @@ object Similarity {
     * below the key level otherwise). Pair set is identical to blocks=1
     * (spec-verified); replication factor ≈ blocks/2 on side A only. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
+      minSim: Double, ncells: Int = -1, blocks: Int = 1): DataFrame = {
     val dim = probeDim(emb, vecCol)
-    val centroids = ivfCentroids(emb, idCol, vecCol, ncells)
+    val centroids = ivfCentroids(emb, idCol, vecCol,
+      resolveCells(emb, ncells, PairOccupancy))
     val cells = assignCellsDim(emb, idCol, vecCol, centroids, dim)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
       .withColumn("n2", dotUnrolled(col("v"), col("v"), dim))
@@ -727,7 +768,7 @@ object Similarity {
     * all-pairs), O(log n)-round clustering — so the composition inherits
     * the 100 TB story of its parts. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      minSim: Double, ncells: Int = 16, blocks: Int = 1): DataFrame = {
+      minSim: Double, ncells: Int = -1, blocks: Int = 1): DataFrame = {
     val pairs = cosineNearDupPairs(emb, idCol, vecCol, minSim, ncells, blocks)
     val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "id")
