@@ -47,12 +47,23 @@ object ChangelogOps {
   /** Streaming variant of [[materializeExact]]: a continuously-updated
     * current-state view over an unbounded cdc-log stream (read with
     * `metadata.columns = "op_offset,row_kind"`). One streaming aggregation
-    * keyed by PK whose state is the max-(offset, after-wins) row — use
-    * `outputMode("update")` and filter `op =!= "d"` downstream (tombstones
-    * are emitted so sinks can delete). State size = one row per live key,
-    * partitioned by the PK shuffle — the Spark-native equivalent of the
-    * Flink SQL upsert materialization the reference's ITCase aggregation
-    * relies on (MySqlConnectorITCase.java:137-244).
+    * keyed by PK whose state is the max-(offset, after-wins) row — the
+    * Spark-native equivalent of the Flink SQL upsert materialization the
+    * reference's ITCase aggregation relies on
+    * (MySqlConnectorITCase.java:137-244).
+    *
+    * ==DO NOT USE WITH `outputMode("complete")` AT SCALE==
+    * Complete mode re-emits EVERY live key every micro-batch: output work
+    * is O(total state), not O(batch) — measured 5.2× super-linear at the
+    * 10× scale probe (SCALE_PROBE_sf1.md, q43). It is fine for bounded
+    * catch-up reads and tests, which is the only way the battery uses it.
+    * For an unbounded production stream, either
+    *  - keep this operator with `outputMode("update")` and an upserting
+    *    sink that handles tombstones (`op === "d"`), or
+    *  - skip the in-flight aggregation entirely and stream the raw
+    *    changelog into [[graft.streaming.UpsertSink.upsertParquet]] +
+    *    `readState` — O(touched buckets) per batch, durable, idempotent
+    *    on replay. That is the gated production path (q74/q78).
     */
   def materializeStreaming(changelog: DataFrame, pkCols: Seq[String]): DataFrame = {
     val payload = changelog.columns.filterNot(pkCols.contains).map(col)
