@@ -37,18 +37,40 @@ import java.nio.charset.StandardCharsets
   * history. (Byte offset here plays the role of Mongo's opaque `_id`
   * token; the SPI carries it as an opaque string either way.)
   *
-  * The source is LOG-ONLY (empty base; `startup.mode=initial` folds the
-  * spooled log into its single unbounded chunk), which is exactly what a
-  * wire protocol gives you. The spool is retained so `log(from, to)` can
-  * replay any slice (micro-batch retries, multi-cohort suppression); a
-  * production client would spool to disk/object storage past a retention
-  * bound — the SPI surface is identical.
+  * By default the source is LOG-ONLY (empty base; `startup.mode=initial`
+  * folds the spooled log into its single unbounded chunk), which is
+  * exactly what a wire protocol gives you. The spool is retained so
+  * `log(from, to)` can replay any slice (micro-batch retries, multi-cohort
+  * suppression); a production client would spool to disk/object storage
+  * past a retention bound — the SPI surface is identical.
+  *
+  * ==The full MongoDB lifecycle== (reference
+  * mongodb/internal/MongoDBConnectorSourceTask.java: copy-existing
+  * snapshot phase → change-stream phase; invalidate → resume):
+  *  - `copyExisting = true` asks the server for the collection's CURRENT
+  *    documents before streaming (`COPY` handshake → `COPYBEGIN <pos>
+  *    <asOfOffset>`, one JSON doc per line, `COPYEND`, then change events
+  *    from `<pos>`). The copied docs become a REAL snapshot base
+  *    ([[snapshotBase]] at `asOfOffset`, [[keyBounds]]/[[nextChunkEnd]]
+  *    planned from them), so the source runs its ordinary chunked
+  *    snapshot-then-log flow — Mongo's `copy.existing=true` where history
+  *    before the copy is unobtainable from the oplog.
+  *  - an `{"op":"invalidate"}` event (collection dropped/renamed — the
+  *    server-side end of a Mongo change stream) CLOSES the subscription:
+  *    the client records the token just past the invalidate and stops
+  *    spooling (later wire bytes are never read — a real Mongo cursor is
+  *    dead at this point). Everything already delivered stays servable so
+  *    in-flight micro-batches complete; [[invalidated]] then hands the
+  *    application the `startAfter` token and a NEW provider life with
+  *    `resumeFrom = token` re-subscribes strictly after the invalidate —
+  *    no loss, no replay (MongoLifecycleSpec drives all four phases
+  *    end-to-end through a checkpointed stream).
   *
   * Lives behind ProviderRegistry (a live socket is not serializable): in
   * local mode readers share the JVM; on a cluster a live-client provider
   * registers per-executor via the `provider.class` path instead. */
 final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
-    resumeFrom: Option[String] = None)
+    resumeFrom: Option[String] = None, copyExisting: Boolean = false)
   extends ChangeLogProvider with AutoCloseable {
 
   @transient private val mapper = new ObjectMapper()
@@ -58,19 +80,61 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
   @transient @volatile private var failure: Throwable = null
   @transient @volatile private var closed = false
 
+  // copy.existing snapshot phase results (set once by the client thread
+  // before copyDone opens; immutable after)
+  @transient @volatile private var baseDocs: Array[Array[Any]] = Array.empty
+  @transient @volatile private var baseAsOf: Long = 0L
+  @transient private val copyDone = new java.util.concurrent.CountDownLatch(1)
+  /** `Some(startAfter token)` once the server invalidated the stream. */
+  @transient @volatile private var invalidatedTok: Option[String] = None
+  /** Stream byte position the change-stream phase started at (resumeBase,
+    * or the position the COPY handshake pinned). */
+  @transient @volatile private var streamStart: Long = 0L
+
   private val resumeBase: Long = resumeFrom.map(_.toLong).getOrElse(0L)
 
   @transient private val socket = new Socket(host, port)
 
   @transient private val client = new Thread(() => {
     try {
-      // handshake: ask the server to resume strictly after the token
       val out = socket.getOutputStream
-      out.write(s"RESUME $resumeBase\n".getBytes(StandardCharsets.UTF_8))
-      out.flush()
       val in = new BufferedInputStream(socket.getInputStream, 1 << 16)
       val buf = new java.io.ByteArrayOutputStream(256)
+      // one raw line, NOT counted against the change-stream byte position
+      // (copy-phase frames live outside the resumable event stream)
+      def readRaw(): String = {
+        buf.reset()
+        var b = in.read()
+        while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+        if (b == -1 && buf.size() == 0) null
+        else new String(buf.toByteArray, StandardCharsets.UTF_8)
+      }
       var pos = resumeBase
+      if (copyExisting && resumeFrom.isEmpty) {
+        // snapshot phase: existing docs first (reference poll() step 1),
+        // then change-stream from the position the copy pinned
+        out.write("COPY\n".getBytes(StandardCharsets.UTF_8)); out.flush()
+        val hdr = readRaw()
+        require(hdr != null && hdr.startsWith("COPYBEGIN "),
+          s"copy.existing handshake failed, got: $hdr")
+        val parts = hdr.trim.split(" ")
+        pos = parts(1).toLong
+        streamStart = pos
+        baseAsOf = parts(2).toLong
+        val docs = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+        var l = readRaw()
+        while (l != null && l.trim != "COPYEND") {
+          if (l.trim.nonEmpty) docs += rowOf(mapper.readTree(l))
+          l = readRaw()
+        }
+        require(l != null, "socket closed mid-copy (no COPYEND)")
+        baseDocs = docs.toArray
+      } else {
+        // change-stream phase only: resume strictly after the token
+        out.write(s"RESUME $resumeBase\n".getBytes(StandardCharsets.UTF_8))
+        out.flush()
+      }
+      copyDone.countDown()
       var eof = false
       while (!eof && !closed) {
         buf.reset()
@@ -81,12 +145,22 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
         else {
           val line = new String(buf.toByteArray, StandardCharsets.UTF_8)
           if (line.trim.nonEmpty) {
-            val rec = parse(mapper.readTree(line))
-            val after = pos
-            synchronized {
-              require(spool.isEmpty || rec.offset > spool.last._1.offset,
-                s"socket log must be append-ordered: got ${rec.offset} after ${spool.last._1.offset}")
-              spool += ((rec, after))
+            val node = mapper.readTree(line)
+            if (node.get("op").asText() == "invalidate") {
+              // the subscription is DEAD (Mongo cursor semantics): record
+              // the startAfter token and never read past the invalidate —
+              // delivered events stay servable, new bytes do not exist
+              // for this provider life
+              invalidatedTok = Some(pos.toString)
+              eof = true
+            } else {
+              val rec = parse(node)
+              val after = pos
+              synchronized {
+                require(spool.isEmpty || rec.offset > spool.last._1.offset,
+                  s"socket log must be append-ordered: got ${rec.offset} after ${spool.last._1.offset}")
+                spool += ((rec, after))
+              }
             }
           }
         }
@@ -94,30 +168,45 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
     } catch {
       case _: Throwable if closed => () // normal shutdown race
       case t: Throwable           => failure = t
-    }
+    } finally copyDone.countDown() // never leave SPI waiters hanging
   }, s"cdc-socket-client-$host:$port")
   client.setDaemon(true)
   client.start()
 
-  private def parse(n: JsonNode): LogRecord = {
-    def row(node: JsonNode): Array[Any] =
-      if (node == null || node.isNull) null
-      else meta.schema.fields.map[Any] { f =>
-        val v = node.get(f.name)
-        if (v == null || v.isNull) null
-        else f.dataType match {
-          case LongType    => v.asLong()
-          case IntegerType => v.asInt()
-          case DoubleType  => v.asDouble()
-          case BooleanType => v.asBoolean()
-          case StringType  => v.asText()
-          case other => throw new IllegalArgumentException(
-            s"socket provider demo decodes scalar types only, got $other")
-        }
+  private def rowOf(node: JsonNode): Array[Any] =
+    if (node == null || node.isNull) null
+    else meta.schema.fields.map[Any] { f =>
+      val v = node.get(f.name)
+      if (v == null || v.isNull) null
+      else f.dataType match {
+        case LongType    => v.asLong()
+        case IntegerType => v.asInt()
+        case DoubleType  => v.asDouble()
+        case BooleanType => v.asBoolean()
+        case StringType  => v.asText()
+        case other => throw new IllegalArgumentException(
+          s"socket provider demo decodes scalar types only, got $other")
       }
+    }
+
+  private def parse(n: JsonNode): LogRecord =
     LogRecord(n.get("offset").asLong(), n.get("op").asText(), meta.id,
-      row(n.get("before")), row(n.get("after")),
+      rowOf(n.get("before")), rowOf(n.get("after")),
       if (n.has("tsMs")) n.get("tsMs").asLong() else 0L)
+
+  /** Set once the server ended this change stream (collection drop/rename —
+    * Mongo's invalidate event): the value is the `startAfter` resume token.
+    * The application's rotation recipe is the reference's: stop the query,
+    * build a NEW provider with `resumeFrom = invalidated.get`, re-register,
+    * restart from the same checkpoint. */
+  def invalidated: Option[String] = { checkFailure(); invalidatedTok }
+
+  private def awaitCopy(): Unit = {
+    // planning probes can land right after construction; the copy phase is
+    // one in-memory collection scan away, so a bounded wait is safe
+    if (!copyDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      throw new IllegalStateException(s"copy.existing phase for ${meta.id} timed out")
+    checkFailure()
   }
 
   private def checkFailure(): Unit = {
@@ -128,29 +217,55 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
 
   override def tables: Seq[TableMeta] = Seq(meta)
 
-  override def currentOffset: Long = synchronized {
+  override def currentOffset: Long = {
     checkFailure()
-    if (spool.isEmpty) 0L else spool.last._1.offset
+    if (copyExisting) awaitCopy() // the copy pins the floor (baseAsOf)
+    synchronized {
+      val tail = if (spool.isEmpty) 0L else spool.last._1.offset
+      math.max(tail, baseAsOf)
+    }
   }
 
   /** Byte position after the last delivered event with offset <= upTo —
     * hand it to a new provider's `resumeFrom` to restart without replay.
     * Before anything at or below upTo arrived, the token is the position
     * this client itself resumed from (nothing to skip yet). */
-  override def resumeToken(upTo: Long): Option[String] = synchronized {
+  override def resumeToken(upTo: Long): Option[String] = {
     checkFailure()
-    val last = spool.reverseIterator.find(_._1.offset <= upTo).map(_._2)
-    Some(last.getOrElse(resumeBase).toString)
+    if (copyExisting) awaitCopy() // tokens start at the copy-pinned position
+    synchronized {
+      val last = spool.reverseIterator.find(_._1.offset <= upTo).map(_._2)
+      Some(last.getOrElse(math.max(resumeBase, streamStart)).toString)
+    }
   }
 
-  /** Log-only: the base is empty at offset 0; the chunk fold replays the
-    * spool. */
+  private val keyIdxs = meta.primaryKey.map(meta.schema.fieldIndex)
+  private def keyOf(r: Array[Any]): ChunkKey.Key = ChunkKey.of(keyIdxs.map(r): _*)
+
+  /** Log-only by default (empty base at offset 0; the chunk fold replays
+    * the spool). With `copyExisting` the copied documents are the base —
+    * real key bounds, real chunk planning. */
   override def keyBounds(table: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = {
     checkFailure()
-    (ChunkKey.of(0L), ChunkKey.of(-1L), 0L)
+    if (!copyExisting) (ChunkKey.of(0L), ChunkKey.of(-1L), 0L)
+    else {
+      awaitCopy()
+      import ChunkKey.ordering
+      val keys = baseDocs.map(keyOf)
+      if (keys.isEmpty) (ChunkKey.of(0L), ChunkKey.of(-1L), 0L)
+      else (keys.min, keys.max, keys.length.toLong)
+    }
   }
 
-  override def nextChunkEnd(table: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key] = None
+  override def nextChunkEnd(table: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key] =
+    if (!copyExisting) None
+    else {
+      awaitCopy()
+      import ChunkKey.ordering
+      val keys = baseDocs.map(keyOf)
+        .filter(ChunkKey.compare(_, from) >= 0).sorted.take(chunkSize)
+      if (keys.length < chunkSize) None else Some(keys.last)
+    }
 
   override def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) = {
     checkFailure()
@@ -158,7 +273,11 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
     // at or past the token) — the skipped history is never asked for. A
     // fresh query against a resumed provider would fold from empty base and
     // miss pre-token events, same as a fresh Mongo stream with resumeAfter.
-    (0L, Iterator.empty)
+    if (!copyExisting) (0L, Iterator.empty)
+    else {
+      awaitCopy()
+      (baseAsOf, baseDocs.iterator.filter(r => range.contains(keyOf(r))))
+    }
   }
 
   override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] =
