@@ -862,11 +862,16 @@ object RelQueries {
   }
 
   // --- q61: STREAMING first-event-per-key dedup under the hash gate.
-  //     Events replayed as a time-ordered multi-batch file stream (same
-  //     mtime-forced arrival order as q54), dropDuplicates state keyed on
-  //     (user_id, event_type): kept row = min-ts row per key (no ties at
-  //     µs precision in the corpus — verified at every SF). Oracle: join
-  //     back on the per-key MIN(ts). ---
+  //     Events replayed as a time-ordered multi-batch file stream,
+  //     dropDuplicates state keyed on (user_id, event_type): kept row =
+  //     min-ts row per key (no ties at µs precision in the corpus —
+  //     verified at every SF). Oracle: join back on the per-key MIN(ts).
+  //     Determinism the gate depends on: ONE range-partitioned file per
+  //     micro-batch (maxFilesPerTrigger=1, each file < one input split),
+  //     so every batch has a single in-order mapper. With several files
+  //     per batch, which duplicate "arrives first" at the dedup state
+  //     follows reduce-side fetch order across mappers — nondeterministic
+  //     (it held at sf0.01 by luck and broke at sf0.1's file count). ---
   private def q61(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q61_")
@@ -874,13 +879,14 @@ object RelQueries {
     val in = tmp.resolve("in").toString
     val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
       timestamp_micros(expr("ts div 1000")).as("ets"), col("event_id"), col("value"))
-    e.orderBy("ets").write.mode("overwrite").parquet(in)
+    e.repartitionByRange(4, col("ets")).sortWithinPartitions("ets")
+      .write.mode("overwrite").parquet(in)
     val parts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     val base = System.currentTimeMillis()
     parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
     val stream = s.readStream.schema(e.schema)
-      .option("maxFilesPerTrigger", "8").parquet(in)
+      .option("maxFilesPerTrigger", "1").parquet(in)
     val dedup = graft.streaming.StreamingOps.firstPerKey(
       stream, "ets", Seq("user_id", "event_type"), lateness = "1 hour")
     val qname = "q61_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
