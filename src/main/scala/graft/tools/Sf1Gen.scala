@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   *    — matching the source corpus's near-random geometry, so cell
   *    occupancy grows linearly and no artificial sim≈1 pairs appear.
   *
+  * Round 7 extends the probe to the FULL battery, so every table is
+  * replicated — fact tables get disjoint key spans with FK-consistent
+  * remaps (lineitem.l_orderkey follows orders.o_orderkey, l_partkey /
+  * l_suppkey follow part / supplier, o_custkey follows customer, so join
+  * selectivities and per-key group sizes are preserved at 10× cardinality),
+  * while the tiny dimensions region/nation are copied as-is (dimension
+  * tables don't scale with fact data in a real warehouse either; nation
+  * FKs on customer/supplier stay valid unchanged).
+  *
   * Usage: runMain graft.tools.Sf1Gen [srcDir] [dstDir] [factor] */
 object Sf1Gen {
   def main(args: Array[String]): Unit = {
@@ -36,39 +45,92 @@ object Sf1Gen {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as BIGINT nanos, same
+      // as Tables.t does; the replica is written back as plain INT64 which
+      // every battery query (they all treat ts as integer nanos) reads fine
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, remap: (DataFrame, Int, Long) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      val keyCol = Map("orders" -> "o_orderkey", "documents" -> "doc_id",
-        "embeddings" -> "vec_id")(name)
-      // disjoint id spans per replica: span = next power of 10 above max
-      val maxKey = base.agg(max(col(keyCol))).head().getLong(0)
+    // disjoint id spans per replica: span = next power of 10 above max.
+    // Spans are computed ONCE per key domain so foreign keys remap with
+    // exactly the same offset as the primary keys they reference.
+    def spanOf(name: String, keyCol: String): Long = {
+      val maxKey = spark.read.parquet(s"$src/$name.parquet")
+        .agg(max(col(keyCol).cast("long"))).head().getLong(0)
       var span = 1L
       while (span <= maxKey) span *= 10
-      val out = (0 until factor).map(i => remap(base, i, span)).reduce(_.unionAll(_))
+      span
+    }
+    val custSpan = spanOf("customer", "c_custkey")
+    val suppSpan = spanOf("supplier", "s_suppkey")
+    val partSpan = spanOf("part", "p_partkey")
+    val ordSpan = spanOf("orders", "o_orderkey")
+
+    def write(name: String, out: DataFrame): Unit = {
       // spread over many files so the probe reads multi-split inputs like
       // a real warehouse table (not one 5 MB file = one task)
       out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"SF1GEN $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
-    replicate("orders", (df, i, span) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * span)))
+    def replicate(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      write(name, (0 until factor).map(i => remap(base, i)).reduce(_.unionAll(_)))
+    }
 
-    replicate("documents", (df, i, span) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * span))
+    // tiny dimensions: copied, not replicated (their FKs stay valid)
+    Seq("region", "nation").foreach { name =>
+      write(name, spark.read.parquet(s"$src/$name.parquet"))
+    }
+
+    replicate("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan))
+    }
+    replicate("supplier") { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppSpan))
+    }
+    replicate("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * partSpan))
+    }
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custSpan))
+    }
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordSpan))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partSpan))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppSpan))
+    }
+
+    // events: ids remapped per replica; ts kept as-is, so the same time
+    // range holds 10× the events — a 10×-throughput stream, which is what
+    // scaling an event table means (sessionize/window group sizes grow 10×
+    // per user only if user_id were shared; remapping user_id keeps
+    // per-user session shape constant and user count ×10, like real growth)
+    val evSpan = spanOf("events", "event_id")
+    val userSpan = spanOf("events", "user_id")
+    replicate("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * evSpan))
+        .withColumn("user_id", col("user_id") + lit(i * userSpan))
+    }
+
+    val docSpan = spanOf("documents", "doc_id")
+    replicate("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text",
           if (i == 0) col("text")
           else concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(lit(s"r$i"), t)))))
+            t => concat(lit(s"r$i"), t))))
+    }
 
-    replicate("embeddings", (df, i, span) => {
-      val d = df.withColumn("vec_id", col("vec_id") + lit(i * span))
+    val vecSpan = spanOf("embeddings", "vec_id")
+    val dim = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    replicate("embeddings") { (df, i) =>
+      val d = df.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))
       if (i == 0) d
       else {
-        val dim = df.select(size(col("embedding"))).head().getInt(0)
         // deterministic pseudo-random components in [-1, 1), then normalize
         val raw = transform(sequence(lit(0), lit(dim - 1)), j =>
           (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(2000001L)) - 1000000L)
@@ -77,7 +139,7 @@ object Sf1Gen {
         d.withColumn("embedding",
           transform(raw, x => (x / n).cast("float")))
       }
-    })
+    }
     spark.stop()
   }
 }
