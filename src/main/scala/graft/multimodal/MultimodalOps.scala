@@ -10,6 +10,13 @@ final case class ImageMeta(doc_id: Long, width: Int, height: Int, channels: Int,
 final case class MediaFeatures(doc_id: Long, modality: String, features: Array[Float])
 final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+/** Decoded-audio row: header fields from the RIFF `fmt ` chunk, features
+  * computed from the decoded PCM samples. Undecodable payloads carry -1
+  * in every decoded field (routable to quarantine, never a task failure). */
+final case class AudioDecoded(doc_id: Long, sample_rate: Long, channels: Long,
+    bits_per_sample: Long, n_samples: Long, n_bytes: Long, peak_abs: Long,
+    sum_sq: Long, zero_crossings: Long, duration_us: Long)
+
 /** Multimodal-column operations for training-data pipelines.
   *
   * Design contract (the part that must be right at 100 TB):
@@ -20,8 +27,11 @@ final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   *    one kernel instance per partition, streaming iterator in/out, no
   *    driver involvement, partitioning preserved (no Exchange in the plan);
   *  - IMAGE decode is REAL (`decodeImageMetaReal`, javax.imageio from the
-  *    JDK, header-only parse); the audio/video kernels remain deterministic
-  *    byte-level fakes, clearly marked (this container has no av codecs).
+  *    JDK, header-only parse) and AUDIO decode is REAL
+  *    (`decodeAudioReal`, RIFF/WAVE PCM16 — a byte-layout spec needing no
+  *    codec library; oracle-verified by q85's synthesize→decode
+  *    roundtrip). The video kernels remain deterministic byte-level
+  *    fakes, clearly marked (this container has no video codecs).
   *    Swapping in a real codec changes only the kernel body — schema,
   *    batching, and plan shape stay as tested.
   */
@@ -143,5 +153,133 @@ object MultimodalOps {
   def toMediaDataset(df: DataFrame): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
     df.as[MediaRow]
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL audio path: RIFF/WAVE PCM16 — synthesize → decode → features.
+  // The container has no audio libraries, but WAV needs none: the RIFF
+  // container and PCM16 little-endian samples are a byte-layout spec the
+  // JDK can read directly. Unlike the image kernel (header-only), feature
+  // extraction is O(payload) per row — inherent to computing over samples;
+  // the kernel still runs per-partition with no Exchange, so it scales
+  // horizontally like every other batch kernel here.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic square-wave parameters for a doc id — the closed forms
+    * the q85 DuckDB oracle mirrors (amp/halfperiod/samples/rate are pure
+    * integer functions of the id, so every decoded feature has a
+    * closed-form expected value). */
+  private[multimodal] def wavParams(docId: Long): (Int, Int, Int, Int) = {
+    val n = (64 + docId % 64).toInt           // samples
+    val sr = (8000 + (docId % 3) * 4000).toInt // sample rate
+    val amp = (500 + (docId * 37) % 15000).toInt
+    val hp = (2 + docId % 9).toInt            // half-period in samples
+    (n, sr, amp, hp)
+  }
+
+  /** Render one canonical 44-byte-header PCM16 mono WAV: a square wave
+    * with sign flips every `hp` samples. Real RIFF bytes — any external
+    * WAV reader decodes this file. */
+  private[multimodal] def renderWav(docId: Long): Array[Byte] = {
+    val (n, sr, amp, hp) = wavParams(docId)
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(sr)
+      .putInt(sr * 2)         // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      val s = if ((i / hp) % 2 == 0) amp else -amp
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Pack every document as a synthesized WAV media row (modality=audio,
+    * format=wav) — the audio analogue of [[packDocuments]], except the
+    * payload is a REAL decodable file, not repurposed text bytes. */
+  def packWav(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = renderWav(id)
+        MediaRow(id, "audio", bytes, MediaMeta("wav", bytes.length.toLong))
+      }
+    }
+  }
+
+  /** REAL audio decode kernel: walks the RIFF chunk list (honoring the
+    * odd-size pad-byte rule), parses the `fmt ` header, decodes PCM16
+    * little-endian samples from the `data` chunk, and computes exact
+    * integer features over the decoded waveform: peak |sample|, Σ sample²
+    * (energy), zero-crossing count, and integer-µs duration. Non-audio
+    * rows are filtered; undecodable/null payloads and non-PCM16 formats
+    * map to the all-(-1) sentinel row. */
+  def decodeAudioReal(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.modality == "audio").map { m =>
+        val nBytes = if (m.content == null) 0L else m.content.length.toLong
+        val bad = AudioDecoded(m.doc_id, -1, -1, -1, -1, nBytes, -1, -1, -1, -1)
+        try {
+          val b = m.content
+          if (b == null || b.length < 12 ||
+            new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(b, 8, 4, "US-ASCII") != "WAVE") bad
+          else {
+            val bb = java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var pos = 12
+            var sr = -1; var ch = -1; var bits = -1; var fmtCode = -1
+            var dataOff = -1; var dataLen = -1
+            while (pos + 8 <= b.length && (fmtCode < 0 || dataOff < 0)) {
+              val id = new String(b, pos, 4, "US-ASCII")
+              val size = bb.getInt(pos + 4)
+              if (size < 0 || pos + 8 + size > b.length)
+                pos = b.length // malformed chunk size: stop, fall to bad
+              else {
+                if (id == "fmt " && size >= 16) {
+                  fmtCode = bb.getShort(pos + 8) & 0xFFFF
+                  ch = bb.getShort(pos + 10) & 0xFFFF
+                  sr = bb.getInt(pos + 12)
+                  bits = bb.getShort(pos + 22) & 0xFFFF
+                } else if (id == "data") {
+                  dataOff = pos + 8; dataLen = size
+                }
+                pos += 8 + size + (size & 1) // RIFF pads odd chunks
+              }
+            }
+            if (fmtCode != 1 || bits != 16 || ch != 1 || sr <= 0 ||
+              dataOff < 0 || dataLen % 2 != 0) bad
+            else {
+              val n = dataLen / 2
+              var peak = 0L; var sumSq = 0L; var crossings = 0L
+              var prev = 0; var i = 0
+              while (i < n) {
+                val s = bb.getShort(dataOff + 2 * i).toInt
+                val a = math.abs(s.toLong)
+                if (a > peak) peak = a
+                sumSq += s.toLong * s.toLong
+                if (i > 0 && ((s < 0) != (prev < 0))) crossings += 1
+                prev = s
+                i += 1
+              }
+              AudioDecoded(m.doc_id, sr.toLong, ch.toLong, bits.toLong,
+                n.toLong, nBytes, peak, sumSq, crossings,
+                n.toLong * 1000000L / sr)
+            }
+          }
+        } catch { case _: Exception => bad }
+      }
+    }
   }
 }

@@ -378,6 +378,19 @@ object DataQueries {
           col("height").cast("bigint").as("height"),
           col("channels").cast("bigint").as("channels"), col("n_bytes"))
         .orderBy("doc_id")
+    }),
+
+    // REAL audio codec under the hash gate: per doc, synthesize an actual
+    // RIFF/WAVE PCM16 file (square wave, parameters = integer functions of
+    // doc_id), decode it back through the chunk-walking WAV parser, and
+    // compute exact integer features over the DECODED samples. The oracle
+    // recomputes every feature from the wave's closed forms — the gate
+    // passes only if the encode→RIFF→decode roundtrip is bit-correct.
+    "q85_audio_roundtrip" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps
+      MultimodalOps.decodeAudioReal(
+        MultimodalOps.packWav(t(s, dir, "documents"))).toDF()
+        .orderBy("doc_id")
     })
   )
 
@@ -987,6 +1000,33 @@ object DataQueries {
         |  CAST(64 + ascii(substr(text, 2, 1)) % 512 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    // closed forms of the synthesized square wave (MultimodalOps.wavParams):
+    // n = 64 + id%64 samples, sr = 8000 + (id%3)*4000, amp = 500 + (id*37)%15000,
+    // half-period hp = 2 + id%9. peak = amp; sum_sq = n*amp^2; crossings =
+    // sign flips at multiples of hp in [1, n) = (n-1)//hp; file bytes =
+    // 44-byte canonical header + 2n. The Spark side decodes these from the
+    // actual RIFF bytes — any divergence (header layout, LE sample order,
+    // pad rule) breaks the hash.
+    "q85_audio_roundtrip" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    64 + doc_id % 64 AS n,
+        |    8000 + (doc_id % 3) * 4000 AS sr,
+        |    500 + (doc_id * 37) % 15000 AS amp,
+        |    2 + doc_id % 9 AS hp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+        |  CAST(amp AS BIGINT) AS peak_abs,
+        |  CAST(n * amp * amp AS BIGINT) AS sum_sq,
+        |  CAST((n - 1) // hp AS BIGINT) AS zero_crossings,
+        |  CAST(n * 1000000 // sr AS BIGINT) AS duration_us
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

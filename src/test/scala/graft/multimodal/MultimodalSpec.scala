@@ -100,6 +100,65 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expect.filter(_._2 > 0))
   }
 
+  test("REAL WAV codec: synthesize → RIFF decode roundtrip + closed forms") {
+    import spark.implicits._
+    val wavs = MultimodalOps.packWav(docs)
+    val decoded = MultimodalOps.decodeAudioReal(wavs).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(decoded.size.toLong == docs.count())
+    // every decoded field equals the square wave's closed form
+    decoded.values.foreach { d =>
+      val id = d.doc_id
+      val n = 64 + id % 64
+      val amp = 500 + (id * 37) % 15000
+      val hp = 2 + id % 9
+      assert(d.sample_rate == 8000 + (id % 3) * 4000)
+      assert((d.channels, d.bits_per_sample) == ((1L, 16L)))
+      assert(d.n_samples == n && d.n_bytes == 44 + 2 * n)
+      assert(d.peak_abs == amp, s"id=$id")
+      assert(d.sum_sq == n * amp * amp)
+      assert(d.zero_crossings == (n - 1) / hp)
+      assert(d.duration_us == n * 1000000L / d.sample_rate)
+    }
+    // the synthesized bytes are REAL wav files: the JDK's own independent
+    // reader (javax.sound.sampled) agrees on format and sample count
+    val b = MultimodalOps.renderWav(42L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate.toInt == 8000 && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == 64 + 42 % 64)
+    ais.close()
+  }
+
+  test("WAV decode: malformed payloads → sentinel rows, never failures") {
+    import spark.implicits._
+    val good = MultimodalOps.renderWav(7L)
+    val truncated = good.take(20)       // header cut mid-fmt
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    val lyingSize = good.clone()        // data chunk claims more than exists
+    lyingSize(40) = (lyingSize(40) | 0x7F).toByte; lyingSize(41) = 0x7F.toByte
+    val rows = Seq(
+      MediaRow(1L, "audio", good, MediaMeta("wav", good.length.toLong)),
+      MediaRow(2L, "audio", truncated, MediaMeta("wav", truncated.length.toLong)),
+      MediaRow(3L, "audio", badMagic, MediaMeta("wav", badMagic.length.toLong)),
+      MediaRow(4L, "audio", lyingSize, MediaMeta("wav", lyingSize.length.toLong)),
+      MediaRow(5L, "audio", null, MediaMeta("wav", 0L)),
+      MediaRow(6L, "image", good, MediaMeta("wav", good.length.toLong)))
+    val out = MultimodalOps.decodeAudioReal(spark.createDataset(rows)).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L)) // non-audio filtered
+    assert(out(1L).sample_rate > 0 && out(1L).peak_abs > 0)
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id).sample_rate == -1 && out(id).sum_sq == -1, s"id=$id")
+    }
+    // no shuffle in the kernel plan (same contract as the image kernels)
+    val plan = MultimodalOps.decodeAudioReal(spark.createDataset(rows))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange(") && !plan.contains("ShuffleExchange"))
+  }
+
   test("resize: payload shrinks, meta stays consistent") {
     val r = MultimodalOps.resize(media, factor = 4).collect()
     val orig = media.collect().map(m => m.doc_id -> m.content.length).toMap
