@@ -17,6 +17,13 @@ final case class AudioDecoded(doc_id: Long, sample_rate: Long, channels: Long,
     bits_per_sample: Long, n_samples: Long, n_bytes: Long, peak_abs: Long,
     sum_sq: Long, zero_crossings: Long, duration_us: Long)
 
+/** One sampled, decoded video frame: stream metadata from the AVI headers
+  * (`n_frames` from avih/strh, `fps` from strh rate/scale) plus the frame's
+  * own decoded dimensions (javax.imageio on the extracted MJPEG bytes).
+  * An unparseable container yields a single all-(-1) sentinel row. */
+final case class VideoFrameDecoded(doc_id: Long, frame_idx: Long, n_frames: Long,
+    fps: Long, width: Long, height: Long, channels: Long)
+
 /** Multimodal-column operations for training-data pipelines.
   *
   * Design contract (the part that must be right at 100 TB):
@@ -26,14 +33,17 @@ final case class AudioDecoded(doc_id: Long, sample_rate: Long, channels: Long,
   *    kernels (`Dataset.mapPartitions`, the JVM analogue of `mapInPandas`):
   *    one kernel instance per partition, streaming iterator in/out, no
   *    driver involvement, partitioning preserved (no Exchange in the plan);
-  *  - IMAGE decode is REAL (`decodeImageMetaReal`, javax.imageio from the
-  *    JDK, header-only parse) and AUDIO decode is REAL
-  *    (`decodeAudioReal`, RIFF/WAVE PCM16 — a byte-layout spec needing no
-  *    codec library; oracle-verified by q85's synthesize→decode
-  *    roundtrip). The video kernels remain deterministic byte-level
-  *    fakes, clearly marked (this container has no video codecs).
-  *    Swapping in a real codec changes only the kernel body — schema,
-  *    batching, and plan shape stay as tested.
+  *  - all three modalities have REAL decode paths with no new dependency:
+  *    IMAGE (`decodeImageMetaReal`, javax.imageio header-only parse),
+  *    AUDIO (`decodeAudioReal`, RIFF/WAVE PCM16 chunk walk + sample
+  *    decode; oracle-verified by q85's synthesize→decode roundtrip), and
+  *    VIDEO (`sampleFramesReal`, AVI/MJPEG: RIFF LIST walk + real JPEG
+  *    frame decode; oracle-verified by q86). The remaining byte-level
+  *    kernels (`decodeImageMeta`, `extractFeatures`, `sampleFrames`,
+  *    `resize`) are deterministic stand-ins for codec-heavy passes
+  *    (vision encoders, thumbnailing) kept for shape tests — swapping in
+  *    a real model/codec changes only the kernel body; schema, batching,
+  *    and plan shape stay as tested.
   */
 object MultimodalOps {
 
@@ -276,6 +286,177 @@ object MultimodalOps {
               AudioDecoded(m.doc_id, sr.toLong, ch.toLong, bits.toLong,
                 n.toLong, nBytes, peak, sumSq, crossings,
                 n.toLong * 1000000L / sr)
+            }
+          }
+        } catch { case _: Exception => bad }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video path: AVI/MJPEG — AVI is a RIFF container (same byte-layout
+  // family as WAV) and MJPEG frames are ordinary JPEGs, so a structurally
+  // valid video file can be both synthesized and decoded with the JDK
+  // alone: RIFF LIST walk for the container, javax.imageio for the frames.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic AVI parameters for a doc id — closed forms the q86
+    * oracle mirrors. Frame dims are multiples of 16 (MJPEG-typical). */
+  private[multimodal] def aviParams(docId: Long): (Int, Int, Int, Int) = {
+    val nFrames = (4 + docId % 9).toInt
+    val fps = (5 + docId % 5).toInt
+    val w = (16 * (1 + docId % 4)).toInt
+    val h = (16 * (1 + docId % 3)).toInt
+    (nFrames, fps, w, h)
+  }
+
+  /** Render a minimal structurally-valid AVI/MJPEG: RIFF 'AVI ' → LIST
+    * hdrl (avih + LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER))
+    * → LIST movi ('00dc' chunks, one real JPEG per frame, even-padded).
+    * Frame pixels are deterministic per (doc, frame), so the decoded
+    * dimensions — the gate columns — are exact. */
+  private[multimodal] def renderAviMjpeg(docId: Long): Array[Byte] = {
+    val (nFrames, fps, w, h) = aviParams(docId)
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(((docId * 31 + f * 97) % 255).toInt,
+        ((docId * 17 + f * 41) % 255).toInt, ((docId + f) % 255).toInt))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    val moviBody = new java.io.ByteArrayOutputStream()
+    frames.foreach { jb =>
+      val chunk = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      chunk.put(fourcc("00dc")).putInt(jb.length)
+      moviBody.write(chunk.array()); moviBody.write(jb)
+      if (jb.length % 2 == 1) moviBody.write(0) // RIFF even padding
+    }
+    val movi = moviBody.toByteArray
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put(fourcc("MJPG")).putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(fourcc("vids")).put(fourcc("MJPG"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1)          // dwScale
+      .putInt(fps)        // dwRate → fps = rate/scale
+      .putInt(0).putInt(nFrames)
+      .putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array()
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc(id)).putInt(body.length).put(body).array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("LIST")).putInt(4 + body.length).put(fourcc(kind)).put(body)
+        .array()
+    }
+    val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+    val moviList = list("movi", movi)
+    val body = hdrl ++ moviList
+    val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(fourcc("RIFF")).putInt(4 + body.length).put(fourcc("AVI "))
+      .put(body).array()
+  }
+
+  /** Pack every document as a synthesized AVI/MJPEG media row. */
+  def packAvi(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = renderAviMjpeg(id)
+        MediaRow(id, "video", bytes, MediaMeta("avi", bytes.length.toLong))
+      }
+    }
+  }
+
+  /** REAL video frame sampling: walk the AVI's RIFF structure (recursing
+    * into LISTs, honoring the pad rule), parse stream metadata from
+    * avih/strh, extract every `everyN`-th '00dc'/'00db' MJPEG chunk, and
+    * decode each sampled frame's dimensions with javax.imageio — a real
+    * container parse + a real image decode per sampled frame, the actual
+    * work of a frame-sampling pass over a video column. Unparseable
+    * containers yield one sentinel row; an undecodable individual frame
+    * yields -1 dims for that frame only. */
+  def sampleFramesReal(media: Dataset[MediaRow], everyN: Int = 2): Dataset[VideoFrameDecoded] = {
+    import media.sparkSession.implicits._
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    media.mapPartitions { rows =>
+      rows.filter(_.modality == "video").flatMap { m =>
+        val bad = Seq(VideoFrameDecoded(m.doc_id, -1, -1, -1, -1, -1, -1))
+        try {
+          val b = m.content
+          if (b == null || b.length < 12 ||
+            new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(b, 8, 4, "US-ASCII") != "AVI ") bad
+          else {
+            val bb = java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var nFrames = -1L; var fps = -1L
+            val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+            def walk(from: Int, to: Int): Unit = {
+              var pos = from
+              while (pos + 8 <= to) {
+                val id = new String(b, pos, 4, "US-ASCII")
+                val size = bb.getInt(pos + 4)
+                if (size < 0 || pos + 8 + size > to) { pos = to }
+                else {
+                  if (id == "LIST") walk(pos + 12, pos + 8 + size)
+                  else if (id == "strh" && size >= 56 &&
+                    new String(b, pos + 8, 4, "US-ASCII") == "vids") {
+                    val scale = bb.getInt(pos + 28)
+                    val rate = bb.getInt(pos + 32)
+                    if (scale > 0) fps = rate.toLong / scale
+                    nFrames = bb.getInt(pos + 40).toLong
+                  } else if (id == "00dc" || id == "00db")
+                    frames += ((pos + 8, size))
+                  pos += 8 + size + (size & 1)
+                }
+              }
+            }
+            walk(12, b.length)
+            if (frames.isEmpty || nFrames < 0) bad
+            else frames.zipWithIndex.collect {
+              case ((off, len), idx) if idx % everyN == 0 =>
+                val (w, h, ch) = try {
+                  var iis: javax.imageio.stream.ImageInputStream = null
+                  try {
+                    iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                      new java.io.ByteArrayInputStream(b, off, len))
+                    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                    if (!readers.hasNext) (-1L, -1L, -1L)
+                    else {
+                      val r = readers.next()
+                      try {
+                        r.setInput(iis, true, true)
+                        val types = r.getImageTypes(0)
+                        val c = if (types.hasNext) types.next().getNumComponents else 3
+                        (r.getWidth(0).toLong, r.getHeight(0).toLong, c.toLong)
+                      } finally r.dispose()
+                    }
+                  } finally if (iis != null) iis.close()
+                } catch { case _: Exception => (-1L, -1L, -1L) }
+                VideoFrameDecoded(m.doc_id, idx.toLong, nFrames, fps, w, h, ch)
             }
           }
         } catch { case _: Exception => bad }

@@ -391,6 +391,20 @@ object DataQueries {
       MultimodalOps.decodeAudioReal(
         MultimodalOps.packWav(t(s, dir, "documents"))).toDF()
         .orderBy("doc_id")
+    }),
+
+    // REAL video container + frame decode under the hash gate: per doc,
+    // synthesize a structurally-valid AVI/MJPEG (RIFF LIST tree, real JPEG
+    // frames), then sample every 2nd frame by walking the container and
+    // decoding each sampled frame's dimensions with javax.imageio. The
+    // oracle enumerates the expected (frame_idx, dims, fps) from the
+    // closed-form parameters — container walk, strh parse, and per-frame
+    // JPEG decode must all be correct for the hash to match.
+    "q86_video_frames" -> ((s, dir) => {
+      import graft.multimodal.MultimodalOps
+      MultimodalOps.sampleFramesReal(
+        MultimodalOps.packAvi(t(s, dir, "documents")), everyN = 2).toDF()
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -1027,6 +1041,23 @@ object DataQueries {
         |  CAST(n * amp * amp AS BIGINT) AS sum_sq,
         |  CAST((n - 1) // hp AS BIGINT) AS zero_crossings,
         |  CAST(n * 1000000 // sr AS BIGINT) AS duration_us
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // closed forms of the synthesized AVI (MultimodalOps.aviParams):
+    // n_frames = 4 + id%9, fps = 5 + id%5, w = 16*(1+id%4), h = 16*(1+id%3);
+    // sampled frames = indices 0,2,... < n_frames. The Spark side gets all
+    // of these by actually walking the RIFF tree and JPEG-decoding frames.
+    "q86_video_frames" ->
+      """SELECT d.doc_id,
+        |  CAST(g.frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(4 + d.doc_id % 9 AS BIGINT) AS n_frames,
+        |  CAST(5 + d.doc_id % 5 AS BIGINT) AS fps,
+        |  CAST(16 * (1 + d.doc_id % 4) AS BIGINT) AS width,
+        |  CAST(16 * (1 + d.doc_id % 3) AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents d
+        |CROSS JOIN generate_series(0, 11, 2) AS g(frame_idx)
+        |WHERE g.frame_idx < 4 + d.doc_id % 9
+        |ORDER BY d.doc_id, frame_idx""".stripMargin
   )
 }
