@@ -216,15 +216,24 @@ object MultimodalOps {
 
   /** Pack every document as a synthesized WAV media row (modality=audio,
     * format=wav) — the audio analogue of [[packDocuments]], except the
-    * payload is a REAL decodable file, not repurposed text bytes. */
+    * payload is a REAL decodable file, not repurposed text bytes.
+    *
+    * The id column is repartitioned BEFORE the render kernel: a small
+    * corpus parquet is often one input split, and one task must not
+    * serialize a per-row codec kernel (the DRIFT_NOTE_r06 lesson — the
+    * shuffle moves 8 bytes/row, the kernel costs ~100 µs/row). */
   def packWav(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
-        val bytes = renderWav(id)
-        MediaRow(id, "audio", bytes, MediaMeta("wav", bytes.length.toLong))
+    // PINNED count: a bare repartition(col) lets AQE coalesce the tiny
+    // 8-bytes/row shuffle back to one partition and serialize the kernel
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col("doc_id")).repartition(parts, col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = renderWav(id)
+          MediaRow(id, "audio", bytes, MediaMeta("wav", bytes.length.toLong))
+        }
       }
-    }
   }
 
   /** REAL audio decode kernel: walks the RIFF chunk list (honoring the
@@ -310,6 +319,19 @@ object MultimodalOps {
     (nFrames, fps, w, h)
   }
 
+  /** Per-thread JPEG codec instances: `ImageIO.write`/`getImageReaders` do
+    * a provider registry scan and stream setup PER CALL — measured ~4 ms
+    * per frame, which dominates a frame-sampling pass. A media kernel
+    * initializes its codec once (the "kernel instantiated once per
+    * partition" contract); thread-locals give exactly that under Spark's
+    * reused task threads, for both local mode and executors. */
+  private lazy val jpegWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter] { () =>
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+  }
+  private lazy val jpegReader = ThreadLocal.withInitial[javax.imageio.ImageReader] { () =>
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+  }
+
   /** Render a minimal structurally-valid AVI/MJPEG: RIFF 'AVI ' → LIST
     * hdrl (avih + LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER))
     * → LIST movi ('00dc' chunks, one real JPEG per frame, even-padded).
@@ -317,6 +339,7 @@ object MultimodalOps {
     * dimensions — the gate columns — are exact. */
   private[multimodal] def renderAviMjpeg(docId: Long): Array[Byte] = {
     val (nFrames, fps, w, h) = aviParams(docId)
+    val writer = jpegWriter.get()
     val frames = (0 until nFrames).map { f =>
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -326,7 +349,11 @@ object MultimodalOps {
       g.fillRect(0, 0, w, h)
       g.dispose()
       val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", baos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally { writer.setOutput(null); ios.close() }
       baos.toByteArray
     }
     def fourcc(s: String) = s.getBytes("US-ASCII")
@@ -379,15 +406,19 @@ object MultimodalOps {
       .put(body).array()
   }
 
-  /** Pack every document as a synthesized AVI/MJPEG media row. */
+  /** Pack every document as a synthesized AVI/MJPEG media row (same
+    * pre-kernel repartition rationale as [[packWav]] — JPEG-encoding
+    * ~8 frames/doc from a single-split input would run on one task). */
   def packAvi(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
-      ids.map { id =>
-        val bytes = renderAviMjpeg(id)
-        MediaRow(id, "video", bytes, MediaMeta("avi", bytes.length.toLong))
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col("doc_id")).repartition(parts, col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = renderAviMjpeg(id)
+          MediaRow(id, "video", bytes, MediaMeta("avi", bytes.length.toLong))
+        }
       }
-    }
   }
 
   /** REAL video frame sampling: walk the AVI's RIFF structure (recursing
@@ -438,22 +469,21 @@ object MultimodalOps {
             if (frames.isEmpty || nFrames < 0) bad
             else frames.zipWithIndex.collect {
               case ((off, len), idx) if idx % everyN == 0 =>
+                // MJPEG contract: '00dc' chunks are JPEG — reuse the
+                // per-thread reader; a non-JPEG frame throws inside
+                // getWidth and maps to -1 dims for that frame only
                 val (w, h, ch) = try {
                   var iis: javax.imageio.stream.ImageInputStream = null
                   try {
                     iis = new javax.imageio.stream.MemoryCacheImageInputStream(
                       new java.io.ByteArrayInputStream(b, off, len))
-                    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-                    if (!readers.hasNext) (-1L, -1L, -1L)
-                    else {
-                      val r = readers.next()
-                      try {
-                        r.setInput(iis, true, true)
-                        val types = r.getImageTypes(0)
-                        val c = if (types.hasNext) types.next().getNumComponents else 3
-                        (r.getWidth(0).toLong, r.getHeight(0).toLong, c.toLong)
-                      } finally r.dispose()
-                    }
+                    val r = jpegReader.get()
+                    r.setInput(iis, true, true)
+                    try {
+                      val types = r.getImageTypes(0)
+                      val c = if (types.hasNext) types.next().getNumComponents else 3
+                      (r.getWidth(0).toLong, r.getHeight(0).toLong, c.toLong)
+                    } finally r.setInput(null)
                   } finally if (iis != null) iis.close()
                 } catch { case _: Exception => (-1L, -1L, -1L) }
                 VideoFrameDecoded(m.doc_id, idx.toLong, nFrames, fps, w, h, ch)
