@@ -6,14 +6,18 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   /** Best (minimum positive) recorded time per query across every committed
-    * BENCH_r*.json — the settled expectation a fresh measurement is judged
-    * against. A query slower than 3× its best known time is far more likely
-    * a contention stall (another JVM exiting, AQE replan racing a GC) than a
+    * BENCH_r*.json plus the full-precision BENCH_PARSED.json sidecar — the
+    * settled expectation a fresh measurement is judged against. (The sidecar
+    * matters: r6's stdout tail truncated the head queries, and queries newer
+    * than the last committed round only have a prior there — without it the
+    * outlier defense is blind exactly where compile-heavy first runs bite.)
+    * A query slower than 3× its best known time is far more likely a
+    * contention stall (another JVM exiting, AQE replan racing a GC) than a
     * real regression, so it gets one re-run and the minimum is reported. */
   private def priorBest(): Map[String, Double] = {
     val dir = new java.io.File(".")
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json|BENCH_PARSED\\.json"))
     val q = """"(q[0-9][^"]*)":(-?[0-9.]+)""".r
     files.flatMap { f =>
       val body = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
@@ -47,23 +51,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Size the generated-class cache to the workload: the default 100
+      // entries can't hold an 85-query battery (each query compiles several
+      // whole-stage/aggregate classes), so warm-up classes were evicted
+      // before their timed run — q82's 56-buffer aggregate re-paid ~5 s of
+      // Janino compile in-battery (8.1 s timed vs 1.9 s steady-state). On a
+      // real cluster this is the same knob you'd size for a many-query
+      // workload; it's a static conf, so it must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // JIT/codegen warm-up on the smallest SF (not timed): first-query cost
-    // otherwise includes JVM warm-up, not engine cost. Standard bench hygiene.
+    // otherwise includes JVM warm-up + Janino compile, not engine cost.
+    // Warm the FULL battery — a hand-picked subset leaves every unlisted
+    // query paying its compile cost inside the timed window, which is noise
+    // masquerading as engine time (the committed sf-probe protocol's
+    // min-of-2-reps numbers are the settled reference precisely because
+    // they exclude it). sf0.001 keeps the pass cheap; plan shapes (and so
+    // generated code) match the timed sf0.1 run.
     val warmDir = {
       val tiny = new java.io.File("/root/testdata/sf0.001")
       if (tiny.isDirectory) tiny.getPath else sfDir
     }
-    Seq("q01_pricing_summary", "q05_multiway_join", "q07_window_topn",
-      "q28_doc_quality", "q32_embedding_topk", "q30_ngram_jaccard_pairs",
-      "q33_minhash_lsh_candidates", "q35_embedding_ivf_topk",
-      "q39_cosine_near_dup", "q42_minhash_lsh_md5", "q50_pq_topk",
-      "q43_streaming_materialize", "q52_streaming_window",
-      "q57_dedup_clusters", "q82_simhash_md5").foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
 
@@ -116,7 +129,7 @@ object Bench {
     // run from one racing another JVM's exit (documented 2.5× degradation)
     val loadEnd = load1()
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(fmt)},"errors":$errs,"reruns":${rrmap(fmt)},"sf":"$sfDir","load1_initial":$loadInitial,"load1_start":$loadStart,"load1_end":$loadEnd,"settle_wait_sec":$waited}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(fmt)},"errors":$errs,"reruns":${rrmap(fmt)},"sf":"$sfDir","warmup":"full-battery@sf0.001","load1_initial":$loadInitial,"load1_start":$loadStart,"load1_end":$loadEnd,"settle_wait_sec":$waited}"""
     println(line(ms))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_PARSED.json"),
       (line(_.toString) + "\n").getBytes("UTF-8"))

@@ -100,13 +100,17 @@ final case class DoubleArrayDot(left: Expression, right: Expression)
 
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = VectorExpressions.checkedLength(prettyName, a, b)
+    // hoist the lazy-val reads: a Scala lazy val costs a bitmap check per
+    // access, which is measurable at one-per-element in the O(pairs) loop
+    val lf = leftFloat
+    val rf = rightFloat
     var s = 0.0
     var i = 0
     // float→double widening is exact; accumulation is left-to-right, so
     // the result is bit-identical to the unrolled cast("double") chain
     while (i < n) {
-      val x: Double = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y: Double = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x: Double = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y: Double = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
       i += 1
     }
@@ -126,19 +130,49 @@ final case class DoubleArrayDot(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+  import org.apache.spark.unsafe.Platform
+
+  /** True iff any of the first `n` slots is null. For [[UnsafeArrayData]]
+    * (what every post-projection/post-shuffle array is) the null flags are
+    * a packed bitset right after the 8-byte length header, with unused
+    * trailing bits zeroed by UnsafeArrayWriter — so the scan is an OR over
+    * ceil(n/64) words: ONE long read for dim ≤ 64, instead of n virtual
+    * isNullAt calls per side per pair. Other ArrayData implementations
+    * (Generic, Columnar) fall back to the per-element loop; they only
+    * appear off the hot scoring path (literals, pre-exchange scans). */
+  private def hasNulls(a: ArrayData, n: Int): Boolean = a match {
+    case u: UnsafeArrayData =>
+      val base = u.getBaseObject
+      var off = u.getBaseOffset + 8L
+      val end = off + (((n + 63) >> 6).toLong << 3)
+      var acc = 0L
+      while (off < end) { acc |= Platform.getLong(base, off); off += 8L }
+      acc != 0L
+    case _ =>
+      var i = 0
+      while (i < n && !a.isNullAt(i)) i += 1
+      i < n
+  }
+
   /** Validates the two sides are equal-length with no null slots; returns
     * the common length. Loud failure beats a silently-wrong dot (see the
     * class doc): garbage from a null slot or a truncated loop would only
-    * surface later as an oracle hash mismatch. */
+    * surface later as an oracle hash mismatch. The null check is the
+    * word-wise [[hasNulls]]; only when it trips do we rescan per-element
+    * to name the offending index. */
   private[functions] def checkedLength(op: String, a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
-    require(n == b.numElements(),
-      s"$op requires equal-length arrays, got $n vs ${b.numElements()}")
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i))
-        throw new IllegalArgumentException(s"$op: null element at index $i")
-      i += 1
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$op requires equal-length arrays, got $n vs ${b.numElements()}")
+    if (hasNulls(a, n) || hasNulls(b, n)) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i))
+          throw new IllegalArgumentException(s"$op: null element at index $i")
+        i += 1
+      }
     }
     n
   }
