@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Battery: q01–q83 (no q66) = 82 queries, 79 oracle-checked + 3 rows-only. */
+  * Battery: q01–q87 (no q66) = 86 queries, 83 oracle-checked + 3 rows-only
+  * (q33/q34 fast-path twins of the oracle-checked q42/q82; q55 estimates,
+  * whose exact-side columns are gated as q84). */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

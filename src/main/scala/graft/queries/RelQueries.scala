@@ -61,8 +61,37 @@ object RelQueries {
     "q72_zscore_outliers" -> q72,
     "q52_streaming_window" -> q52,
     "q54_streaming_sessions" -> q54,
-    "q61_streaming_dedup" -> q61
+    "q61_streaming_dedup" -> q61,
+    "q87_bucketed_join" -> q87
   )
+
+  /** Bucketed copies of orders/lineitem on the orderkey (8 buckets, sorted)
+    * — the ingest-time index build q87 joins against. Idempotent per
+    * (session, dir); Bench pre-materializes it untimed for the timed SF
+    * dir, the same way it pre-writes the CDC fixture: an index build is
+    * paid once at ingest, not per query. */
+  private[graft] def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
+    import graft.operators.BucketedOps.ensureBucketed
+    (ensureBucketed(t(s, dir, "orders"), s"$dir/orders", "o_orderkey", 8),
+      ensureBucketed(t(s, dir, "lineitem"), s"$dir/lineitem", "l_orderkey", 8))
+  }
+
+  // --- q87: bucketed-storage co-located join (§2.4 at 100 TB) — both
+  // sides pre-bucketed on the join key with matching bucket counts, so the
+  // sort-merge join AND the per-order aggregate (grouping contains the
+  // bucket key) run with ZERO exchanges end-to-end (PlanAuditSpec pins
+  // this). Values are identical to the plain join — the DuckDB oracle
+  // proves the bucketed layout changes the plan, never the answer. ---
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val (obTable, lbTable) = ensureBucketedTables(s, dir)
+    val o = s.table(obTable).filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_custkey")
+    val l = s.table(lbTable).select("l_orderkey", "l_extendedprice", "l_discount")
+    o.hint("merge").join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_custkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        cnt.as("n_items"))
+  }
 
   // --- q01: TPC-H Q1-style pricing summary (wide agg, map-side combine) ---
   private def q01(s: SparkSession, dir: String): DataFrame = {
@@ -585,6 +614,16 @@ object RelQueries {
         |FROM e JOIN m ON e.user_id = m.user_id
         |  AND e.event_type = m.event_type AND e.us = m.mn
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    // the bucketed layout must never change the answer: the oracle is the
+    // PLAIN join — any hash-mismatch means bucketing perturbed values
+    "q87_bucketed_join" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'O'
+         |GROUP BY o_orderkey, o_custkey""".stripMargin,
 
     "q49_set_ops_all" ->
       """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),

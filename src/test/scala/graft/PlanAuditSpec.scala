@@ -123,4 +123,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, // 2 phases × partial+final
       s"expected two hash-agg phases:\n$p")
   }
+
+  test("q87 bucketed join: co-located scan-to-agg with ZERO exchanges") {
+    // the whole point of the bucketed layout — the sort-merge join and the
+    // per-order aggregate both run on the scan's HashPartitioning(key, 8);
+    // any Exchange (shuffle OR broadcast) in this plan is a regression
+    // a SortMergeJoin with no Exchange is only possible when both scans
+    // report the bucketed HashPartitioning — the two asserts jointly pin
+    // bucket-aware scans without depending on renderer metadata strings
+    val p = plan("q87_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), s"q87 planned an exchange:\n$p")
+  }
 }
