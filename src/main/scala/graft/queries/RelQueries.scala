@@ -62,7 +62,8 @@ object RelQueries {
     "q52_streaming_window" -> q52,
     "q54_streaming_sessions" -> q54,
     "q61_streaming_dedup" -> q61,
-    "q87_bucketed_join" -> q87
+    "q87_bucketed_join" -> q87,
+    "q88_stream_interval_join" -> q88
   )
 
   /** Bucketed copies of orders/lineitem on the orderkey (8 buckets, sorted)
@@ -615,6 +616,20 @@ object RelQueries {
         |  AND e.event_type = m.event_type AND e.us = m.mn
         |ORDER BY e.user_id, e.event_type""".stripMargin,
 
+    // static interval join: every (click, purchase) pair on the same user
+    // with the purchase inside [click, click + 30 min] — the stream-stream
+    // join must emit exactly this set, exactly once, across micro-batches
+    "q88_stream_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.us AS click_ts_us, p.us AS purchase_ts_us, p.value AS purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.us >= c.us AND p.us <= c.us + 1800000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
     // the bucketed layout must never change the answer: the oracle is the
     // PLAIN join — any hash-mismatch means bucketing perturbed values
     "q87_bucketed_join" ->
@@ -941,6 +956,52 @@ object RelQueries {
       .select(col("user_id"), col("event_type"), unix_micros(col("ets")).as("ts_us"),
         col("event_id"), col("value"))
       .orderBy("user_id", "event_type")
+  }
+
+  // --- q88: STREAMING stream-stream interval join under the hash gate —
+  //     clicks and purchases re-read as two watermarked file streams over
+  //     the same time-ordered input (q54's mtime trick: arrival order =
+  //     event-time order, so nothing is ever late and no pair can be
+  //     dropped); inner join on user with purchase_ts ∈ [click_ts,
+  //     click_ts + 30 min]. Append mode emits each qualifying pair exactly
+  //     once across micro-batches; state on both sides is evicted as the
+  //     watermark advances (StreamStreamJoinSpec pins the plan and the
+  //     eviction). Oracle: the equivalent static interval join. ---
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q88_")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.resolve("in").toString
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"), col("value"))
+    e.orderBy("ets").write.mode("overwrite").parquet(in) // range-partitioned by ts
+    val parts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+    def side(tpe: String, pre: String) = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "2").parquet(in)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
+        col("ets").as(s"${pre}ts"), col("value").as(s"${pre}_value"))
+    val joined = graft.streaming.StreamingOps.intervalJoin(
+      side("click", "c").drop("c_value"), "cts",
+      side("purchase", "p"), "pts",
+      "c_user", "p_user", windowMs = 1800000L, lateness = "2 hours")
+    val qname = "q88_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      joined.writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    q.awaitTermination()
+    s.table(qname)
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"), unix_micros(col("cts")).as("click_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"), col("p_value").as("purchase_value"))
+      .orderBy("user_id", "click_id", "purchase_id")
   }
 
   // --- q41: CUBE grouping sets over orders (§2.5) ---

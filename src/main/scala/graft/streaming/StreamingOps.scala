@@ -108,6 +108,28 @@ object StreamingOps {
     events.withWatermark(tsCol, lateness)
       .dropDuplicates(keys)
 
+  /** Watermarked stream-stream interval join — the Flink-SQL interval-join
+    * shape the reference's users run over changelogs (SURVEY.md §2.4: the
+    * reference delegates joins to Flink SQL, where `l.ts BETWEEN r.ts AND
+    * r.ts + INTERVAL` is the canonical stream enrichment). Spark plans it
+    * as StreamingSymmetricHashJoinExec: both sides' state is keyed by the
+    * equi-join key and BOUNDED by the watermark + the time-range condition
+    * — a left row is evicted once the watermark passes `lTs + windowMs`,
+    * a right row once it passes `rTs` — so joining two firehoses holds
+    * O(rate × horizon) state per side, not O(stream). Inner join in
+    * append mode emits each qualifying pair exactly once regardless of
+    * micro-batch boundaries, which is what makes the result
+    * oracle-checkable against the equivalent static interval join.
+    *
+    * `lateness` must cover the worst arrival skew between the two sides;
+    * rows later than it can be dropped before their matches arrive. */
+  def intervalJoin(left: DataFrame, lTs: String, right: DataFrame, rTs: String,
+      lKey: String, rKey: String, windowMs: Long, lateness: String): DataFrame =
+    left.withWatermark(lTs, lateness)
+      .join(right.withWatermark(rTs, lateness),
+        expr(s"$lKey = $rKey AND $rTs >= $lTs AND " +
+          s"$rTs <= $lTs + interval ${windowMs / 1000} seconds"))
+
   /** Streaming LSH bucket claims — the stateful heart of dedup-at-ingest:
     * the input is a stream of (doc, band, bhv) band rows (see
     * `Dedup.md5BandsPerRow`) arriving in doc order; each (band, bhv)

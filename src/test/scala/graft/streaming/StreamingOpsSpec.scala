@@ -65,4 +65,48 @@ class StreamingOpsSpec extends SparkSpec {
       assert(texts.sorted.toSeq === Seq("fresh", "hello", "world"))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: exact pair set once, symmetric-hash plan, state evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = StreamingOps.intervalJoin(
+      lIn.toDF().toDF("c_user", "click_id", "cts"), "cts",
+      rIn.toDF().toDF("p_user", "purchase_id", "pts", "value"), "pts",
+      "c_user", "p_user", windowMs = 30000L, lateness = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    try {
+      lIn.addData((1L, 100L, ts(10)), (2L, 200L, ts(12)))
+      rIn.addData((1L, 900L, ts(20), 5.0), (1L, 901L, ts(45), 6.0), (2L, 902L, ts(30), 7.0))
+      q.processAllAvailable()
+      // the right row can land in the batch before its left match — run a
+      // second empty-ish cycle so both sides' rows have met
+      lIn.addData((3L, 300L, ts(50)))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_sink").select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // (100,900): 20s in [10s,40s]; (200,902): 30s in [12s,42s];
+      // NOT (100,901): 45s > 10s+30s. Each exactly once (Seq, not Set).
+      assert(pairs.sorted === Seq((100L, 900L), (200L, 902L)))
+      assert(q.lastProgress.stateOperators.exists(
+        _.operatorName.toLowerCase.contains("symmetrichashjoin")),
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+      // advance both watermarks two batches (disjoint users: no new pairs)
+      lIn.addData((8L, 800L, ts(10000)))
+      rIn.addData((9L, 990L, ts(10000), 0.0))
+      q.processAllAvailable()
+      lIn.addData((8L, 801L, ts(10001)))
+      rIn.addData((9L, 991L, ts(10001), 0.0))
+      q.processAllAvailable()
+      // all pre-jump rows are beyond watermark+window → evicted; only the
+      // four watermark-advancing rows may remain
+      val total = q.lastProgress.stateOperators
+        .filter(_.operatorName.toLowerCase.contains("symmetrichashjoin"))
+        .map(_.numRowsTotal).sum
+      assert(total <= 4, s"join state not evicted: $total rows")
+      assert(spark.table("ssj_sink").count() === 2) // still exactly the two pairs
+    } finally q.stop()
+  }
 }
