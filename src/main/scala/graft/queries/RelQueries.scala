@@ -63,7 +63,9 @@ object RelQueries {
     "q54_streaming_sessions" -> q54,
     "q61_streaming_dedup" -> q61,
     "q87_bucketed_join" -> q87,
-    "q88_stream_interval_join" -> q88
+    "q88_stream_interval_join" -> q88,
+    "q89_stream_temporal_join" -> q89,
+    "q90_stream_temporal_outer" -> q90
   )
 
   /** Bucketed copies of orders/lineitem on the orderkey (8 buckets, sorted)
@@ -630,6 +632,48 @@ object RelQueries {
         |  AND p.us >= c.us AND p.us <= c.us + 1800000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
+    // temporal join: each click joined to the LATEST purchase at-or-before
+    // it (within the 2h staleness horizon) on the same user — Flink's
+    // FOR SYSTEM_TIME AS OF; ties at the same purchase ts break on the
+    // higher event_id, clicks with no purchase in the horizon are dropped
+    "q89_stream_temporal_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT c.user_id, c.event_id AS click_id, c.us AS click_ts_us,
+        |             p.event_id AS version_id, p.us AS version_ts_us,
+        |             p.value AS purchase_value,
+        |             row_number() OVER (PARTITION BY c.event_id
+        |               ORDER BY p.us DESC, p.event_id DESC) AS rn
+        |           FROM c JOIN p ON c.user_id = p.user_id
+        |             AND p.us <= c.us AND p.us >= c.us - 7200000000)
+        |SELECT user_id, click_id, click_ts_us, version_id, version_ts_us,
+        |  purchase_value
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, click_id""".stripMargin,
+
+    // outer temporal join: same argmax, but clicks with no purchase in
+    // the horizon are KEPT with NULL version columns (Flink's temporal
+    // LEFT join) — LEFT JOIN makes the unmatched click a single all-NULL
+    // version row, which is its own rn=1
+    "q90_stream_temporal_outer" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT c.user_id, c.event_id AS click_id, c.us AS click_ts_us,
+        |             p.event_id AS version_id, p.us AS version_ts_us,
+        |             p.value AS purchase_value,
+        |             row_number() OVER (PARTITION BY c.event_id
+        |               ORDER BY p.us DESC, p.event_id DESC) AS rn
+        |           FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |             AND p.us <= c.us AND p.us >= c.us - 7200000000)
+        |SELECT user_id, click_id, click_ts_us, version_id, version_ts_us,
+        |  purchase_value
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, click_id""".stripMargin,
+
     // the bucketed layout must never change the answer: the oracle is the
     // PLAIN join — any hash-mismatch means bucketing perturbed values
     "q87_bucketed_join" ->
@@ -1002,6 +1046,102 @@ object RelQueries {
         col("p_id").as("purchase_id"), unix_micros(col("cts")).as("click_ts_us"),
         unix_micros(col("pts")).as("purchase_ts_us"), col("p_value").as("purchase_value"))
       .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  // --- q89: STREAMING event-time temporal join under the hash gate —
+  //     Flink's `FOR SYSTEM_TIME AS OF`: clicks and purchases re-read as
+  //     two watermarked file streams (q54's mtime trick), each click
+  //     enriched with the LATEST purchase at-or-before it within a 2h
+  //     staleness horizon. Spark-first: interval join → windowed max_by
+  //     agg, two chained stateful operators, both watermark-bounded
+  //     (StreamingOpsSpec pins semantics, exactly-once, and the operator
+  //     pair). A far-future sentinel click+purchase (user -1, filtered
+  //     from output) pushes both watermarks past every real click's
+  //     window so the final no-data batch flushes the agg — the q54
+  //     end-of-stream pattern. Oracle: static argmax-per-click join.
+  //
+  //     q90 is the OUTER form (Flink's temporal LEFT join): clicks with no
+  //     purchase in the horizon are kept with NULL version columns. The
+  //     outer null rows leave the join only when the dimension watermark
+  //     proves no version can still arrive, one stateful stage later than
+  //     matched rows — so a SECOND, farther-future sentinel pair advances
+  //     the watermark again after the eviction batch, flushing those rows
+  //     through the aggregation. Both sentinels ride in both modes (they
+  //     are filtered from output and only ever push watermarks forward),
+  //     keeping q89/q90 the same plan but for the join type. ---
+  private def q89(s: SparkSession, dir: String): DataFrame = temporalQ(s, dir, outer = false)
+  private def q90(s: SparkSession, dir: String): DataFrame = temporalQ(s, dir, outer = true)
+
+  private def temporalQ(s: SparkSession, dir: String, outer: Boolean): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val horizonMs = 7200000L // 2h staleness horizon
+    val latenessSec = 3600L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q89_")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.resolve("in").toString
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"), col("value"))
+    e.orderBy("ets").write.mode("overwrite").parquet(in) // range-partitioned by ts
+    val maxUs = e.agg(max(unix_micros(col("ets")))).head().getLong(0)
+    val sentUs = maxUs + (latenessSec * 1000L + horizonMs + 120000L) * 1000L
+    val sentUs2 = sentUs + (latenessSec * 1000L + horizonMs + 120000L) * 1000L
+    val mainParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    def sentinelAt(us: Long) =
+      s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
+        timestamp_micros(lit(us)).as("ets"), lit("click").as("event_type"),
+        lit(0.0).as("value"))
+        .unionAll(s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
+          timestamp_micros(lit(us)).as("ets"), lit("purchase").as("event_type"),
+          lit(0.0).as("value")))
+    // the two sentinel waves must land in DIFFERENT micro-batches (the
+    // outer rows evicted by wave 1 need wave 2 to flush them through the
+    // agg): with maxFilesPerTrigger=2 the file source pairs files in
+    // mtime order, so pad to an odd pre-sentinel file count — wave 1 then
+    // always closes a pair and wave 2 opens the next batch alone
+    if (mainParts.length % 2 == 0)
+      sentinelAt(maxUs).coalesce(1).write.mode("append").parquet(in)
+    val padParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(mainParts.contains).sortBy(_.getName)
+    sentinelAt(sentUs).coalesce(1).write.mode("append").parquet(in)
+    val sentParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(mainParts.contains).filterNot(padParts.contains).sortBy(_.getName)
+    sentinelAt(sentUs2).coalesce(1).write.mode("append").parquet(in)
+    val sentParts2 = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(mainParts.contains).filterNot(padParts.contains)
+      .filterNot(sentParts.contains).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    mainParts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+    padParts.foreach(_.setLastModified(base + 1800 * 1000L))
+    sentParts.foreach(_.setLastModified(base + 3600 * 1000L))
+    sentParts2.foreach(_.setLastModified(base + 7200 * 1000L))
+    def side(tpe: String, pre: String) = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "2").parquet(in)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
+        col("ets").as(s"${pre}ts"), col("value").as(s"${pre}_value"))
+    val joined = graft.streaming.StreamingOps.temporalJoin(
+      side("click", "c").drop("c_value"), "cts",
+      side("purchase", "p"), "pts",
+      "c_user", "p_user", horizonMs = horizonMs, lateness = s"$latenessSec seconds",
+      eCols = Seq("c_user", "c_id"), payload = Seq("p_value"), tieCols = Seq("p_id"),
+      joinType = if (outer) "leftOuter" else "inner")
+    val qname = "q89_tj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      joined.writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    q.awaitTermination()
+    s.table(qname)
+      .where(col("c_user") >= 0) // drop the sentinel pair
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        unix_micros(col("cts")).as("click_ts_us"), col("p_id").as("version_id"),
+        unix_micros(col("version_ts")).as("version_ts_us"),
+        col("p_value").as("purchase_value"))
+      .orderBy("user_id", "click_id")
   }
 
   // --- q41: CUBE grouping sets over orders (§2.5) ---

@@ -130,6 +130,63 @@ object StreamingOps {
         expr(s"$lKey = $rKey AND $rTs >= $lTs AND " +
           s"$rTs <= $lTs + interval ${windowMs / 1000} seconds"))
 
+  /** Streaming event-time temporal join — Flink SQL's
+    * `FOR SYSTEM_TIME AS OF probe.ts` (the canonical CDC enrichment: join
+    * each probe-side event to the version of a changelog-fed dimension
+    * that was current at the event's own timestamp), re-expressed with
+    * Spark's built-in stateful operators instead of custom state:
+    *
+    *   1. a watermarked stream-stream interval join pairs each event with
+    *      every dimension version in `[eTs - horizonMs, eTs]` (the
+    *      bounded-staleness window — a version older than the horizon is
+    *      treated as expired, which is what bounds the state), then
+    *   2. a windowed streaming aggregation picks, per event, the version
+    *      with the greatest `(vTs, tieCols...)` — i.e. the version in
+    *      force at eTs — via `max_by` over a struct (lexicographic, so
+    *      ties at the same version timestamp resolve deterministically).
+    *
+    * Spark plans this as StreamingSymmetricHashJoinExec feeding a
+    * stateful aggregation (multiple chained stateful operators, supported
+    * in append mode since watermark propagation landed); both states are
+    * watermark-bounded: join state is O(rate × horizon) per side, agg
+    * state holds only events whose window the watermark hasn't passed.
+    * Nothing here is O(stream) — two firehoses enrich in bounded memory.
+    *
+    * `joinType = "inner"` (default) drops events with no version inside
+    * the horizon; `"leftOuter"` keeps them with NULL version columns —
+    * Flink's temporal OUTER join. The outer null rows are emitted by the
+    * join only once the dimension watermark proves no version can still
+    * arrive (state eviction), and the downstream aggregation accepts them
+    * because late-record filtering uses the UPSTREAM operator's watermark
+    * (Spark's multi-stateful-operator watermark propagation); `max_by`
+    * ignores null orderings, so a group holding only the outer null row
+    * aggregates to a NULL version struct — exactly outer semantics.
+    * `payload` columns are carried from the dimension side; `eCols` from
+    * the event side (must include `eKey` and an event id that makes rows
+    * unique — the aggregation groups on them plus the event-time window).
+    * Reference: flink-connector docs' temporal join over cdc changelogs
+    * (SURVEY.md §2.4 — the reference delegates this to Flink SQL). */
+  def temporalJoin(events: DataFrame, eTs: String, dims: DataFrame, vTs: String,
+      eKey: String, vKey: String, horizonMs: Long, lateness: String,
+      eCols: Seq[String], payload: Seq[String], tieCols: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    val joined = events.withWatermark(eTs, lateness)
+      .join(dims.withWatermark(vTs, lateness),
+        expr(s"$eKey = $vKey AND $vTs <= $eTs AND " +
+          s"$vTs >= $eTs - interval ${horizonMs / 1000} seconds"), joinType)
+    val ord = struct((col(vTs) +: tieCols.map(col)): _*)
+    val picked = struct((col(vTs) +: (tieCols ++ payload).map(col)): _*)
+    // only window(eTs) may carry the event-time tag into the aggregation
+    // (Spark rejects two tagged columns); the event's own timestamp rides
+    // along as plain micros and is re-materialized after the agg
+    joined
+      .groupBy((window(col(eTs), "1 minute") +:
+        unix_micros(col(eTs)).as("__ets_us") +: eCols.map(col)): _*)
+      .agg(max_by(picked, ord).as("v"))
+      .select((timestamp_micros(col("__ets_us")).as(eTs) +: eCols.map(col)) ++
+        (col(s"v.$vTs").as("version_ts") +: (tieCols ++ payload).map(c => col(s"v.$c"))): _*)
+  }
+
   /** Streaming LSH bucket claims — the stateful heart of dedup-at-ingest:
     * the input is a stream of (doc, band, bhv) band rows (see
     * `Dedup.md5BandsPerRow`) arriving in doc order; each (band, bhv)

@@ -66,6 +66,88 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("temporal join: each event gets the version in force at its ts, chained stateful ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val eIn = MemoryStream[(Long, Long, java.sql.Timestamp)]      // key, event_id, ets
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)] // key, ver_id, vts, value
+    val joined = StreamingOps.temporalJoin(
+      eIn.toDF().toDF("e_key", "event_id", "ets"), "ets",
+      vIn.toDF().toDF("v_key", "ver_id", "vts", "value"), "vts",
+      "e_key", "v_key", horizonMs = 120000L, lateness = "10 seconds",
+      eCols = Seq("e_key", "event_id"), payload = Seq("value"), tieCols = Seq("ver_id"))
+    val q = joined.writeStream.format("memory").queryName("tj_sink")
+      .outputMode("append").start()
+    try {
+      // versions for key 1: v10@t10 (7.0), v11@t40 (8.0); key 2: v20@t15 (9.0)
+      vIn.addData((1L, 10L, ts(10), 7.0), (1L, 11L, ts(40), 8.0), (2L, 20L, ts(15), 9.0))
+      // events: key1@t30 → v10; key1@t50 → v11 (latest ≤ 50); key2@t200 → dropped
+      // (v20 is 185s stale, beyond the 120s horizon); key3@t30 → no version, dropped
+      eIn.addData((1L, 100L, ts(30)), (1L, 101L, ts(50)), (2L, 102L, ts(200)), (3L, 103L, ts(30)))
+      q.processAllAvailable()
+      // push both watermarks past the last event's window so the agg flushes
+      eIn.addData((9L, 900L, ts(1000)))
+      vIn.addData((9L, 90L, ts(1000), 0.0))
+      q.processAllAvailable()
+      eIn.addData((9L, 901L, ts(2000)))
+      vIn.addData((9L, 91L, ts(2000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tj_sink")
+        .select("event_id", "ver_id", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // sentinel events 900/901 DO join their co-timed versions — filter them out
+      val real = rows.filter(_._1 < 900L)
+      assert(real === Set((100L, 10L, 7.0), (101L, 11L, 8.0)))
+      // exactly once: no duplicate emission across the flush batches
+      assert(spark.table("tj_sink").where(col("event_id") < 900).count() === 2)
+      // the plan chains two stateful operators: symmetric hash join → stateful agg
+      val ops = q.lastProgress.stateOperators.map(_.operatorName.toLowerCase)
+      assert(ops.exists(_.contains("symmetrichashjoin")) &&
+        ops.exists(_.contains("statestoresave")), ops.mkString(","))
+    } finally q.stop()
+  }
+
+  test("temporal OUTER join: unmatched events kept with NULL version columns") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val eIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = StreamingOps.temporalJoin(
+      eIn.toDF().toDF("e_key", "event_id", "ets"), "ets",
+      vIn.toDF().toDF("v_key", "ver_id", "vts", "value"), "vts",
+      "e_key", "v_key", horizonMs = 120000L, lateness = "10 seconds",
+      eCols = Seq("e_key", "event_id"), payload = Seq("value"), tieCols = Seq("ver_id"),
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("tjo_sink")
+      .outputMode("append").start()
+    try {
+      vIn.addData((1L, 10L, ts(10), 7.0), (2L, 20L, ts(15), 9.0))
+      // 100 matches v10; 102's only version is 185s stale (beyond horizon);
+      // 103 has no version at all — outer keeps BOTH with null versions
+      eIn.addData((1L, 100L, ts(30)), (2L, 102L, ts(200)), (3L, 103L, ts(30)))
+      q.processAllAvailable()
+      // two watermark pushes: first evicts join state (emits outer nulls),
+      // second flushes those rows through the aggregation
+      eIn.addData((9L, 900L, ts(1000))); vIn.addData((9L, 90L, ts(1000), 0.0))
+      q.processAllAvailable()
+      eIn.addData((9L, 901L, ts(2000))); vIn.addData((9L, 91L, ts(2000), 0.0))
+      q.processAllAvailable()
+      eIn.addData((9L, 902L, ts(3000))); vIn.addData((9L, 92L, ts(3000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tjo_sink")
+        .select("event_id", "ver_id", "value")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      val real = rows.filter(_._1 < 900L)
+      assert(real === Set(
+        (100L, Some(10L), Some(7.0)),
+        (102L, None, None),
+        (103L, None, None)))
+      assert(spark.table("tjo_sink").where(col("event_id") < 900).count() === 3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: exact pair set once, symmetric-hash plan, state evicted") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
