@@ -11,12 +11,23 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-      // (micros) cannot represent; read it as BIGINT nanos and do all time
-      // arithmetic in exact integer nanos (oracle side: epoch_ns(ts)).
+      // The battery's contract: events.ts is BIGINT epoch-nanos, so all time
+      // arithmetic is exact integer math (oracle side: epoch_ns(ts)). The
+      // driver has generated the column as parquet TIMESTAMP(NANOS) in some
+      // rounds and TIMESTAMP(MICROS) in others, so normalize at the single
+      // load point instead of assuming a physical type:
+      //  - NANOS: nanosAsLong reads the raw int64 — already nanos.
+      //  - MICROS: read as TimestampType (NTZ inference off so the load is
+      //    session-timezone-independent — the stored micros ARE the internal
+      //    micros) and widen unix_micros×1000 to nanos.
+      //  - INT64 (e.g. an Sf1Gen replica written from a nanos source): as-is.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    else df
   }
 }
 
