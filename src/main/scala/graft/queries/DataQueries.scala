@@ -200,6 +200,21 @@ object DataQueries {
         .select(col("event_type"), col("exact_distinct"), col("n"))
         .orderBy("event_type")),
 
+    // end-to-end curation LEDGER: quality filter → lang filter → exact
+    // dedup → near-dup cluster dedup → token-budget packing, one verdict
+    // row per input doc. The corpus has no byte-identical dups at small
+    // SFs, so every 50th doc contributes a deterministic copy under a
+    // high id (the q75 fixture pattern) — the exact-dedup stage is
+    // exercised at every SF, in both engines
+    "q91_curation_ledger" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withDups = docs.unionAll(
+        docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Curation.curationLedger(withDups, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF keyword extraction: integer tf/df/N core + the portable
     // tf·N/df score (same top-k as log-idf, which is monotone in N/df)
     "q53_tfidf_top_terms" -> ((s, dir) =>
@@ -689,6 +704,66 @@ object DataQueries {
     "q27_doc_exact_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    // the q91 funnel replayed stage-by-stage: q28's quality formula,
+    // q29's stopword vote, q27's md5 keeper, q30's shingle pairs over the
+    // survivor set, q57's recursive component walk, q60's prefix-sum
+    // packs — first failing stage names the verdict
+    "q91_curation_ledger" ->
+      s"""WITH RECURSIVE
+         |src AS (SELECT doc_id, text FROM documents
+         |        UNION ALL
+         |        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+         |b AS (SELECT doc_id, text,
+         |  (CAST(LEAST(len(string_split(text,' ')),100) AS DOUBLE)/CAST(100 AS DOUBLE))
+         |   * (CAST(1 AS DOUBLE) - CAST(length(text)-length(translate(text,'.,!?','')) AS DOUBLE)/CAST(GREATEST(length(text),1) AS DOUBLE))
+         |   * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) AS DOUBLE)/CAST(GREATEST(len(string_split(text,' ')),1) AS DOUBLE)) AS quality,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) AS en,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($deIn))) AS de,
+         |  len(list_filter(string_split(text,' '), x -> x IN ($frIn))) AS fr,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |  FROM src),
+         |lp AS (SELECT doc_id, text, quality, n_tokens,
+         |  CASE WHEN GREATEST(en,de,fr)=0 THEN 'unknown'
+         |       WHEN en>=de AND en>=fr THEN 'en'
+         |       WHEN de>=fr THEN 'de' ELSE 'fr' END AS lang_pred FROM b),
+         |s2 AS (SELECT doc_id, text, n_tokens FROM lp
+         |       WHERE quality >= 0.2 AND lang_pred = 'en'),
+         |ex AS (SELECT doc_id, text, n_tokens,
+         |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM s2),
+         |s3 AS (SELECT doc_id, text, n_tokens FROM ex WHERE doc_id = keeper),
+         |toks AS (SELECT doc_id, string_split(text,' ') ts FROM s3),
+         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+         |       FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+         |sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+         |np AS (SELECT id_a, id_b FROM pairs
+         |       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |       WHERE CAST(shared AS DOUBLE)/CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3),
+         |edges AS (SELECT id_a u, id_b v FROM np UNION SELECT id_b, id_a FROM np),
+         |walk(u, lbl) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster FROM walk GROUP BY u),
+         |nd AS (SELECT doc_id FROM comp WHERE cluster <> doc_id),
+         |kept AS (SELECT s3.doc_id, s3.n_tokens FROM s3
+         |         LEFT JOIN nd ON s3.doc_id = nd.doc_id WHERE nd.doc_id IS NULL),
+         |packs AS (SELECT doc_id,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS pack_id
+         |  FROM kept)
+         |SELECT l.doc_id,
+         |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
+         |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
+         |       WHEN e.doc_id IS NOT NULL THEN 'drop_exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+         |       ELSE 'kept' END AS verdict,
+         |  l.n_tokens, p.pack_id
+         |FROM lp l
+         |LEFT JOIN (SELECT doc_id FROM ex WHERE doc_id <> keeper) e ON l.doc_id = e.doc_id
+         |LEFT JOIN nd n ON l.doc_id = n.doc_id
+         |LEFT JOIN packs p ON l.doc_id = p.doc_id
+         |ORDER BY l.doc_id""".stripMargin,
 
     "q28_doc_quality" ->
       s"""SELECT doc_id,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a hand-built corpus hitting every verdict class:
+  //   1  good english doc (kept)
+  //   2  byte-identical copy of 1 (drop_exact_dup — higher id loses)
+  //   3  near-duplicate of 1, one token changed (drop_near_dup)
+  //   4  german doc (drop_lang)
+  //   5  degenerate punctuation blob (drop_quality)
+  //   6  second good english doc, disjoint text (kept)
+  private val en1 =
+    "the quick brown fox jumps over a lazy dog and runs to the green hill " +
+    "where the sun is warm and the grass is tall for every summer day"
+  private val en1Near = en1.replace("quick", "swift")
+  private val en2 =
+    "trade ships crossed the ocean carrying spice silk and grain to distant " +
+    "ports while merchants counted profit in the harbor light of early morning"
+  private val de1 =
+    "der alte mann und das kleine kind gehen zu dem markt und die sonne ist " +
+    "nicht zu sehen weil ein starker regen kommt"
+  private val junk = ".... !!!! ???? ,,,, .... !!!! ????"
+
+  private lazy val ledger = Curation.curationLedger(
+    Seq(1L -> en1, 2L -> en1, 3L -> en1Near, 4L -> de1, 5L -> junk, 6L -> en2)
+      .toDF("doc_id", "text"),
+    "doc_id", "text", minQuality = 0.1, packBudget = 30)
+    .orderBy("doc_id").collect()
+
+  test("every input doc gets exactly one verdict, first failing stage wins") {
+    assert(ledger.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val verdicts = ledger.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(1L) == "kept")
+    assert(verdicts(2L) == "drop_exact_dup") // keeper = min id per hash
+    assert(verdicts(3L) == "drop_near_dup")  // component keeper = min id
+    assert(verdicts(4L) == "drop_lang")
+    assert(verdicts(5L) == "drop_quality")
+    assert(verdicts(6L) == "kept")
+  }
+
+  test("pack_id is non-null iff kept, and packs follow the token prefix sum") {
+    val byId = ledger.map(r => r.getLong(0) -> r).toMap
+    assert(ledger.forall(r => (r.getString(1) == "kept") == !r.isNullAt(3)))
+    // kept docs are 1 and 6 in id order: doc 1 starts at cum 0 → pack 0,
+    // doc 6 starts at cum = doc 1's token count
+    assert(byId(1L).getLong(3) == 0L)
+    assert(byId(6L).getLong(3) == byId(1L).getLong(2) / 30)
+  }
+
+  test("near-dup stage only sees exact-dedup survivors (copy never re-drops)") {
+    // doc 2 is byte-identical to 1 AND near-identical to 3, but its verdict
+    // is the exact-dup drop — the earlier stage claims it
+    assert(ledger.find(_.getLong(0) == 2L).get.getString(1) == "drop_exact_dup")
+  }
+}
