@@ -73,6 +73,15 @@ object RelQueries {
     * (session, dir); Bench pre-materializes it untimed for the timed SF
     * dir, the same way it pre-writes the CDC fixture: an index build is
     * paid once at ingest, not per query. */
+  /** Pre-build every streaming query's staged input for `dir` (untimed in
+    * the bench — ingest-side scaffolding, same rule as the CDC fixture and
+    * the bucketed layout). Queries re-arm mtimes per run; the expensive
+    * sort+write happens here, once per JVM. */
+  private[graft] def ensureStreamFixtures(s: SparkSession, dir: String): Unit = {
+    q52Stage(s, dir); q54Stage(s, dir); q61Stage(s, dir)
+    q88Stage(s, dir); temporalStage(s, dir)
+  }
+
   private[graft] def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
     import graft.operators.BucketedOps.ensureBucketed
     (ensureBucketed(t(s, dir, "orders"), s"$dir/orders", "o_orderkey", 8),
@@ -879,17 +888,26 @@ object RelQueries {
   // --- q52: STREAMING tumbling-window aggregation under the hash gate —
   //     the events table re-read as a multi-batch stream (AvailableNow),
   //     watermarked windowed agg, final state == the batch oracle. ---
-  private def q52(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q52_")
-    tmp.toFile.deleteOnExit()
-    val in = tmp.resolve("in").toString
-    val e = t(s, dir, "events")
+  private def q52Events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
       .select(timestamp_micros(expr("ts div 1000")).as("ets"),
         col("event_type"), col("value"))
-    e.repartition(4).write.mode("overwrite").parquet(in)
-    val stream = s.readStream.schema(e.schema)
-      .option("maxFilesPerTrigger", "2").parquet(in)
+
+  // staged once per JVM (ingest-side scaffolding, untimed in the bench);
+  // the windowed complete-mode agg is arrival-order-free, so one group
+  private def q52Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q52", dir) { in =>
+      q52Events(s, dir).repartition(4).write.mode("overwrite").parquet(in)
+      Seq((StreamFixtures.parts(in), 0L))
+    }
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q52_ckpt_")
+    tmp.toFile.deleteOnExit()
+    val st = StreamFixtures.arm(q52Stage(s, dir))
+    val stream = s.readStream.schema(q52Events(s, dir).schema)
+      .option("maxFilesPerTrigger", "2").parquet(st.in)
     val agg = graft.streaming.StreamingOps.windowedCounts(stream, "ets", "10 seconds", "1 hour")
     val qname = "q52_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // bounded run, tiny state → few state partitions (see q43 note)
@@ -916,33 +934,40 @@ object RelQueries {
   //     end-of-stream flush pattern — sentinel sessions themselves are
   //     never emitted). Exact-decimal session totals make the emitted sums
   //     order-independent. Oracle: lag/cumsum session reconstruction. ---
+  private val q54GapMs = 1800000L // 30-min gap, same as q21
+
+  private def q54Events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("event_type"), col("value"))
+
+  // staged once per JVM; arrival order = event-time order (the file
+  // source admits files by mtime), re-armed fresh per run
+  private def q54Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q54", dir) { in =>
+      val e = q54Events(s, dir)
+      e.orderBy("ts").write.mode("overwrite").parquet(in) // range-partitioned by ts
+      val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentinel = e.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          timestamp_micros(lit(maxUs + (q54GapMs + 60000L) * 1000L)).as("ts"),
+          lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+      val mainParts = StreamFixtures.parts(in)
+      sentinel.coalesce(1).write.mode("append").parquet(in)
+      val sentParts = StreamFixtures.parts(in).filterNot(mainParts.contains)
+      mainParts.zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) } :+
+        ((sentParts, 3600 * 1000L))
+    }
+
   private def q54(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
-    val gapMs = 1800000L // 30-min gap, same as q21
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q54_")
+    val gapMs = q54GapMs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q54_ckpt_")
     tmp.toFile.deleteOnExit()
-    val in = tmp.resolve("in").toString
-    val e = t(s, dir, "events").select(col("user_id"),
-      timestamp_micros(expr("ts div 1000")).as("ts"),
-      col("event_type"), col("value"))
-    e.orderBy("ts").write.mode("overwrite").parquet(in) // range-partitioned by ts
-    val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val sentinel = e.select(col("user_id")).distinct()
-      .select(col("user_id"),
-        timestamp_micros(lit(maxUs + (gapMs + 60000L) * 1000L)).as("ts"),
-        lit("__sentinel").as("event_type"), lit(0.0).as("value"))
-    val mainParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    sentinel.coalesce(1).write.mode("append").parquet(in)
-    val sentParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .filterNot(mainParts.contains).sortBy(_.getName)
-    // arrival order = event-time order: the file source admits files by mtime
-    val base = System.currentTimeMillis()
-    mainParts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
-    sentParts.foreach(_.setLastModified(base + 3600 * 1000L))
-    val stream = s.readStream.schema(e.schema)
-      .option("maxFilesPerTrigger", "8").parquet(in)
+    val st = StreamFixtures.arm(q54Stage(s, dir))
+    val stream = s.readStream.schema(q54Events(s, dir).schema)
+      .option("maxFilesPerTrigger", "8").parquet(st.in)
     val qname = "q54_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
@@ -970,21 +995,24 @@ object RelQueries {
   //     per batch, which duplicate "arrives first" at the dedup state
   //     follows reduce-side fetch order across mappers — nondeterministic
   //     (it held at sf0.01 by luck and broke at sf0.1's file count). ---
+  private def q61Events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"), col("event_type"),
+      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_id"), col("value"))
+
+  private def q61Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q61", dir) { in =>
+      q61Events(s, dir).repartitionByRange(4, col("ets")).sortWithinPartitions("ets")
+        .write.mode("overwrite").parquet(in)
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
   private def q61(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q61_")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q61_ckpt_")
     tmp.toFile.deleteOnExit()
-    val in = tmp.resolve("in").toString
-    val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
-      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_id"), col("value"))
-    e.repartitionByRange(4, col("ets")).sortWithinPartitions("ets")
-      .write.mode("overwrite").parquet(in)
-    val parts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val base = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
-    val stream = s.readStream.schema(e.schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
+    val st = StreamFixtures.arm(q61Stage(s, dir))
+    val stream = s.readStream.schema(q61Events(s, dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(st.in)
     val dedup = graft.streaming.StreamingOps.firstPerKey(
       stream, "ets", Seq("user_id", "event_type"), lateness = "1 hour")
     val qname = "q61_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1011,20 +1039,23 @@ object RelQueries {
   //     once across micro-batches; state on both sides is evicted as the
   //     watermark advances (StreamStreamJoinSpec pins the plan and the
   //     eviction). Oracle: the equivalent static interval join. ---
+  private def q88Events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"), col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"), col("value"))
+
+  private def q88Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q88", dir) { in =>
+      q88Events(s, dir).orderBy("ets").write.mode("overwrite").parquet(in) // range-partitioned by ts
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
   private def q88(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q88_")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q88_ckpt_")
     tmp.toFile.deleteOnExit()
-    val in = tmp.resolve("in").toString
-    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
-      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"), col("value"))
-    e.orderBy("ets").write.mode("overwrite").parquet(in) // range-partitioned by ts
-    val parts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    val base = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
-    def side(tpe: String, pre: String) = s.readStream.schema(e.schema)
-      .option("maxFilesPerTrigger", "2").parquet(in)
+    val st = StreamFixtures.arm(q88Stage(s, dir))
+    def side(tpe: String, pre: String) = s.readStream.schema(q88Events(s, dir).schema)
+      .option("maxFilesPerTrigger", "2").parquet(st.in)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
         col("ets").as(s"${pre}ts"), col("value").as(s"${pre}_value"))
@@ -1072,51 +1103,58 @@ object RelQueries {
   private def q89(s: SparkSession, dir: String): DataFrame = temporalQ(s, dir, outer = false)
   private def q90(s: SparkSession, dir: String): DataFrame = temporalQ(s, dir, outer = true)
 
+  private val temporalHorizonMs = 7200000L // 2h staleness horizon
+  private val temporalLatenessSec = 3600L
+
+  private def temporalEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"), col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"), col("value"))
+
+  // one staged layout serves BOTH join modes (the sentinels ride in both)
+  private def temporalStage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q89", dir) { in =>
+      val e = temporalEvents(s, dir)
+      e.orderBy("ets").write.mode("overwrite").parquet(in) // range-partitioned by ts
+      val maxUs = e.agg(max(unix_micros(col("ets")))).head().getLong(0)
+      val waveGapUs = (temporalLatenessSec * 1000L + temporalHorizonMs + 120000L) * 1000L
+      val sentUs = maxUs + waveGapUs
+      val sentUs2 = sentUs + waveGapUs
+      val mainParts = StreamFixtures.parts(in)
+      def sentinelAt(us: Long) =
+        s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
+          timestamp_micros(lit(us)).as("ets"), lit("click").as("event_type"),
+          lit(0.0).as("value"))
+          .unionAll(s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
+            timestamp_micros(lit(us)).as("ets"), lit("purchase").as("event_type"),
+            lit(0.0).as("value")))
+      // the two sentinel waves must land in DIFFERENT micro-batches (the
+      // outer rows evicted by wave 1 need wave 2 to flush them through the
+      // agg): with maxFilesPerTrigger=2 the file source pairs files in
+      // mtime order, so pad to an odd pre-sentinel file count — wave 1 then
+      // always closes a pair and wave 2 opens the next batch alone
+      if (mainParts.length % 2 == 0)
+        sentinelAt(maxUs).coalesce(1).write.mode("append").parquet(in)
+      val padParts = StreamFixtures.parts(in).filterNot(mainParts.contains)
+      sentinelAt(sentUs).coalesce(1).write.mode("append").parquet(in)
+      val sentParts = StreamFixtures.parts(in)
+        .filterNot(mainParts.contains).filterNot(padParts.contains)
+      sentinelAt(sentUs2).coalesce(1).write.mode("append").parquet(in)
+      val sentParts2 = StreamFixtures.parts(in).filterNot(mainParts.contains)
+        .filterNot(padParts.contains).filterNot(sentParts.contains)
+      mainParts.zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) } ++
+        Seq((padParts, 1800 * 1000L), (sentParts, 3600 * 1000L),
+          (sentParts2, 7200 * 1000L))
+    }
+
   private def temporalQ(s: SparkSession, dir: String, outer: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val horizonMs = 7200000L // 2h staleness horizon
-    val latenessSec = 3600L
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q89_")
+    val horizonMs = temporalHorizonMs
+    val latenessSec = temporalLatenessSec
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q89_ckpt_")
     tmp.toFile.deleteOnExit()
-    val in = tmp.resolve("in").toString
-    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
-      timestamp_micros(expr("ts div 1000")).as("ets"), col("event_type"), col("value"))
-    e.orderBy("ets").write.mode("overwrite").parquet(in) // range-partitioned by ts
-    val maxUs = e.agg(max(unix_micros(col("ets")))).head().getLong(0)
-    val sentUs = maxUs + (latenessSec * 1000L + horizonMs + 120000L) * 1000L
-    val sentUs2 = sentUs + (latenessSec * 1000L + horizonMs + 120000L) * 1000L
-    val mainParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    def sentinelAt(us: Long) =
-      s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
-        timestamp_micros(lit(us)).as("ets"), lit("click").as("event_type"),
-        lit(0.0).as("value"))
-        .unionAll(s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
-          timestamp_micros(lit(us)).as("ets"), lit("purchase").as("event_type"),
-          lit(0.0).as("value")))
-    // the two sentinel waves must land in DIFFERENT micro-batches (the
-    // outer rows evicted by wave 1 need wave 2 to flush them through the
-    // agg): with maxFilesPerTrigger=2 the file source pairs files in
-    // mtime order, so pad to an odd pre-sentinel file count — wave 1 then
-    // always closes a pair and wave 2 opens the next batch alone
-    if (mainParts.length % 2 == 0)
-      sentinelAt(maxUs).coalesce(1).write.mode("append").parquet(in)
-    val padParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .filterNot(mainParts.contains).sortBy(_.getName)
-    sentinelAt(sentUs).coalesce(1).write.mode("append").parquet(in)
-    val sentParts = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .filterNot(mainParts.contains).filterNot(padParts.contains).sortBy(_.getName)
-    sentinelAt(sentUs2).coalesce(1).write.mode("append").parquet(in)
-    val sentParts2 = new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
-      .filterNot(mainParts.contains).filterNot(padParts.contains)
-      .filterNot(sentParts.contains).sortBy(_.getName)
-    val base = System.currentTimeMillis()
-    mainParts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
-    padParts.foreach(_.setLastModified(base + 1800 * 1000L))
-    sentParts.foreach(_.setLastModified(base + 3600 * 1000L))
-    sentParts2.foreach(_.setLastModified(base + 7200 * 1000L))
-    def side(tpe: String, pre: String) = s.readStream.schema(e.schema)
-      .option("maxFilesPerTrigger", "2").parquet(in)
+    val st = StreamFixtures.arm(temporalStage(s, dir))
+    def side(tpe: String, pre: String) = s.readStream.schema(temporalEvents(s, dir).schema)
+      .option("maxFilesPerTrigger", "2").parquet(st.in)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
         col("ets").as(s"${pre}ts"), col("value").as(s"${pre}_value"))
