@@ -203,14 +203,17 @@ object DataQueries {
     // end-to-end curation LEDGER: quality filter → lang filter → exact
     // dedup → near-dup cluster dedup → token-budget packing, one verdict
     // row per input doc. The corpus has no byte-identical dups at small
-    // SFs, so every 50th doc contributes a deterministic copy under a
-    // high id (the q75 fixture pattern) — the exact-dedup stage is
-    // exercised at every SF, in both engines
+    // SFs, so every 50th doc contributes a deterministic copy under an id
+    // offset DERIVED from max(doc_id)+1 (a fixed offset collides with real
+    // ids once the table spans it, breaking the one-row-per-doc invariant);
+    // the 1-row max aggregate broadcasts, so the offset costs no shuffle
     "q91_curation_ledger" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
       val withDups = docs.unionAll(
         docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .crossJoin(broadcast(maxId))
+          .select((col("doc_id") + col("id_off") + 1L).as("doc_id"), col("text")))
       graft.operators.Curation.curationLedger(withDups, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -713,7 +716,8 @@ object DataQueries {
       s"""WITH RECURSIVE
          |src AS (SELECT doc_id, text FROM documents
          |        UNION ALL
-         |        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+         |        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+         |        FROM documents WHERE doc_id % 50 = 0),
          |b AS (SELECT doc_id, text,
          |  (CAST(LEAST(len(string_split(text,' ')),100) AS DOUBLE)/CAST(100 AS DOUBLE))
          |   * (CAST(1 AS DOUBLE) - CAST(length(text)-length(translate(text,'.,!?','')) AS DOUBLE)/CAST(GREATEST(length(text),1) AS DOUBLE))

@@ -33,8 +33,18 @@ private[queries] object StreamFixtures {
       Stage(in, build(in))
     })
 
-  /** Re-arm arrival order for a fresh run (cheap: one utime per file). */
-  def arm(st: Stage): Stage = {
+  /** Re-arm arrival order for a fresh run (cheap: one utime per file).
+    *
+    * CONTRACT: queries sharing a stage (q89/q90 share "q89") must run
+    * SEQUENTIALLY — arm() mutates the staged files' mtimes, so re-arming
+    * while another query over the same stage is mid-run would silently
+    * reorder its mtime-ordered arrival sequence. The gate queries hold
+    * this: Verify and Bench run the battery one query at a time, and each
+    * query drains its stream to completion before returning. The per-Stage
+    * lock below makes the arm itself atomic (no interleaved half-armed
+    * mtimes if two sessions race), but it cannot protect a RUNNING query —
+    * that is the caller's sequencing obligation. */
+  def arm(st: Stage): Stage = st.synchronized {
     val base = System.currentTimeMillis()
     st.groups.foreach { case (files, off) =>
       files.foreach(_.setLastModified(base + off))
