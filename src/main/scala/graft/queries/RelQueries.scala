@@ -1098,10 +1098,18 @@ object RelQueries {
   //     matched rows — so a SECOND, farther-future sentinel pair advances
   //     the watermark again after the eviction batch, flushing those rows
   //     through the aggregation. Both sentinels ride in both modes (they
-  //     are filtered from output and only ever push watermarks forward),
-  //     keeping q89/q90 the same plan but for the join type. ---
-  private def q89(s: SparkSession, dir: String): DataFrame = temporalQ(s, dir, outer = false)
-  private def q90(s: SparkSession, dir: String): DataFrame = temporalQ(s, dir, outer = true)
+  //     are filtered from output and only ever push watermarks forward).
+  //
+  //     q89 runs the COMPACTED construction (temporalJoinCompacted, 10 min
+  //     grain / 2 h horizon): the hot-key-safe form whose per-event
+  //     fan-out is O(updates-per-grain + horizon/grain) instead of
+  //     O(updates-per-horizon) — the same answer under the same oracle, so
+  //     the gate proves compaction changes the plan, never the result.
+  //     q90 keeps the plain two-operator form: both shapes stay gated. ---
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    temporalQ(s, dir, outer = false, compacted = true)
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    temporalQ(s, dir, outer = true, compacted = false)
 
   private val temporalHorizonMs = 7200000L // 2h staleness horizon
   private val temporalLatenessSec = 3600L
@@ -1146,7 +1154,8 @@ object RelQueries {
           (sentParts2, 7200 * 1000L))
     }
 
-  private def temporalQ(s: SparkSession, dir: String, outer: Boolean): DataFrame = {
+  private def temporalQ(s: SparkSession, dir: String, outer: Boolean,
+      compacted: Boolean): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val horizonMs = temporalHorizonMs
     val latenessSec = temporalLatenessSec
@@ -1158,12 +1167,21 @@ object RelQueries {
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
         col("ets").as(s"${pre}ts"), col("value").as(s"${pre}_value"))
-    val joined = graft.streaming.StreamingOps.temporalJoin(
+    val jt = if (outer) "leftOuter" else "inner"
+    val joined = if (compacted)
+      graft.streaming.StreamingOps.temporalJoinCompacted(
+        side("click", "c").drop("c_value"), "cts",
+        side("purchase", "p"), "pts",
+        "c_user", "p_user", horizonMs = horizonMs, grainMs = 600000L,
+        lateness = s"$latenessSec seconds",
+        eCols = Seq("c_user", "c_id"), payload = Seq("p_value"), tieCols = Seq("p_id"),
+        joinType = jt)
+    else graft.streaming.StreamingOps.temporalJoin(
       side("click", "c").drop("c_value"), "cts",
       side("purchase", "p"), "pts",
       "c_user", "p_user", horizonMs = horizonMs, lateness = s"$latenessSec seconds",
       eCols = Seq("c_user", "c_id"), payload = Seq("p_value"), tieCols = Seq("p_id"),
-      joinType = if (outer) "leftOuter" else "inner")
+      joinType = jt)
     val qname = "q89_tj_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val oldParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
