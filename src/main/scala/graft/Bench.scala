@@ -119,6 +119,9 @@ object Bench {
     // run at the bench SF pays the stage build inside its window.
     try graft.queries.RelQueries.ensureStreamFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // q92's event-log provider table + staged probe stream, same rule
+    try graft.queries.CdcQueries.ensureTemporalFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // a failed query reports -1 (not its elapsed-time-to-crash) and lands
     // in "errors" — a broken query must never masquerade as a fast one.

@@ -139,6 +139,65 @@ object CdcQueries {
         .select("k", "price", "st").orderBy("k")
     }),
 
+    // --- q92: the reference's canonical ENRICHMENT story, end to end under
+    // the hash gate — a probe stream temporally joined (`FOR SYSTEM_TIME AS
+    // OF probe.ts`) against a dimension fed by the cdc-log SOURCE itself,
+    // not a parquet fixture (mysql-postgres-tutorial.md's enrichment join).
+    // The dimension is the orders changelog as a pure event log (startup
+    // mode `earliest`: inserts at offset 3k+1, update after-images at 3k+2 —
+    // every event a version, version_ts = offset as event-time ms), read in
+    // offset-span micro-batches; probes for every 11th key land 500 µs
+    // before that key's next change, so each asks for a DIFFERENT version
+    // than the one arriving just after it — the answer pins version
+    // boundaries, not just final state. Two sentinel no-op updates at
+    // far-future offsets push the dimension watermark through the join and
+    // the argmax flush (the q89 wave pattern, on the SOURCE side via the
+    // log itself). Oracle: closed-form argmax over the same version set. ---
+    "q92_cdc_temporal_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = writeTemporalProviderTable(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q92_ckpt_")
+      tmp.toFile.deleteOnExit()
+      val st = StreamFixtures.arm(q92Stage(s, dir))
+      val probes = s.readStream.schema(q92Probes(s, dir).schema)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
+      val dimRaw = s.readStream.format("cdc-log").option("path", root)
+        .option("scan.startup.mode", "earliest") // replay events, no snapshot fold
+        .option("metadata.columns", "op_offset,row_kind")
+        .option("scan.log.max-offsets-per-batch", q92WaveSpan.toString)
+        .load()
+      // every insert/update-after event is a dimension version at ts = its
+      // offset (ms); -U before-images and deletes are not versions (the op
+      // filter matters: delete rows also carry row_kind '+I' — they are
+      // before-image carriers, not versions)
+      val dim = dimRaw.filter(col("op") === "c" ||
+          (col("op") === "u" && col("row_kind") === "+U"))
+        .select(col("k").as("v_key"),
+          timestamp_micros((col("op_offset") + lit(q92BaseMs)) * 1000).as("vts"),
+          col("op_offset").as("ver_off"), col("price"))
+      val joined = graft.streaming.StreamingOps.temporalJoin(
+        probes, "pts", dim, "vts", "p_key", "v_key",
+        horizonMs = q92HorizonMs, lateness = s"${q92LatenessMs / 1000} seconds",
+        eCols = Seq("p_key", "probe_id"), payload = Seq("price"),
+        tieCols = Seq("ver_off"))
+      val qname = "q92_tj_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream.outputMode("append").format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      q.awaitTermination()
+      s.table(qname)
+        .where(col("p_key") >= 0) // drop the probe-side watermark sentinels
+        .select(col("probe_id"), col("p_key").as("k"),
+          unix_micros(col("pts")).as("pts_us"),
+          unix_micros(col("version_ts")).as("version_ts_us"),
+          col("ver_off"), col("price"))
+        .orderBy("probe_id")
+    }),
+
     // SCD2 history: every state each key held with its validity interval
     // (the temporal-table view downstream warehouses build from CDC)
     "q69_scd2_history" -> ((s, dir) =>
@@ -240,6 +299,130 @@ object CdcQueries {
       root
     })
 
+  /** q92 knobs. The staleness horizon is deliberately tight (probes sit
+    * 500 µs after their version) — q89 covers long-horizon semantics; what
+    * q92 gates is the source-fed enrichment loop. `q92WaveSpan` — the
+    * offset gap between the two watermark-sentinel log records AND the
+    * `scan.log.max-offsets-per-batch` span — must exceed lateness +
+    * horizon + the agg window: a stream-stream interval join holds its
+    * OUTPUT watermark back by the horizon (late matches may still emit),
+    * so each sentinel wave must clear horizon + lateness for the
+    * downstream argmax to see its windows close (the q89 waveGap rule).
+    * Sentinels exactly one span apart can never share a span-capped
+    * micro-batch, so each wave is its own watermark advance. */
+  /** Event-time base shift: offset 0 (key 0's insert) must not sit AT the
+    * epoch — Spark's initial watermark is 0, and a version at exactly the
+    * watermark is dropped as late before the join ever sees it. */
+  private val q92BaseMs = 3600000L
+  private val q92HorizonMs = 60000L
+  private val q92LatenessMs = 60000L
+  private val q92WaveSpan = q92HorizonMs + q92LatenessMs + 120000L
+
+  /** Writes the orders changelog as a PURE EVENT LOG (no snapshot): insert
+    * at offset 3k, the k%5=2 update pair at 3k+1, the k%7=3 delete at
+    * 3k+2 — the same derivation as q23's relational changelog, here as
+    * provider events the SOURCE replays in `earliest` mode, so every event
+    * flows as a change row with its real offset (nothing folds into a
+    * snapshot image). Two no-op sentinel updates on the max key at
+    * far-future offsets (maxOff + span, + 2·span) exist only to push the
+    * dimension-side event-time watermark after the real log drains.
+    * Distributed build, same O(1)-driver concat as
+    * [[writeFileProviderTable]]. Once per (JVM, sf dir). */
+  private val temporalFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def writeTemporalProviderTable(s: SparkSession, dir: String): String =
+    temporalFixtureCache.computeIfAbsent(dir, _ => {
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_cdctemporal_").toString
+      val d = Paths.get(root, "db.orders")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"),
+        """{"db":"db","table":"orders","primaryKey":["k"],
+          |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
+      Files.writeString(d.resolve("snapshot.jsonl"), "")
+      def js(k: Long, price: Double, st: String): String =
+        s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("st"))
+        .orderBy("k").as[(Long, Double, String)]
+      // offsets are 1-based (3k+1/3k+2/3k+3): log reads are resume-AFTER
+      // (logPos, end], so an event at offset 0 = baseOffset would be
+      // unreadable from `earliest`
+      val logLines = rows.mapPartitions(_.flatMap { case (k, p0, st) =>
+        val upd = k % 5 == 2
+        val p2 = if (upd) p0 * 1.1 else p0
+        val ins = Iterator(
+          s"""{"offset":${k * 3 + 1},"op":"c","tsMs":0,"before":null,"after":${js(k, p0, st)}}""")
+        val u = if (upd) Iterator(
+          s"""{"offset":${k * 3 + 2},"op":"u","tsMs":100,"before":${js(k, p0, st)},"after":${js(k, p2, st)}}""")
+        else Iterator.empty
+        val dl = if (k % 7 == 3) Iterator(
+          s"""{"offset":${k * 3 + 3},"op":"d","tsMs":200,"before":${js(k, p2, st)},"after":null}""")
+        else Iterator.empty
+        ins ++ u ++ dl
+      })
+      concatText(logLines, Paths.get(root, "_log_parts"), d.resolve("log.jsonl"))
+      val (maxK, mp0, mst) = rows.orderBy(col("k").desc).head()
+      val mpCur = if (maxK % 5 == 2) mp0 * 1.1 else mp0
+      val maxOff = maxK * 3 + 3
+      val sent = (1 to 2).map { i =>
+        s"""{"offset":${maxOff + i * q92WaveSpan},"op":"u","tsMs":300,"before":${js(maxK, mpCur, mst)},"after":${js(maxK, mpCur, mst)}}"""
+      }.mkString("", "\n", "\n")
+      Files.writeString(d.resolve("log.jsonl"), sent,
+        java.nio.file.StandardOpenOption.APPEND)
+      root
+    })
+
+  /** Probes for every 11th order key: one 500 µs before the key's update
+    * offset-instant, one 500 µs before its delete offset-instant — each
+    * must bind to the version in force at ITS OWN timestamp (insert image
+    * for the first, post-update image for the second where one exists). */
+  private def q92Probes(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("p_key"))
+    o.select(col("p_key"), (col("p_key") * 2).as("probe_id"),
+        timestamp_micros((col("p_key") * 3 + 2 + lit(q92BaseMs)) * 1000 - 500).as("pts"))
+      .unionAll(o.select(col("p_key"), (col("p_key") * 2 + 1).as("probe_id"),
+        timestamp_micros((col("p_key") * 3 + 3 + lit(q92BaseMs)) * 1000 - 500).as("pts")))
+  }
+
+  /** Staged probe file stream (the q89 layout: ts-ordered part files,
+    * mtime arrival order, pad-to-odd so the two sentinel waves land in
+    * separate maxFilesPerTrigger=2 micro-batches). Probe sentinels carry
+    * p_key = -1 (filtered from output) at the SAME instants as the
+    * dimension-side sentinel offsets — the global watermark is the min
+    * over sources, so both sides must advance. */
+  private def q92Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q92", dir) { in =>
+      val probes = q92Probes(s, dir)
+      probes.orderBy("pts").write.mode("overwrite").parquet(in)
+      val maxPtsUs = probes.agg(max(unix_micros(col("pts")))).head().getLong(0)
+      val maxOffMs = t(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) * 3 + 3
+      def sentinelAt(us: Long, id: Long) =
+        s.range(1).select(lit(-1L).as("p_key"), lit(id).as("probe_id"),
+          timestamp_micros(lit(us)).as("pts"))
+      val mainParts = StreamFixtures.parts(in)
+      if (mainParts.length % 2 == 0)
+        sentinelAt(maxPtsUs, -9L).coalesce(1).write.mode("append").parquet(in)
+      val padParts = StreamFixtures.parts(in).filterNot(mainParts.contains)
+      sentinelAt((maxOffMs + q92BaseMs + q92WaveSpan) * 1000, -1L).coalesce(1).write.mode("append").parquet(in)
+      val sentParts = StreamFixtures.parts(in)
+        .filterNot(mainParts.contains).filterNot(padParts.contains)
+      sentinelAt((maxOffMs + q92BaseMs + 2 * q92WaveSpan) * 1000, -2L).coalesce(1).write.mode("append").parquet(in)
+      val sentParts2 = StreamFixtures.parts(in).filterNot(mainParts.contains)
+        .filterNot(padParts.contains).filterNot(sentParts.contains)
+      mainParts.zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) } ++
+        Seq((padParts, 1800 * 1000L), (sentParts, 3600 * 1000L),
+          (sentParts2, 7200 * 1000L))
+    }
+
+  /** Pre-builds q92's fixture + probe stage (untimed in the bench — the
+    * same ingest-scaffolding rule as the other staged streams). */
+  private[graft] def ensureTemporalFixtures(s: SparkSession, dir: String): Unit = {
+    writeTemporalProviderTable(s, dir); q92Stage(s, dir); ()
+  }
+
   /** write.text the (already range-sorted) lines, then stream the part
     * files in name order into one JSONL file. Part names follow partition
     * ids, which follow the range sort, so byte order == global key order. */
@@ -328,6 +511,33 @@ object CdcQueries {
          |       FROM ev)
          |SELECT k, price, st, valid_from, valid_to, valid_to IS NULL AS is_current
          |FROM iv WHERE op <> 'd' ORDER BY k, valid_from""".stripMargin,
+    // closed-form argmax over the SAME version set the source replays:
+    // insert version at offset-instant 3k+1 ms, update after-image at 3k+2 ms
+    // (deletes and -U before-images are not versions); each probe binds to
+    // the greatest version_ts at or before its own timestamp within 60 s
+    "q92_cdc_temporal_enrich" ->
+      """WITH probes AS (
+        |  SELECT o_orderkey AS k, o_orderkey*2 AS probe_id,
+        |         (o_orderkey*3+2+3600000)*1000 - 500 AS pts_us
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey*2+1, (o_orderkey*3+3+3600000)*1000 - 500
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |versions AS (
+        |  SELECT o_orderkey AS k, (o_orderkey*3+1+3600000)*1000 AS vts_us,
+        |         o_orderkey*3+1 AS ver_off, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, (o_orderkey*3+2+3600000)*1000, o_orderkey*3+2, o_totalprice*1.1
+        |  FROM orders WHERE o_orderkey % 5 = 2),
+        |cand AS (
+        |  SELECT p.probe_id, p.k, p.pts_us, v.vts_us, v.ver_off, v.price
+        |  FROM probes p JOIN versions v ON p.k = v.k
+        |  WHERE v.vts_us <= p.pts_us AND v.vts_us >= p.pts_us - 60000000),
+        |pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |           ORDER BY vts_us DESC, ver_off DESC) AS rn FROM cand)
+        |SELECT probe_id, k, pts_us, vts_us AS version_ts_us, ver_off, price
+        |FROM pick WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
     "q26_cdc_net_delta" ->
       """SELECT o_orderkey AS k,
         |  CAST(CASE WHEN o_orderkey % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS net_delta,
