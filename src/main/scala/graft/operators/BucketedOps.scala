@@ -32,15 +32,24 @@ object BucketedOps {
     * into `buckets` buckets, registered in the session catalog under a
     * deterministic name derived from `id`; returns the table name. Runs
     * once per (JVM, session, id) — later calls reuse the catalog entry,
-    * exactly like production queries reusing an ingest-time layout. */
-  def ensureBucketed(df: DataFrame, id: String, key: String, buckets: Int): String = {
+    * exactly like production queries reusing an ingest-time layout.
+    *
+    * `location`: where the table's files land. A production ingest names a
+    * durable path (lake directory, mounted object store) so the layout
+    * outlives the session and other sessions can `ensureBucketed` over the
+    * same location; when None (bench/test use) a temp directory is
+    * created — that layout is per-machine scaffolding, not a lake. */
+  def ensureBucketed(df: DataFrame, id: String, key: String, buckets: Int,
+      location: Option[String] = None): String = {
     val session = df.sparkSession
-    val cacheKey = System.identityHashCode(session).toString + "|" + id + "|" + key + "|" + buckets
+    val cacheKey = System.identityHashCode(session).toString + "|" + id + "|" + key + "|" +
+      buckets + "|" + location.getOrElse("")
     cache.computeIfAbsent(cacheKey, _ => {
       val name = "graft_bkt_" +
         java.lang.Long.toUnsignedString(
           org.apache.spark.unsafe.types.UTF8String.fromString(cacheKey).hashCode().toLong & 0xFFFFFFFFL, 16)
-      val path = java.nio.file.Files.createTempDirectory(s"graft_bkt_").toString
+      val path = location.getOrElse(
+        java.nio.file.Files.createTempDirectory(s"graft_bkt_").toString)
       df.write.mode("overwrite").option("path", path)
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(name)

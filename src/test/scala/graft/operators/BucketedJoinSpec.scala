@@ -35,4 +35,28 @@ class BucketedJoinSpec extends SparkSpec {
     val got = joined.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got === expect)
   }
+
+  test("ensureBucketed with an explicit location writes the layout THERE, and a fresh catalog entry reads it back shuffle-free") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake_").toString
+    val loc = lake + "/orders_by_key"
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val name = BucketedOps.ensureBucketed(o, "lake-orders", "o_orderkey", 8,
+      location = Some(loc))
+    // the files live at the caller's path — the durable-lake contract a
+    // production ingest needs (createTempDirectory is only the None default)
+    val files = new java.io.File(loc).listFiles()
+    assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+      s"no parquet files at explicit location $loc")
+    // same id+location → cached, same table
+    assert(BucketedOps.ensureBucketed(o, "lake-orders", "o_orderkey", 8,
+      location = Some(loc)) === name)
+    // the layout is usable as a bucketed table: per-key agg with no shuffle
+    val agg = spark.table(name).groupBy("o_orderkey")
+      .agg(sum("o_totalprice").as("t"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed layout at explicit location must not shuffle:\n$plan")
+    assert(agg.count() === o.select("o_orderkey").distinct().count())
+  }
 }
