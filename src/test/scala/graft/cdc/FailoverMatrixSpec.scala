@@ -259,4 +259,98 @@ class FailoverMatrixSpec extends SparkSpec {
   test("cell 4: socket provider (copy.existing), kill mid-log, restore: exactly-once") {
     socketCell("log")
   }
+
+  // --- cell 5: kill MID-PROMOTE-RESTART ----------------------------------
+  // The F7 typed-promotion path at its most delicate point: life 1 drains
+  // the v1 log; the table drifts (ADD COLUMN w DOUBLE) and the promotion
+  // signal fires; life 2 restarts from the SAME checkpoint with the
+  // promoted schema and is KILLED strictly inside the post-drift log
+  // (planned-but-uncommitted batch in flight); life 3 restores and drains.
+  // The audit then holds the whole history to exactly-once: v1 snapshot
+  // once, every pre-drift event at v1 arity, every post-drift event at v2
+  // arity with `w` TYPED (not stringified), final state = closed form.
+
+  private val DriftAt = 20L // events 1..20 are v1-shaped, 21..40 v2-shaped
+
+  private def eventLineV2(off: Long): String = (off % 4) match {
+    case 1 => s"""{"offset":$off,"op":"u","tsMs":${off * 10},"before":{"id":$off,"v":"v$off","w":null},"after":{"id":$off,"v":"u$off","w":${off}.5}}"""
+    case 2 => s"""{"offset":$off,"op":"d","tsMs":${off * 10},"before":{"id":${100 + off},"v":"v${100 + off}","w":null},"after":null}"""
+    case 3 => s"""{"offset":$off,"op":"c","tsMs":${off * 10},"before":null,"after":{"id":${1000 + off},"v":"c$off","w":${off}.5}}"""
+    case _ => s"""{"offset":$off,"op":"u","tsMs":${off * 10},"before":{"id":${50 + off},"v":"v${50 + off}","w":null},"after":{"id":${50 + off},"v":"w$off","w":${off}.5}}"""
+  }
+
+  test("cell 5: kill mid-promote-restart — drift signaled, promoted life killed in-flight, restore: exactly-once with w typed") {
+    import graft.cdc.provider.FileChangeLogProvider
+    val root = mkFileFixture()
+    val tmp = Files.createTempDirectory("failover_promote_")
+    val outDir = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt")
+    val metaPath = root.resolve("db.t").resolve("meta.json")
+    val logPath = root.resolve("db.t").resolve("log.jsonl")
+    val opts = paceOpts + ("path" -> root.toString)
+
+    // life 1: snapshot completes clean, THEN the v1 half of the log
+    // arrives and is drained (events written before the snapshot would
+    // fold into the chunks under the high watermark, never flowing as
+    // change rows — the same resume-after contract q92's fixture honors)
+    restore(opts, outDir, ckpt)
+    Files.writeString(logPath,
+      (1L to DriftAt).map(eventLine).mkString("", "\n", "\n"))
+    restore(opts, outDir, ckpt)
+    val declaredV1 = spark.readStream.format("cdc-log")
+      .option("path", root.toString).load().schema
+    assert(CdcSchemaHistory.promotedSchema(new FileChangeLogProvider(root.toString),
+      declaredV1).isEmpty, "no drift yet → no promotion signal")
+
+    // the drift: ALTER TABLE ADD COLUMN w DOUBLE + v2-shaped events
+    Files.writeString(metaPath,
+      """{"db":"db","table":"t","primaryKey":["id"],"schema":"id BIGINT, v STRING, w DOUBLE","baseOffset":0}""")
+    Files.writeString(logPath,
+      Files.readString(logPath) +
+        ((DriftAt + 1) to NumEvents).map(eventLineV2).mkString("", "\n", "\n"))
+    val promoted = CdcSchemaHistory.promotedSchema(
+      new FileChangeLogProvider(root.toString), declaredV1)
+    assert(promoted.exists(_.fieldNames.toSeq == Seq("id", "v", "w")),
+      s"drift must raise the promotion signal, got $promoted")
+
+    // life 2: promoted restart, killed strictly inside the post-drift log
+    // (5-offset batches → planned offsets 25/30/35/40, three kill windows)
+    val promotePace = opts + ("scan.log.max-offsets-per-batch" -> "5")
+    runUntilPhaseThenKill(promotePace, outDir, ckpt,
+      o => o.snapshotDone && o.logPos > DriftAt && o.logPos < NumEvents,
+      "mid-promote-restart")
+
+    // life 3: restore from the same checkpoint, drain to the end
+    restore(promotePace, outDir, ckpt)
+
+    // exactly-once audit over BOTH schema eras (mergeSchema: the sink's
+    // files carry v1 and v2 layouts)
+    val rows = spark.read.option("mergeSchema", "true").parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[Any]("w"), r.getAs[String]("op"), r.getAs[Long]("op_offset"),
+        r.getAs[String]("row_kind"))).toSeq
+    val snap = rows.filter(_._4 == "r")
+    assert(snap.size === BaseKeys && snap.map(_._1).distinct.size === BaseKeys,
+      s"promote cell: snapshot not exactly-once (${snap.size})")
+    assert(snap.forall(_._3 == null), "v1 snapshot rows must carry null w")
+    val log = rows.filterNot(_._4 == "r").groupBy(_._5)
+    (1L to NumEvents).foreach { off =>
+      val got = log.getOrElse(off, Seq.empty).map(x => (x._4, x._6)).sorted
+      val want = (off % 4) match {
+        case 1 | 0 => Seq(("u", "+U"), ("u", "-U"))
+        case 2     => Seq(("d", "+I"))
+        case _     => Seq(("c", "+I"))
+      }
+      assert(got === want, s"promote cell: offset $off rows $got != $want")
+      // post-drift after-images carry w TYPED; the kill/replay must not
+      // have left a stringified or dropped column behind
+      if (off > DriftAt && (off % 4 == 1 || off % 4 == 3 || off % 4 == 0)) {
+        val afters = log(off).filter(x => x._6 == "+U" || x._6 == "+I")
+        assert(afters.nonEmpty && afters.forall(_._3 == off + 0.5),
+          s"promote cell: offset $off w not typed: ${log(off)}")
+      }
+    }
+    assert(log.keySet === (1L to NumEvents).toSet,
+      s"promote cell: stray offsets ${log.keySet}")
+  }
 }
