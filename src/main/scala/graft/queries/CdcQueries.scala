@@ -164,7 +164,7 @@ object CdcQueries {
       val dimRaw = s.readStream.format("cdc-log").option("path", root)
         .option("scan.startup.mode", "earliest") // replay events, no snapshot fold
         .option("metadata.columns", "op_offset,row_kind")
-        .option("scan.log.max-offsets-per-batch", q92WaveSpan.toString)
+        .option("scan.log.max-offsets-per-batch", q92WaveSpan(q92MaxOff(s, dir)).toString)
         .load()
       // every insert/update-after event is a dimension version at ts = its
       // offset (ms); -U before-images and deletes are not versions (the op
@@ -316,7 +316,14 @@ object CdcQueries {
   private val q92BaseMs = 3600000L
   private val q92HorizonMs = 60000L
   private val q92LatenessMs = 60000L
-  private val q92WaveSpan = q92HorizonMs + q92LatenessMs + 120000L
+  private def q92WaveSpan(maxOffMs: Long): Long =
+    math.max(q92HorizonMs + q92LatenessMs + 120000L, maxOffMs / 8)
+
+  /** Max log offset of the q92 event log for `dir` (insert/update/delete
+    * offsets are 3k+1..3k+3): one cheap agg, shared by the fixture
+    * writer, the probe stage, and the query's batch-span option. */
+  private def q92MaxOff(s: SparkSession, dir: String): Long =
+    t(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) * 3 + 3
 
   /** Writes the orders changelog as a PURE EVENT LOG (no snapshot): insert
     * at offset 3k, the k%5=2 update pair at 3k+1, the k%7=3 delete at
@@ -366,8 +373,9 @@ object CdcQueries {
       val (maxK, mp0, mst) = rows.orderBy(col("k").desc).head()
       val mpCur = if (maxK % 5 == 2) mp0 * 1.1 else mp0
       val maxOff = maxK * 3 + 3
+      val span = q92WaveSpan(maxOff)
       val sent = (1 to 2).map { i =>
-        s"""{"offset":${maxOff + i * q92WaveSpan},"op":"u","tsMs":300,"before":${js(maxK, mpCur, mst)},"after":${js(maxK, mpCur, mst)}}"""
+        s"""{"offset":${maxOff + i * span},"op":"u","tsMs":300,"before":${js(maxK, mpCur, mst)},"after":${js(maxK, mpCur, mst)}}"""
       }.mkString("", "\n", "\n")
       Files.writeString(d.resolve("log.jsonl"), sent,
         java.nio.file.StandardOpenOption.APPEND)
@@ -398,7 +406,8 @@ object CdcQueries {
       val probes = q92Probes(s, dir)
       probes.orderBy("pts").write.mode("overwrite").parquet(in)
       val maxPtsUs = probes.agg(max(unix_micros(col("pts")))).head().getLong(0)
-      val maxOffMs = t(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) * 3 + 3
+      val maxOffMs = q92MaxOff(s, dir)
+      val span = q92WaveSpan(maxOffMs)
       def sentinelAt(us: Long, id: Long) =
         s.range(1).select(lit(-1L).as("p_key"), lit(id).as("probe_id"),
           timestamp_micros(lit(us)).as("pts"))
@@ -406,10 +415,10 @@ object CdcQueries {
       if (mainParts.length % 2 == 0)
         sentinelAt(maxPtsUs, -9L).coalesce(1).write.mode("append").parquet(in)
       val padParts = StreamFixtures.parts(in).filterNot(mainParts.contains)
-      sentinelAt((maxOffMs + q92BaseMs + q92WaveSpan) * 1000, -1L).coalesce(1).write.mode("append").parquet(in)
+      sentinelAt((maxOffMs + q92BaseMs + span) * 1000, -1L).coalesce(1).write.mode("append").parquet(in)
       val sentParts = StreamFixtures.parts(in)
         .filterNot(mainParts.contains).filterNot(padParts.contains)
-      sentinelAt((maxOffMs + q92BaseMs + 2 * q92WaveSpan) * 1000, -2L).coalesce(1).write.mode("append").parquet(in)
+      sentinelAt((maxOffMs + q92BaseMs + 2 * span) * 1000, -2L).coalesce(1).write.mode("append").parquet(in)
       val sentParts2 = StreamFixtures.parts(in).filterNot(mainParts.contains)
         .filterNot(padParts.contains).filterNot(sentParts.contains)
       mainParts.zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) } ++

@@ -45,10 +45,15 @@ object Sf1Gen {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS) — read as BIGINT nanos, same
-      // as Tables.t does; the replica is written back as plain INT64 which
-      // every battery query (they all treat ts as integer nanos) reads fine
+      // events.ts physical type varies by round (TESTDATA.md): NANOS reads
+      // as BIGINT via nanosAsLong (replica written back as plain INT64);
+      // MICROS must read as TimestampType — NTZ inference OFF, exactly as
+      // Tables.t loads it. Without the second conf a micros source
+      // round-trips as TIMESTAMP_NTZ with Spark row metadata pinning the
+      // type, and Tables.t's unix_micros normalization then fails on the
+      // replica (r8: q84/q89/q90 errored at sf1 on exactly this).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
