@@ -218,6 +218,14 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: long docs cut into overlapping 64-token
+    // windows (stride 48) — the dual of q60's packing; one codegen-fused
+    // projection, no shuffle, no UDF
+    "q93_doc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
     // TF-IDF keyword extraction: integer tf/df/N core + the portable
     // tf·N/df score (same top-k as log-idf, which is monotone in N/df)
     "q53_tfidf_top_terms" -> ((s, dir) =>
@@ -960,6 +968,19 @@ object DataQueries {
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the chunk recipe replayed closed-form: starts = 0,48,96,… while each
+    // adds new tokens (s < n − overlap), window = 64 tokens, 1-based
+    // inclusive list_slice
+    "q93_doc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |st AS (SELECT doc_id, ts,
+        |         unnest(generate_series(0, CAST(GREATEST(len(ts)-17, 0)//48 AS BIGINT)*48, 48)) AS start_tok
+        |       FROM toks WHERE len(ts) > 0)
+        |SELECT doc_id, start_tok//48 AS chunk_idx, start_tok,
+        |  LEAST(64, len(ts) - start_tok) AS n_tokens,
+        |  array_to_string(list_slice(ts, start_tok+1, start_tok+64), ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q53_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, u.t AS term
