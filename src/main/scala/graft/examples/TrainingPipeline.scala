@@ -83,7 +83,11 @@ object TrainingPipeline {
     println(s"media features: ${features.count()} (image metas: " +
       s"${MultimodalOps.decodeImageMeta(media).count()})")
 
-    // 5b. token-budget packing + deterministic split for the trainer
+    // 5b. context-window chunking of long docs, then token-budget packing
+    //     + deterministic split for the trainer
+    val chunks = graft.operators.Chunking.chunkDocs(quotaed, "doc_id", "text",
+      maxTokens = 512, overlap = 64)
+    println(s"chunks: ${chunks.count()} from ${quotaed.count()} docs")
     val packed = Packing.sequentialPacks(quotaed, "doc_id", "text", budget = 2048)
     val split = Sampling.split(quotaed, "doc_id")
       .groupBy("split").count().collect()
