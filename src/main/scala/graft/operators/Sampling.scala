@@ -66,4 +66,41 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
     df.filter(
       hashBucket(col(idCol), 1000000).cast("double") < weight * lit(1000000.0))
+
+  /** Deterministic epoch-weighted source MIXTURE — materializing "train on
+    * source A for 2.5 epochs, B for 0.5, drop C" as row multiplicity: each
+    * row is emitted floor(rate) times plus one more copy iff its
+    * 1e6-bucket hash falls under frac(rate)·1e6, so a source's expected
+    * multiplicity equals its rate and the EXACT copy count is a pure
+    * function of the id — reproducible across runs, partitionings, and
+    * engines (oracle-checkable), unlike `df.sample(withReplacement)`.
+    * The `epoch` column (0-based copy index) distinguishes repeats so a
+    * downstream shuffle/pack can salt on it.
+    *
+    * Scale: the rate table folds into a literal CASE (no join — mixture
+    * tables are human-sized), copies explode from a per-row sequence:
+    * NO shuffle, embarrassingly parallel, output rows ≈ Σ rate·|source|.
+    * Rates quantized to 1e-6; unlisted sources use `defaultRate`. */
+  def sourceMixture(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      epochCol: String = "epoch"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),
+      s"rates must be in [0, 1000], got $rates / default $defaultRate")
+    def quant(r: Double): (Long, Long) = {
+      val micro = math.round(r * 1e6)
+      (micro / 1000000L, micro % 1000000L)
+    }
+    val (defWhole, defFrac) = quant(defaultRate)
+    val (whole, frac) = rates.foldLeft((lit(defWhole), lit(defFrac))) {
+      case ((w, f), (k, r)) =>
+        val (qw, qf) = quant(r)
+        (when(col(sourceCol) === k, qw).otherwise(w),
+          when(col(sourceCol) === k, qf).otherwise(f))
+    }
+    val copies = whole + when(hashBucket(col(idCol), 1000000) < frac, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

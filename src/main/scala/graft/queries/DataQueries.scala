@@ -218,6 +218,15 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // epoch-weighted source mixture: "2.5 epochs of src0, half of src1,
+    // a quarter of src2, none of src3" materialized as deterministic row
+    // multiplicity — copy counts a pure function of the id hash
+    "q94_source_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.sourceMixture(
+        t(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+        rates = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0))
+        .orderBy("doc_id", "epoch")),
+
     // context-window chunking: long docs cut into overlapping 64-token
     // windows (stride 48) — the dual of q60's packing; one codegen-fused
     // projection, no shuffle, no UDF
@@ -968,6 +977,25 @@ object DataQueries {
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // mixture replayed closed-form: whole + fractional-coin copies from
+    // the q56 hash formula, epochs via generate_series
+    "q94_source_mixture" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  ((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8) % 2147483647) % 1000000 AS hb
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+        |               WHEN 'src2' THEN 0 WHEN 'src3' THEN 0 ELSE 1 END)
+        |  + (CASE WHEN hb < (CASE source WHEN 'src0' THEN 500000
+        |                                 WHEN 'src1' THEN 500000
+        |                                 WHEN 'src2' THEN 250000
+        |                                 WHEN 'src3' THEN 0 ELSE 0 END)
+        |     THEN 1 ELSE 0 END) AS copies
+        |  FROM h)
+        |SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+        |FROM c, UNNEST(generate_series(0, copies - 1)) AS e(epoch)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // the chunk recipe replayed closed-form: starts = 0,48,96,… while each
     // adds new tokens (s < n − overlap), window = 64 tokens, 1-based

@@ -54,4 +54,36 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
     assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
   }
+
+  test("sourceMixture: multiplicity tracks the rate; exact for whole rates; epochs 0-based") {
+    val mixed = Sampling.sourceMixture(docs, "doc_id", "source",
+      rates = Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.0), defaultRate = 1.0)
+    val per = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // whole rates are EXACT per id (3 copies each / dropped entirely)
+    assert(per("src0") === 3 * base("src0"))
+    assert(!per.contains("src2"))
+    // fractional rates converge in expectation over the id population
+    val r1 = per("src1").toDouble / base("src1")
+    assert(math.abs(r1 - 1.5) < 0.25, s"src1 multiplicity $r1")
+    // unlisted sources ride at defaultRate = 1.0, exactly once
+    (base.keySet -- Set("src0", "src1", "src2")).foreach(s =>
+      assert(per(s) === base(s), s"default-rate source $s"))
+    // per-row epochs are 0..copies-1 — distinguishable, densely numbered
+    val eps = mixed.filter(col("source") === "src0").groupBy("doc_id")
+      .agg(sort_array(collect_list("epoch")).as("eps"))
+      .select("eps").collect().map(_.getSeq[Long](0))
+    assert(eps.nonEmpty && eps.forall(_ == Seq(0L, 1L, 2L)))
+    // determinism: copy counts are a pure function of the id, not the run
+    val again = Sampling.sourceMixture(docs.repartition(13), "doc_id", "source",
+      rates = Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.0), defaultRate = 1.0)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === per)
+    // plan: literal CASE + explode — no join, no shuffle
+    val plan = mixed.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"mixture must stay a per-row flatMap:\n$plan")
+  }
 }
