@@ -43,14 +43,22 @@ object Bench {
     * rerun trigger than the 3× prior-best rule: an isolated floor is a
     * clean-JVM engine-cost fact, so 1.5× over it in-battery is already
     * contention/context noise worth one re-run — the r7 q81 reading
-    * (5.57 s vs a 3.36 s isolated floor) sailed under the 3× rule. */
-  private def isolatedFloors(): Map[String, Double] = {
+    * (5.57 s vs a 3.36 s isolated floor) sailed under the 3× rule.
+    * Floors are ABSOLUTE seconds at the file's declared "sf" and apply
+    * only when this run's SF dir matches — at sf1 every streaming floor
+    * would otherwise trigger ~a minute of spurious reruns. */
+  private def isolatedFloors(sfDir: String): Map[String, Double] = {
     val f = new java.io.File("BENCH_FLOORS.json")
     if (!f.isFile) Map.empty
     else {
       val body = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
-      val q = """"(q[0-9][A-Za-z0-9_]*)":\s*([0-9.]+)""".r
-      q.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+        .forall(m => new java.io.File(sfDir).getName == m.group(1))
+      if (!sfOk) Map.empty
+      else {
+        val q = """"(q[0-9][A-Za-z0-9_]*)":\s*([0-9.]+)""".r
+        q.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
   }
 
@@ -141,7 +149,7 @@ object Bench {
       (elapsed, err)
     }
     val best = priorBest()
-    val floors = isolatedFloors()
+    val floors = isolatedFloors(sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (t1, err1) = timeOne(name, fn)
       // outlier defense: one stall must not masquerade as a regression in

@@ -84,11 +84,16 @@ object TrainingPipeline {
       s"${MultimodalOps.decodeImageMeta(media).count()})")
 
     // 5b. context-window chunking of long docs, then token-budget packing
-    //     + deterministic split for the trainer
+    //     of the CHUNKS (not the raw docs — a book-length doc must never
+    //     land whole in one pack) + deterministic split for the trainer
     val chunks = graft.operators.Chunking.chunkDocs(quotaed, "doc_id", "text",
-      maxTokens = 512, overlap = 64)
-    println(s"chunks: ${chunks.count()} from ${quotaed.count()} docs")
-    val packed = Packing.sequentialPacks(quotaed, "doc_id", "text", budget = 2048)
+        maxTokens = 512, overlap = 64)
+      .select(
+        // chunk-unique id keeps packing's id-ordered prefix sum grouping
+        // a doc's chunks adjacently
+        (col("doc_id") * 10000 + col("chunk_idx")).as("chunk_uid"),
+        col("chunk_text"))
+    val packed = Packing.sequentialPacks(chunks, "chunk_uid", "chunk_text", budget = 2048)
     val split = Sampling.split(quotaed, "doc_id")
       .groupBy("split").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")

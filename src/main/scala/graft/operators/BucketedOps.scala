@@ -36,9 +36,14 @@ object BucketedOps {
     *
     * `location`: where the table's files land. A production ingest names a
     * durable path (lake directory, mounted object store) so the layout
-    * outlives the session and other sessions can `ensureBucketed` over the
-    * same location; when None (bench/test use) a temp directory is
-    * created — that layout is per-machine scaffolding, not a lake. */
+    * outlives the session: a later session calling ensureBucketed over a
+    * location that ALREADY holds a bucketed layout gets the files
+    * REGISTERED (CREATE TABLE … CLUSTERED BY … LOCATION — Spark's bucket
+    * metadata lives in the catalog, the bucket-id file layout on disk),
+    * never re-ingested or clobbered — the caller owns invalidation
+    * (write to a fresh location per ingest version). When None
+    * (bench/test use) a temp directory is created — per-machine
+    * scaffolding, not a lake. */
   def ensureBucketed(df: DataFrame, id: String, key: String, buckets: Int,
       location: Option[String] = None): String = {
     val session = df.sparkSession
@@ -48,11 +53,24 @@ object BucketedOps {
       val name = "graft_bkt_" +
         java.lang.Long.toUnsignedString(
           org.apache.spark.unsafe.types.UTF8String.fromString(cacheKey).hashCode().toLong & 0xFFFFFFFFL, 16)
-      val path = location.getOrElse(
-        java.nio.file.Files.createTempDirectory(s"graft_bkt_").toString)
-      df.write.mode("overwrite").option("path", path)
-        .bucketBy(buckets, key).sortBy(key)
-        .format("parquet").saveAsTable(name)
+      val existing = location.map(new java.io.File(_)).exists(d =>
+        d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      if (existing) {
+        // register, don't rewrite: a concurrent session's catalog table may
+        // point at these very files, and the ingest is already paid
+        session.sql(
+          s"""CREATE TABLE IF NOT EXISTS $name (${df.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+             |LOCATION '${location.get}'""".stripMargin)
+      } else {
+        val path = location.getOrElse(
+          java.nio.file.Files.createTempDirectory(s"graft_bkt_").toString)
+        df.write.mode("overwrite").option("path", path)
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(name)
+      }
       name
     })
   }

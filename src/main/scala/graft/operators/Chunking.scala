@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Tokens are the battery's whitespace tokens; a chunk is `maxTokens`
   * consecutive tokens starting every `maxTokens - overlap` (the standard
-  * sliding-window recipe, last chunk short, zero-token docs contribute no
-  * chunks). Everything is built-in Catalyst expressions — `split` →
-  * `sequence` of starts → `posexplode` → `slice`/`concat_ws` — one
+  * sliding-window recipe, last chunk short). NULL text contributes no
+  * chunks; an empty STRING contributes one single-token chunk of "" —
+  * `split("", " ")` is [""] in Spark and DuckDB alike, so emptiness
+  * filtering belongs upstream (quality gate), not here. Everything is
+  * built-in Catalyst expressions — `split` → `sequence` of starts →
+  * `explode` → `slice`/`concat_ws` — one
   * codegen-fused projection, NO shuffle and NO UDF: chunking is a per-row
   * flatMap and must stay embarrassingly parallel at 100 TB (the explode
   * multiplies rows ~len/stride-fold; Spark sizes output partitions off

@@ -275,7 +275,9 @@ object StreamingOps {
       eCols: Seq[String], payload: Seq[String], tieCols: Seq[String],
       joinType: String = "inner"): DataFrame = {
     require(grainMs > 0 && grainMs <= horizonMs && grainMs % 1000 == 0,
-      s"grainMs must be a positive whole-second divisor-scale of the horizon, got $grainMs")
+      s"grainMs must be a positive whole-second value <= horizonMs, got $grainMs " +
+        "(horizon divisibility is NOT required: grains are epoch-aligned and the " +
+        "residual filter trims the oldest admitted grain)")
     val e = events.withWatermark(eTs, lateness)
     val d = dims.withWatermark(vTs, lateness)
     val shape = (col(eTs) +: eCols.map(col)) ++ ((vTs +: (tieCols ++ payload)).map(col))

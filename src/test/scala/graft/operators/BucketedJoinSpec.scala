@@ -58,5 +58,23 @@ class BucketedJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed layout at explicit location must not shuffle:\n$plan")
     assert(agg.count() === o.select("o_orderkey").distinct().count())
+
+    // a LATER "session" (different cache identity: different id) over the
+    // same location must REGISTER the existing layout, not re-ingest it —
+    // a rewrite would clobber files under the first table's feet
+    val parts = new java.io.File(loc).listFiles().filter(_.getName.startsWith("part-"))
+    val mtimes = parts.map(f => f.getName -> f.lastModified()).toMap
+    val name2 = BucketedOps.ensureBucketed(o, "lake-orders-second-life", "o_orderkey", 8,
+      location = Some(loc))
+    assert(name2 !== name)
+    val after = new java.io.File(loc).listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after === mtimes, "existing durable layout must not be rewritten")
+    // and the registered table still plans bucketed (no shuffle, same rows)
+    val agg2 = spark.table(name2).groupBy("o_orderkey")
+      .agg(sum("o_totalprice").as("t"))
+    assert(!agg2.queryExecution.executedPlan.toString().contains("Exchange hashpartitioning"),
+      "registered layout must keep the bucketed plan")
+    assert(agg2.count() === agg.count())
   }
 }
