@@ -154,10 +154,7 @@ object CdcQueries {
     // the argmax flush (the q89 wave pattern, on the SOURCE side via the
     // log itself). Oracle: closed-form argmax over the same version set. ---
     "q92_cdc_temporal_enrich" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       val root = writeTemporalProviderTable(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q92_ckpt_")
-      tmp.toFile.deleteOnExit()
       val st = StreamFixtures.arm(q92Stage(s, dir))
       val probes = s.readStream.schema(q92Probes(s, dir).schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
@@ -180,16 +177,7 @@ object CdcQueries {
         horizonMs = q92HorizonMs, lateness = s"${q92LatenessMs / 1000} seconds",
         eCols = Seq("p_key", "probe_id"), payload = Seq("price"),
         tieCols = Seq("ver_off"))
-      val qname = "q92_tj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        joined.writeStream.outputMode("append").format("memory").queryName(qname)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-      q.awaitTermination()
-      s.table(qname)
+      StreamFixtures.drainAppend(s, joined, "q92_tj")
         .where(col("p_key") >= 0) // drop the probe-side watermark sentinels
         .select(col("probe_id"), col("p_key").as("k"),
           unix_micros(col("pts")).as("pts_us"),
@@ -408,22 +396,12 @@ object CdcQueries {
       val maxPtsUs = probes.agg(max(unix_micros(col("pts")))).head().getLong(0)
       val maxOffMs = q92MaxOff(s, dir)
       val span = q92WaveSpan(maxOffMs)
-      def sentinelAt(us: Long, id: Long) =
-        s.range(1).select(lit(-1L).as("p_key"), lit(id).as("probe_id"),
+      def sentinelAt(us: Long) =
+        s.range(1).select(lit(-1L).as("p_key"), lit(-us).as("probe_id"),
           timestamp_micros(lit(us)).as("pts"))
-      val mainParts = StreamFixtures.parts(in)
-      if (mainParts.length % 2 == 0)
-        sentinelAt(maxPtsUs, -9L).coalesce(1).write.mode("append").parquet(in)
-      val padParts = StreamFixtures.parts(in).filterNot(mainParts.contains)
-      sentinelAt((maxOffMs + q92BaseMs + span) * 1000, -1L).coalesce(1).write.mode("append").parquet(in)
-      val sentParts = StreamFixtures.parts(in)
-        .filterNot(mainParts.contains).filterNot(padParts.contains)
-      sentinelAt((maxOffMs + q92BaseMs + 2 * span) * 1000, -2L).coalesce(1).write.mode("append").parquet(in)
-      val sentParts2 = StreamFixtures.parts(in).filterNot(mainParts.contains)
-        .filterNot(padParts.contains).filterNot(sentParts.contains)
-      mainParts.zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) } ++
-        Seq((padParts, 1800 * 1000L), (sentParts, 3600 * 1000L),
-          (sentParts2, 7200 * 1000L))
+      StreamFixtures.stageWithWaves(in, sentinelAt, padUs = maxPtsUs,
+        waveUs = Seq((maxOffMs + q92BaseMs + span) * 1000,
+          (maxOffMs + q92BaseMs + 2 * span) * 1000))
     }
 
   /** Pre-builds q92's fixture + probe stage (untimed in the bench — the

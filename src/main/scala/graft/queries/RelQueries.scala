@@ -1050,9 +1050,6 @@ object RelQueries {
     }
 
   private def q88(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q88_ckpt_")
-    tmp.toFile.deleteOnExit()
     val st = StreamFixtures.arm(q88Stage(s, dir))
     def side(tpe: String, pre: String) = s.readStream.schema(q88Events(s, dir).schema)
       .option("maxFilesPerTrigger", "2").parquet(st.in)
@@ -1063,16 +1060,7 @@ object RelQueries {
       side("click", "c").drop("c_value"), "cts",
       side("purchase", "p"), "pts",
       "c_user", "p_user", windowMs = 1800000L, lateness = "2 hours")
-    val qname = "q88_ssj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      joined.writeStream.outputMode("append").format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-    q.awaitTermination()
-    s.table(qname)
+    StreamFixtures.drainAppend(s, joined, "q88_ssj")
       .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
         col("p_id").as("purchase_id"), unix_micros(col("cts")).as("click_ts_us"),
         unix_micros(col("pts")).as("purchase_ts_us"), col("p_value").as("purchase_value"))
@@ -1127,7 +1115,6 @@ object RelQueries {
       val waveGapUs = (temporalLatenessSec * 1000L + temporalHorizonMs + 120000L) * 1000L
       val sentUs = maxUs + waveGapUs
       val sentUs2 = sentUs + waveGapUs
-      val mainParts = StreamFixtures.parts(in)
       def sentinelAt(us: Long) =
         s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
           timestamp_micros(lit(us)).as("ets"), lit("click").as("event_type"),
@@ -1135,32 +1122,17 @@ object RelQueries {
           .unionAll(s.range(1).select(lit(-1L).as("user_id"), col("id").as("event_id"),
             timestamp_micros(lit(us)).as("ets"), lit("purchase").as("event_type"),
             lit(0.0).as("value")))
-      // the two sentinel waves must land in DIFFERENT micro-batches (the
-      // outer rows evicted by wave 1 need wave 2 to flush them through the
-      // agg): with maxFilesPerTrigger=2 the file source pairs files in
-      // mtime order, so pad to an odd pre-sentinel file count — wave 1 then
-      // always closes a pair and wave 2 opens the next batch alone
-      if (mainParts.length % 2 == 0)
-        sentinelAt(maxUs).coalesce(1).write.mode("append").parquet(in)
-      val padParts = StreamFixtures.parts(in).filterNot(mainParts.contains)
-      sentinelAt(sentUs).coalesce(1).write.mode("append").parquet(in)
-      val sentParts = StreamFixtures.parts(in)
-        .filterNot(mainParts.contains).filterNot(padParts.contains)
-      sentinelAt(sentUs2).coalesce(1).write.mode("append").parquet(in)
-      val sentParts2 = StreamFixtures.parts(in).filterNot(mainParts.contains)
-        .filterNot(padParts.contains).filterNot(sentParts.contains)
-      mainParts.zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) } ++
-        Seq((padParts, 1800 * 1000L), (sentParts, 3600 * 1000L),
-          (sentParts2, 7200 * 1000L))
+      // wave separation (pad-to-odd under maxFilesPerTrigger=2, one file
+      // per wave) is the shared stageWithWaves layout: the outer rows
+      // evicted by wave 1 need wave 2 to flush them through the agg
+      StreamFixtures.stageWithWaves(in, sentinelAt, padUs = maxUs,
+        waveUs = Seq(sentUs, sentUs2))
     }
 
   private def temporalQ(s: SparkSession, dir: String, outer: Boolean,
       compacted: Boolean): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val horizonMs = temporalHorizonMs
     val latenessSec = temporalLatenessSec
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q89_ckpt_")
-    tmp.toFile.deleteOnExit()
     val st = StreamFixtures.arm(temporalStage(s, dir))
     def side(tpe: String, pre: String) = s.readStream.schema(temporalEvents(s, dir).schema)
       .option("maxFilesPerTrigger", "2").parquet(st.in)
@@ -1182,16 +1154,7 @@ object RelQueries {
       "c_user", "p_user", horizonMs = horizonMs, lateness = s"$latenessSec seconds",
       eCols = Seq("c_user", "c_id"), payload = Seq("p_value"), tieCols = Seq("p_id"),
       joinType = jt)
-    val qname = "q89_tj_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      joined.writeStream.outputMode("append").format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-    q.awaitTermination()
-    s.table(qname)
+    StreamFixtures.drainAppend(s, joined, "q89_tj")
       .where(col("c_user") >= 0) // drop the sentinel pair
       .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
         unix_micros(col("cts")).as("click_ts_us"), col("p_id").as("version_id"),

@@ -56,4 +56,54 @@ private[queries] object StreamFixtures {
   def parts(in: String): Seq[java.io.File] =
     new java.io.File(in).listFiles().filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName).toSeq
+
+  /** The shared sentinel-wave stage layout (q89/q90/q92): main part files
+    * arrive one per second; a pad file keeps the pre-wave file count odd
+    * (under maxFilesPerTrigger=2 the waves must each open their OWN
+    * micro-batch — wave N's watermark advance is what flushes wave N−1's
+    * emissions through the next stateful stage); then each wave lands as
+    * its own file, 1800 s of mtime apart. `sentinel(us)` builds the
+    * watermark-pushing rows for instant `us` (filtered from query output
+    * by the caller's sentinel-key convention). */
+  def stageWithWaves(in: String, sentinel: Long => org.apache.spark.sql.DataFrame,
+      padUs: Long, waveUs: Seq[Long]): Seq[(Seq[java.io.File], Long)] = {
+    val mainParts = parts(in)
+    if (mainParts.length % 2 == 0)
+      sentinel(padUs).coalesce(1).write.mode("append").parquet(in)
+    val padParts = parts(in).filterNot(mainParts.contains)
+    var seen = mainParts ++ padParts
+    val waveParts = waveUs.map { us =>
+      sentinel(us).coalesce(1).write.mode("append").parquet(in)
+      val p = parts(in).filterNot(seen.contains)
+      seen = seen ++ p
+      p
+    }
+    mainParts.zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) } ++
+      ((padParts +: waveParts).zipWithIndex.map { case (p, i) =>
+        (p, (1800L + 1800L * i) * 1000L)
+      })
+  }
+
+  /** The shared gate-query drain (q88/q89/q90/q92): append-mode memory
+    * sink under Trigger.AvailableNow with shuffle partitions pinned to 4
+    * for the micro-batch run (bounded catch-up wants few state
+    * partitions — per-batch cost is checkpoint files PER PARTITION; the
+    * session value is restored before returning). Returns the drained
+    * sink table. */
+  def drainAppend(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, prefix: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory(prefix + "_ckpt_")
+    tmp.toFile.deleteOnExit()
+    val qname = prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      df.writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    q.awaitTermination()
+    s.table(qname)
+  }
 }
