@@ -28,12 +28,16 @@ object Bench {
     val q = """"(q[0-9][A-Za-z0-9_]*)\\?":\s*(-?[0-9.]+)""".r
     files.flatMap { f =>
       val body = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
-      val start = body.indexOf("\"queries\":{")
-      if (start < 0) Nil
-      else {
-        val sub = body.substring(start, math.max(start, body.indexOf('}', start) + 1))
-        q.findAllMatchIn(sub).map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toSeq
+      // whitespace-tolerant start anchor: pretty-printed artifacts
+      // (BENCH_sf1.json) carry '"queries": {' — an indexOf on the compact
+      // form silently excluded them and their priors with it
+      """"queries\\?"\s*:\s*\{""".r.findFirstMatchIn(body) match {
+        case None => Nil
+        case Some(m) =>
+          val start = m.start
+          val sub = body.substring(start, math.max(start, body.indexOf('}', start) + 1))
+          q.findAllMatchIn(sub).map(mm => mm.group(1) -> mm.group(2).toDouble)
+            .filter(_._2 > 0).toSeq
       }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
@@ -52,8 +56,10 @@ object Bench {
     if (!f.isFile) Map.empty
     else {
       val body = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
+      // fail CLOSED on a missing "sf" declaration: floors are absolute
+      // seconds and meaningless at an undeclared scale
       val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(body)
-        .forall(m => new java.io.File(sfDir).getName == m.group(1))
+        .exists(m => new java.io.File(sfDir).getName == m.group(1))
       if (!sfOk) Map.empty
       else {
         val q = """"(q[0-9][A-Za-z0-9_]*)":\s*([0-9.]+)""".r

@@ -89,9 +89,11 @@ object TrainingPipeline {
     val chunks = graft.operators.Chunking.chunkDocs(quotaed, "doc_id", "text",
         maxTokens = 512, overlap = 64)
       .select(
-        // chunk-unique id keeps packing's id-ordered prefix sum grouping
-        // a doc's chunks adjacently
-        (col("doc_id") * 10000 + col("chunk_idx")).as("chunk_uid"),
+        // chunk-unique id keeps packing's id-ordered prefix sum grouping a
+        // doc's chunks adjacently; the 1e6 span bounds docs at ~450M tokens
+        // (1e6 chunks x stride 448) before ids could collide — far past any
+        // real document, and doc ids stay < 2^43 so the product can't wrap
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("chunk_uid"),
         col("chunk_text"))
     val packed = Packing.sequentialPacks(chunks, "chunk_uid", "chunk_text", budget = 2048)
     val split = Sampling.split(quotaed, "doc_id")

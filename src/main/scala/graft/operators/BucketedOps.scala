@@ -56,7 +56,24 @@ object BucketedOps {
       val existing = location.map(new java.io.File(_)).exists(d =>
         d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
           .exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      // the on-disk bucket placement is invisible in the files themselves
+      // (bucket metadata lives in the catalog), so a durable layout carries
+      // a spec manifest and registration REQUIRES an exact match — a
+      // registration declaring the wrong (key, buckets, schema) would make
+      // shuffle-free joins silently drop matches, the worst failure mode a
+      // bucketed lake has
+      val specShape = df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+      val manifest = s"""{"key":"$key","buckets":$buckets,"shape":"$specShape"}"""
       if (existing) {
+        val mf = java.nio.file.Paths.get(location.get, ManifestName)
+        require(java.nio.file.Files.isRegularFile(mf),
+          s"${location.get} holds parquet files but no $ManifestName — refusing to " +
+            "register unknown files as a bucketed layout (their placement is unverifiable); " +
+            "point ensureBucketed at a fresh location to ingest")
+        val found = java.nio.file.Files.readString(mf)
+        require(found == manifest,
+          s"bucket-spec mismatch at ${location.get}: layout was ingested as $found, " +
+            s"caller declared $manifest — registering would silently mis-join")
         // register, don't rewrite: a concurrent session's catalog table may
         // point at these very files, and the ingest is already paid
         session.sql(
@@ -70,8 +87,14 @@ object BucketedOps {
         df.write.mode("overwrite").option("path", path)
           .bucketBy(buckets, key).sortBy(key)
           .format("parquet").saveAsTable(name)
+        if (location.isDefined)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(path, ManifestName), manifest)
       }
       name
     })
   }
+
+  /** Layout-spec manifest written next to a durable bucketed layout. */
+  private[operators] val ManifestName = "_graft_bucket_spec.json"
 }

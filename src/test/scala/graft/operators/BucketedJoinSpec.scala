@@ -76,5 +76,20 @@ class BucketedJoinSpec extends SparkSpec {
     assert(!agg2.queryExecution.executedPlan.toString().contains("Exchange hashpartitioning"),
       "registered layout must keep the bucketed plan")
     assert(agg2.count() === agg.count())
+
+    // a registration that disagrees with the ingested spec must FAIL LOUDLY
+    // (wrong bucket count or key would silently drop join matches)
+    intercept[IllegalArgumentException](
+      BucketedOps.ensureBucketed(o, "lake-orders-wrong-buckets", "o_orderkey", 16,
+        location = Some(loc)))
+    intercept[IllegalArgumentException](
+      BucketedOps.ensureBucketed(o, "lake-orders-wrong-key", "o_totalprice", 8,
+        location = Some(loc)))
+    // ...as must registering a directory of unknown (manifest-less) parquet
+    val bare = java.nio.file.Files.createTempDirectory("graft_bare_").toString + "/t"
+    o.write.mode("overwrite").parquet(bare)
+    intercept[IllegalArgumentException](
+      BucketedOps.ensureBucketed(o, "lake-orders-bare", "o_orderkey", 8,
+        location = Some(bare)))
   }
 }
