@@ -43,13 +43,22 @@ object Sketches {
     df.stat.bloomFilter(valueCol, expectedItems, fpp)
 
   /** Membership pre-filter: keep only rows whose `valueCol` might be in
-    * `filter` (definite-misses dropped executor-side; the filter rides as
-    * a broadcast task binary — the standard join pre-screen). The one UDF
-    * in the library: a driver-built sketch object has no Column form; this
-    * helper is pipeline glue, not on any gate-query hot path. */
+    * `filter` (definite-misses dropped executor-side — the standard join
+    * pre-screen). Runs as Spark's own codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over the serialized sketch (the same expression the optimizer's
+    * injected runtime filters use; it deserializes the literal once per
+    * task and calls `mightContainLong` — exactly what the old Scala UDF
+    * did, minus the per-row encoder round-trip). This removed the
+    * library's last UDF. */
   def mightContain(df: DataFrame, valueCol: String, filter: BloomFilter): DataFrame = {
-    val bcast = df.sparkSession.sparkContext.broadcast(filter)
-    val f = udf((v: Long) => bcast.value.mightContainLong(v))
-    df.filter(f(col(valueCol).cast("long")))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    import org.apache.spark.sql.types.BinaryType
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    df.filter(ColumnGlue.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      ColumnGlue.expression(col(valueCol).cast("long")))))
   }
 }
