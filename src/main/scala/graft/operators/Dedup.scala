@@ -327,4 +327,46 @@ object Dedup {
         (coalesce(col("n_matched"), lit(0L)).cast("double") /
           col("n_shingles").cast("double")).as("match_frac"))
   }
+
+  /** Incremental exact dedup against a prior corpus snapshot with a Bloom
+    * pre-screen — "which of today's docs are NEW vs yesterday" without
+    * joining the whole of today:
+    *
+    *   1. a Bloom filter over yesterday's content hashes (built
+    *      distributed, collected driver-side — ~1.2 MB per 10⁶ docs at 3%
+    *      fpp, bounded and SF-independent) rides to the executors as an
+    *      expression literal;
+    *   2. today's DEFINITE-MISSES (most of a fresh crawl) bypass the join
+    *      entirely — Bloom has no false negatives, so they are provably
+    *      new;
+    *   3. only the possible-members (yesterday's size + the fpp tail)
+    *      anti-join yesterday's exact hash set.
+    *
+    * The answer is EXACTLY the plain anti-join's — false positives only
+    * move rows from the bypass lane into the exact lane — which is what
+    * makes an approximate structure hash-gateable end-to-end (q95): the
+    * oracle replays the plain anti-join and must agree bit-for-bit
+    * regardless of where the fpp landed. At 100 TB this is the standard
+    * daily-ingest shape: the join's left side shrinks from |today| to
+    * ≈|yesterday ∩ today| + fpp·|today|.
+    *
+    * The Bloom keys are the first 56 bits of the md5 (portable integer
+    * form); the EXACT lane compares full md5 strings, so hash collisions
+    * cannot produce a wrong answer either. */
+  def incrementalNewDocs(today: DataFrame, yesterday: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.03): DataFrame = {
+    val h = md5(col(textCol)).as("h")
+    val yh = yesterday.select(h).distinct()
+    val key = portableH56(col("h"))
+    val nY = math.max(1L, yh.count())
+    val bloom = graft.operators.Sketches.bloomFilterOf(
+      yh.select(key.as("k")), "k", expectedItems = nY, fpp = fpp)
+    val withK = today.select(col(idCol), h).withColumn("__k", key)
+    val pred = graft.operators.Sketches.mightContainCol(col("__k"), bloom)
+    val definiteNew = withK.filter(!pred).select(col(idCol), col("h"))
+    val verifiedNew = withK.filter(pred)
+      .join(yh.withColumnRenamed("h", "__yh"), col("h") === col("__yh"), "left_anti")
+      .select(col(idCol), col("h"))
+    definiteNew.unionAll(verifiedNew)
+  }
 }

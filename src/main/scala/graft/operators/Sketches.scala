@@ -51,14 +51,20 @@ object Sketches {
     * task and calls `mightContainLong` — exactly what the old Scala UDF
     * did, minus the per-row encoder round-trip). This removed the
     * library's last UDF. */
-  def mightContain(df: DataFrame, valueCol: String, filter: BloomFilter): DataFrame = {
+  def mightContain(df: DataFrame, valueCol: String, filter: BloomFilter): DataFrame =
+    df.filter(mightContainCol(col(valueCol), filter))
+
+  /** The membership test as a composable Column predicate (negatable —
+    * [[graft.operators.Dedup.incrementalNewDocs]] routes definite-misses
+    * down a join-free lane with `!mightContainCol(...)`). */
+  def mightContainCol(value: org.apache.spark.sql.Column, filter: BloomFilter): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftglue.ColumnGlue
     import org.apache.spark.sql.types.BinaryType
     val bos = new java.io.ByteArrayOutputStream()
     filter.writeTo(bos)
-    df.filter(ColumnGlue.column(BloomFilterMightContain(
+    ColumnGlue.column(BloomFilterMightContain(
       Literal(bos.toByteArray, BinaryType),
-      ColumnGlue.expression(col(valueCol).cast("long")))))
+      ColumnGlue.expression(value.cast("long"))))
   }
 }

@@ -218,6 +218,23 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental ingest dedup: today's crawl (fresh docs + re-crawled
+    // copies of yesterday's) against yesterday's snapshot, Bloom
+    // pre-screen + exact verify — the answer is provably independent of
+    // where the Bloom's false positives land, which is what makes an
+    // approximate structure hash-gateable end-to-end
+    "q95_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val yesterday = docs.filter(col("doc_id") % 3 === 0)
+      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+      val recrawled = yesterday.filter(col("doc_id") % 5 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + col("id_off") + 1L).as("doc_id"), col("text"))
+      val today = docs.filter(col("doc_id") % 3 =!= 0).unionAll(recrawled)
+      Dedup.incrementalNewDocs(today, yesterday, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // epoch-weighted source mixture: "2.5 epochs of src0, half of src1,
     // a quarter of src2, none of src3" materialized as deterministic row
     // multiplicity — copy counts a pure function of the id hash
@@ -977,6 +994,19 @@ object DataQueries {
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // the Bloom pre-screen provably cannot change the answer, so the
+    // oracle is the PLAIN anti-join over the same today/yesterday sets
+    "q95_incremental_dedup" ->
+      """WITH yesterday AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |today AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+        |SELECT t.doc_id, md5(t.text) AS h FROM today t
+        |WHERE md5(t.text) NOT IN (SELECT md5(text) FROM yesterday)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // mixture replayed closed-form: whole + fractional-coin copies from
     // the q56 hash formula, epochs via generate_series

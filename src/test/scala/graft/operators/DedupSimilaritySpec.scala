@@ -194,4 +194,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.exactGroups(withDups, "doc_id", "text")
       .filter(col("n_copies") > 1).count() === 10)
   }
+
+  test("incrementalNewDocs: answer independent of Bloom fpp; definite-miss lane bypasses the join") {
+    val base = docs.select("doc_id", "text")
+    val yesterday = base.filter(col("doc_id") % 3 === 0)
+    val today = base.filter(col("doc_id") % 3 =!= 0)
+      .unionAll(yesterday.limit(20).select((col("doc_id") + 100000L).as("doc_id"),
+        col("text"))) // re-crawled copies: same text, new ids → NOT new
+    val expect = today
+      .join(yesterday.select(md5(col("text")).as("__yh")),
+        md5(col("text")) === col("__yh"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a sloppy filter (50% fpp) and a tight one must both give EXACTLY the
+    // plain anti-join — FPs only reroute rows into the exact lane
+    Seq(0.5, 0.01).foreach { fpp =>
+      val got = Dedup.incrementalNewDocs(today, yesterday, "doc_id", "text", fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"fpp=$fpp diverged from the plain anti-join")
+    }
+    // every re-crawled copy was recognized as yesterday's content
+    assert(!expect.exists(_ >= 100000L))
+    assert(expect.nonEmpty)
+  }
 }
