@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes RAW to sbt's own stdout/stderr instead of
+// through the "[info] "/"[error] " line logger. Load-bearing for the
+// driver contract: the bench metric line must reach the driver's log
+// tail starting with '{' at column 0 — eight rounds of BENCH_r*.json
+// show `parsed: null` with the line present but "[info] "-prefixed,
+// including rounds where it was complete, valid JSON. (Public sbt
+// Forking doc: outputStrategy / StdoutOutput.)
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -159,8 +159,13 @@ object Dedup {
     * bytes of md5 (== DuckDB `md5_number_upper(s) >> 8`, the little-endian
     * uint64 of the first 8 digest bytes). conv() of 14 hex chars < 2^56,
     * so the long cast is ANSI-safe. */
-  private[graft] def portableH56(s: Column): Column = {
-    val h = md5(s)
+  private[graft] def portableH56(s: Column): Column = h56FromMd5Hex(md5(s))
+
+  /** The 56-bit integer form of an ALREADY-computed md5 hex column —
+    * [[portableH56]] minus its md5. Callers that carry an md5 column
+    * anyway (e.g. [[incrementalNewDocs]]'s content hash) derive the
+    * integer key from it directly rather than paying a second digest. */
+  private[graft] def h56FromMd5Hex(h: Column): Column = {
     val le = concat(substring(h, 15, 2), substring(h, 13, 2), substring(h, 11, 2),
       substring(h, 9, 2), substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2))
     conv(le, 16, 10).cast("long")
@@ -333,9 +338,20 @@ object Dedup {
     * joining the whole of today:
     *
     *   1. a Bloom filter over yesterday's content hashes (built
-    *      distributed, collected driver-side — ~1.2 MB per 10⁶ docs at 3%
-    *      fpp, bounded and SF-independent) rides to the executors as an
-    *      expression literal;
+    *      distributed, collected driver-side) rides to the executors as an
+    *      expression literal. Its size is O(|yesterday| · log(1/fpp))
+    *      BITS — ~1.2 MB per 10⁶ docs at 3% fpp — linear in the prior
+    *      corpus, NOT SF-independent: at 10¹⁰ docs the 3%-fpp sketch
+    *      would be ~12 GB, which no driver literal survives.
+    *      `sketchBudgetBytes` therefore caps it: when |yesterday|
+    *      outgrows the budget, fpp auto-raises to the smallest rate whose
+    *      optimal sketch still fits (fpp = e^(−8·budget·ln²2 / n), from
+    *      m = −n·ln p/ln²2). The dial is SAFE because a false positive
+    *      only demotes a row from the bypass lane into the exact lane —
+    *      the pre-screen degrades toward the plain anti-join, never
+    *      toward a wrong answer. At true 100 TB the next step is
+    *      per-bucket Blooms co-partitioned with the exact lane's hash
+    *      layout, removing the driver literal entirely.
     *   2. today's DEFINITE-MISSES (most of a fresh crawl) bypass the join
     *      entirely — Bloom has no false negatives, so they are provably
     *      new;
@@ -350,17 +366,21 @@ object Dedup {
     * daily-ingest shape: the join's left side shrinks from |today| to
     * ≈|yesterday ∩ today| + fpp·|today|.
     *
-    * The Bloom keys are the first 56 bits of the md5 (portable integer
-    * form); the EXACT lane compares full md5 strings, so hash collisions
-    * cannot produce a wrong answer either. */
+    * The Bloom keys are the 56-bit little-endian integer form of the md5
+    * hex ([[h56FromMd5Hex]] — derived directly from the `h` column both
+    * sides already carry, ONE digest per row); the EXACT lane compares
+    * full md5 strings, so hash collisions cannot produce a wrong answer
+    * either. */
   def incrementalNewDocs(today: DataFrame, yesterday: DataFrame,
-      idCol: String, textCol: String, fpp: Double = 0.03): DataFrame = {
+      idCol: String, textCol: String, fpp: Double = 0.03,
+      sketchBudgetBytes: Long = 64L << 20): DataFrame = {
     val h = md5(col(textCol)).as("h")
     val yh = yesterday.select(h).distinct()
-    val key = portableH56(col("h"))
+    val key = h56FromMd5Hex(col("h"))
     val nY = math.max(1L, yh.count())
     val bloom = graft.operators.Sketches.bloomFilterOf(
-      yh.select(key.as("k")), "k", expectedItems = nY, fpp = fpp)
+      yh.select(key.as("k")), "k", expectedItems = nY,
+      fpp = budgetedFpp(fpp, nY, sketchBudgetBytes))
     val withK = today.select(col(idCol), h).withColumn("__k", key)
     val pred = graft.operators.Sketches.mightContainCol(col("__k"), bloom)
     val definiteNew = withK.filter(!pred).select(col(idCol), col("h"))
@@ -368,5 +388,19 @@ object Dedup {
       .join(yh.withColumnRenamed("h", "__yh"), col("h") === col("__yh"), "left_anti")
       .select(col(idCol), col("h"))
     definiteNew.unionAll(verifiedNew)
+  }
+
+  /** The fpp that keeps an optimal Bloom sketch over `n` items within
+    * `budgetBytes` (m = −n·ln p/ln²2 bits, inverted for p): never below
+    * the requested `fpp` — budget headroom is not a reason to shrink the
+    * sketch past what the caller asked for. Under extreme starvation fpp
+    * approaches 1 and the pre-screen degrades to a no-op that routes
+    * ~everything into the exact lane — slower, never wrong. The 0.999
+    * ceiling only keeps the value inside BloomFilter.create's (0, 1)
+    * domain. */
+  private[graft] def budgetedFpp(fpp: Double, n: Long, budgetBytes: Long): Double = {
+    val ln2sq = math.log(2) * math.log(2)
+    val minFpp = math.exp(-(budgetBytes * 8.0 * ln2sq) / math.max(1L, n))
+    math.min(0.999, math.max(fpp, minFpp))
   }
 }

@@ -314,8 +314,10 @@ object CdcQueries {
     t(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) * 3 + 3
 
   /** Writes the orders changelog as a PURE EVENT LOG (no snapshot): insert
-    * at offset 3k, the k%5=2 update pair at 3k+1, the k%7=3 delete at
-    * 3k+2 — the same derivation as q23's relational changelog, here as
+    * at offset 3k+1, the k%5=2 update pair at 3k+2, the k%7=3 delete at
+    * 3k+3 (1-based because log reads are resume-AFTER `(logPos, end]` —
+    * offset 0 = baseOffset would be unreadable from `earliest`) — the
+    * same derivation as q23's relational changelog, here as
     * provider events the SOURCE replays in `earliest` mode, so every event
     * flows as a change row with its real offset (nothing folds into a
     * snapshot image). Two no-op sentinel updates on the max key at

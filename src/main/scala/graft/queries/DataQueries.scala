@@ -996,7 +996,11 @@ object DataQueries {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     // the Bloom pre-screen provably cannot change the answer, so the
-    // oracle is the PLAIN anti-join over the same today/yesterday sets
+    // oracle is the PLAIN anti-join over the same today/yesterday sets.
+    // NOT EXISTS, not NOT IN: a NULL text in yesterday would turn the
+    // NOT IN into zero rows while the Spark left_anti (null-safe by
+    // construction) keeps every non-matching doc — NOT EXISTS has the
+    // anti-join's null semantics.
     "q95_incremental_dedup" ->
       """WITH yesterday AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
         |today AS (
@@ -1005,7 +1009,7 @@ object DataQueries {
         |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
         |SELECT t.doc_id, md5(t.text) AS h FROM today t
-        |WHERE md5(t.text) NOT IN (SELECT md5(text) FROM yesterday)
+        |WHERE NOT EXISTS (SELECT 1 FROM yesterday y WHERE md5(y.text) = md5(t.text))
         |ORDER BY t.doc_id""".stripMargin,
 
     // mixture replayed closed-form: whole + fractional-coin copies from

@@ -216,4 +216,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!expect.exists(_ >= 100000L))
     assert(expect.nonEmpty)
   }
+
+  test("budgetedFpp: sketch stays within the byte budget, answer unchanged") {
+    // the sketch is O(n·log(1/fpp)) bits — at 10^9 items a 3%-fpp filter
+    // would be ~900 MB; a 1 MB budget must auto-raise fpp instead
+    val oneMB = 1L << 20
+    val fpp = Dedup.budgetedFpp(0.03, 1_000_000_000L, oneMB)
+    assert(fpp > 0.03 && fpp < 1.0)
+    // Spark's own sizing for (n, fpp) must fit the budget: optimal bits
+    // m = −n·ln(p)/ln²2, the formula budgetedFpp inverts
+    val bits = -1e9 * math.log(fpp) / (math.log(2) * math.log(2))
+    assert(bits <= oneMB * 8.0 * 1.001, s"bits=$bits over budget")
+    // small n: the requested fpp is kept (budget headroom never shrinks it)
+    assert(Dedup.budgetedFpp(0.03, 1000L, oneMB) === 0.03)
+    // end-to-end: a starved budget still yields the exact answer
+    val base = docs.select("doc_id", "text")
+    val yesterday = base.filter(col("doc_id") % 3 === 0)
+    val today = base.filter(col("doc_id") % 3 =!= 0)
+    val expect = today
+      .join(yesterday.select(md5(col("text")).as("__yh")),
+        md5(col("text")) === col("__yh"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Dedup.incrementalNewDocs(today, yesterday, "doc_id", "text",
+        fpp = 0.0001, sketchBudgetBytes = 64) // 64 bytes for hundreds of hashes
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
 }
