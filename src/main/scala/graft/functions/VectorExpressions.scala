@@ -129,6 +129,78 @@ final case class DoubleArrayDot(left: Expression, right: Expression)
       newRight: Expression): DoubleArrayDot = copy(left = newLeft, right = newRight)
 }
 
+/** Quantize-then-sign-project in ONE native pass: out(j) = Σᵢ sign(j,i) ·
+  * floor(xᵢ · scale) over an array<float|double> column — the
+  * Johnson–Lindenstrauss projection of [[graft.operators.Similarity
+  * .signProjectTopK]]. As a composed column expression this is an
+  * outDim·dim-node tree (every term its own element_at), whose generated
+  * code Janino compiles for ~seconds before the first row — a fixed cost
+  * that dwarfed the actual q98 work at bench SFs. Here the whole
+  * projection is one reference-object call and a dim + outDim·dim tight
+  * loop: identical values (floor per element once, then exact long
+  * sign-sums), tiny generated code.
+  *
+  * `signs` is an IndexedSeq (structural equality — an Array field would
+  * compare by reference and break expression canonicalization); the hot
+  * loop reads a private lazy Array copy. */
+final case class SignProjectQuantized(child: Expression,
+    signs: IndexedSeq[IndexedSeq[Long]], scale: Double)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> column, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_project_quantized"
+
+  @transient private lazy val signArr: Array[Array[Long]] =
+    signs.map(_.toArray).toArray
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(a: ArrayData): ArrayData = {
+    val sa = signArr
+    val outDim = sa.length
+    val dim = if (outDim == 0) 0 else sa(0).length
+    val n = a.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector length $n != projection input dim $dim")
+    val lf = isFloat
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"$prettyName: null element at index $i")
+      val x: Double = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      q(i) = math.floor(x * scale).toLong
+      i += 1
+    }
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      val row = sa(j)
+      var s = 0L
+      var k = 0
+      while (k < dim) { s += (if (row(k) > 0) q(k) else -q(k)); k += 1 }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("proj", this, classOf[SignProjectQuantized].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjectQuantized =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
   import org.apache.spark.unsafe.Platform
@@ -184,4 +256,9 @@ object VectorExpressions {
   /** Left-to-right double dot of two array<float|double> columns. */
   def doubleDot(a: Column, b: Column): Column =
     ColumnGlue.column(DoubleArrayDot(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  /** floor-quantize + ±1-project an array<float|double> column to
+    * array<bigint> in one native pass (see [[SignProjectQuantized]]). */
+  def signProject(v: Column, signs: IndexedSeq[IndexedSeq[Long]], scale: Double): Column =
+    ColumnGlue.column(SignProjectQuantized(ColumnGlue.expression(v), signs, scale))
 }

@@ -403,4 +403,102 @@ object Dedup {
     val minFpp = math.exp(-(budgetBytes * 8.0 * ln2sq) / math.max(1L, n))
     math.min(0.999, math.max(fpp, minFpp))
   }
+
+  /** [[incrementalNewDocs]] without the driver literal — per-bucket Bloom
+    * filters CO-PARTITIONED with the data, the shape the pre-screen takes
+    * once yesterday's corpus outgrows any single driver-held sketch:
+    *
+    *   1. yesterday's distinct content hashes are bucketed by
+    *      `pmod(h56, nBuckets)` and each bucket builds its OWN exact-
+    *      capacity Bloom in one distributed pass (`mapGroups` — sketch
+    *      construction is genuinely imperative; Spark's own
+    *      `df.stat.bloomFilter` is the same loop as an RDD aggregate).
+    *      The blooms never leave the executors: nBuckets rows of
+    *      O(|Y|/nBuckets · log(1/fpp)) bits each, so per-TASK memory —
+    *      not driver memory — is the only bound, and it shrinks linearly
+    *      as nBuckets grows.
+    *   2. today co-groups with the bloom table on the SAME bucket key
+    *      (one hash-partitioned shuffle — the exchange a bucketed lake
+    *      layout à la [[BucketedOps]] would already provide for free).
+    *      Each task deserializes its buckets' blooms ONCE and streams
+    *      today's rows through them: definite-misses (a bucket with no
+    *      yesterday docs, or a Bloom miss) are provably new and bypass
+    *      the join; possible-members fall through to the exact lane.
+    *   3. the exact lane anti-joins the possible-members (≈|Y∩T| plus the
+    *      fpp tail, NOT all of today) against yesterday's hash set.
+    *
+    * Same contract as [[incrementalNewDocs]]: false positives only demote
+    * rows into the exact lane, so the answer is EXACTLY the plain
+    * anti-join's for every (nBuckets, fpp) — which is what lets q96 put
+    * the whole distributed-sketch pipeline under the DuckDB hash gate.
+    * `sketchBudgetBytes` is the TOTAL sketch budget; each bucket gets its
+    * share and auto-raises fpp only if its exact key count overflows it
+    * ([[budgetedFpp]] per bucket, with the bucket's real cardinality —
+    * tighter than the single-sketch variant, which budgets the global
+    * estimate). */
+  def incrementalNewDocsBucketed(today: DataFrame, yesterday: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 64, fpp: Double = 0.03,
+      sketchBudgetBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.util.sketch.BloomFilter
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val perBucketBudget = math.max(64L, sketchBudgetBytes / nBuckets)
+    val bucket = (k: Column) => pmod(k, lit(nBuckets.toLong))
+
+    val yh = yesterday.select(md5(col(textCol)).as("h")).distinct()
+    val yKeyed = yh.select(col("h"), h56FromMd5Hex(col("h")).as("k"))
+      .withColumn("b", bucket(col("k")))
+    val long2 = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val blooms = yKeyed.select(col("b"), col("k")).as[(Long, Long)](long2)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (b, it) =>
+        // buffering the bucket's keys is the per-task memory contract
+        // (|Y|/nBuckets longs) and buys an exact-capacity sketch
+        val ks = it.map(_._2).toArray
+        val bf = BloomFilter.create(math.max(1L, ks.length.toLong),
+          budgetedFpp(fpp, ks.length.toLong, perBucketBudget))
+        ks.foreach(bf.putLong)
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (b, bos.toByteArray)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+
+    val tKeyed = today.select(col(idCol), md5(col(textCol)).as("h"))
+      .withColumn("__b", bucket(h56FromMd5Hex(col("h"))))
+    val bIdx = tKeyed.schema.fieldIndex("__b")
+    val hIdx = tKeyed.schema.fieldIndex("h")
+    val idIdx = tKeyed.schema.fieldIndex(idCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      tKeyed.schema(idCol),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__maybe", org.apache.spark.sql.types.BooleanType)))
+    val screened = tKeyed
+      .groupByKey((r: Row) => r.getLong(bIdx))(Encoders.scalaLong)
+      .cogroup(blooms.groupByKey(_._1)(Encoders.scalaLong)) { (_, tIt, bfIt) =>
+        val bf = bfIt.buffered.headOption
+          .map(t => BloomFilter.readFrom(new ByteArrayInputStream(t._2)))
+        tIt.map { r =>
+          val maybe = bf.exists(_.mightContainLong(
+            h56OfMd5Hex(r.getString(hIdx))))
+          Row(r.get(idIdx), r.getString(hIdx), maybe)
+        }
+      }(Encoders.row(outSchema))
+
+    val definiteNew = screened.filter(!col("__maybe")).select(col(idCol), col("h"))
+    val verifiedNew = screened.filter(col("__maybe"))
+      .join(yh.withColumnRenamed("h", "__yh"), col("h") === col("__yh"), "left_anti")
+      .select(col(idCol), col("h"))
+    definiteNew.unionAll(verifiedNew)
+  }
+
+  /** JVM-side twin of [[h56FromMd5Hex]] (same 56-bit little-endian integer
+    * from the same 14 hex digits), for executor-side membership tests —
+    * kept adjacent so the two derivations can't drift apart silently;
+    * PortableHashSpec pins them equal. */
+  private[graft] def h56OfMd5Hex(h: String): Long =
+    java.lang.Long.parseLong(
+      h.substring(14, 16) + h.substring(12, 14) + h.substring(10, 12) +
+        h.substring(8, 10) + h.substring(6, 8) + h.substring(4, 6) +
+        h.substring(2, 4), 16)
 }

@@ -795,4 +795,77 @@ object Similarity {
       .select(col("label"), col("idx").cast("bigint").as("idx"), col("n"),
         (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"))
   }
+
+  // -------------------------------------------------------------------------
+  // Random projection (Johnson–Lindenstrauss)
+  // -------------------------------------------------------------------------
+
+  /** Deterministic ±1 (Rademacher) projection matrix, entry (j,i) derived
+    * from the portable md5 hash of `"rp_j_i"` — the SAME 56-bit key the
+    * column-side [[graft.operators.Dedup.h56FromMd5Hex]] computes, so
+    * DuckDB replays every sign from `md5_number_upper`. Sign matrices are
+    * the classic database-free JL construction (Achlioptas 2003): E[p·p']
+    * preserves dot products at scale factor `dim`, with error O(1/√outDim).
+    * Bounded driver work at PLAN time: outDim·dim entries (a few KB). */
+  private[graft] def signMatrix(outDim: Int, dim: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(outDim, dim) { (j, i) =>
+      val hex = md.digest(s"rp_${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      if (graft.operators.Dedup.h56OfMd5Hex(hex) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Top-k retrieval in a SIGN-RANDOM-PROJECTED space: embeddings are
+    * quantized (floor(x·2¹⁶) — the coarser grid keeps the projected dot
+    * products inside exact int64: |p_j| ≤ dim·2¹⁶, products ≤ 2^(2·(16+log₂dim)),
+    * outDim-term sums well under 2⁶³ for dim ≤ 256, outDim ≤ 64), then
+    * projected to `outDim` dimensions by the deterministic ±1 matrix —
+    * p_j = Σᵢ sign(j,i)·xᵢ, an unrolled codegen'd integer expression, no
+    * shuffle, no UDF — and ranked by the exact integer dot product IN THE
+    * PROJECTED SPACE.
+    *
+    * Why this is a 100 TB primitive: scoring cost per candidate drops
+    * dim/outDim (64→16 = 4×) and, more importantly, the projected
+    * vectors are what you STORE — a 4× smaller index that every
+    * downstream ANN stage (IVF cells, LSH buckets, brute-force rescore
+    * shortlists) reads instead of the full embeddings. The ranking is
+    * approximate w.r.t. the original space (JL distortion) but EXACT as
+    * a computation — the projection is deterministic, so the whole
+    * pipeline (quantize → project → score → rank) replays closed-form in
+    * the oracle (q98), unlike seeded-random projections.
+    *
+    * Same execution shape as [[bruteForceTopK]]: query side pre-
+    * partitioned before the blowup, corpus broadcast while it provably
+    * fits, falling back to the streamed cross join above the cap. */
+  def signProjectTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, outDim: Int, k: Int,
+      maxBroadcastRows: Long = 200000L): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    require(outDim > 0 && outDim <= 64, s"outDim must be in 1..64, got $outDim")
+    require(dim <= 256, s"sign projection quantization bound assumes dim <= 256, got $dim")
+    val signs = signMatrix(outDim, dim)
+    // ONE native pass per row (quantize + project;
+    // [[graft.functions.SignProjectQuantized]]): the composed
+    // element_at/transform form was an outDim·dim-node expression tree —
+    // its HOF copies evaluated per term (8× q32) and, once that was
+    // split, Janino still spent ~1.5 s compiling the tree before the
+    // first row. Same values, tiny generated code.
+    val proj = (v: Column) =>
+      graft.functions.VectorExpressions.signProject(v, signs, 65536.0) // 2^16
+    val q = queries.select(col(idCol).as("qid"), proj(col(vecCol)).as("qa"))
+      .repartition(shufflePartitions(queries), col("qid"))
+    val c = corpus.select(col(idCol).as("cid"), proj(col(vecCol)).as("ca"))
+    val probeRows = math.min(maxBroadcastRows, Int.MaxValue - 1L).toInt + 1
+    val corpusFits =
+      corpus.select(col(idCol)).limit(probeRows).count() <= maxBroadcastRows
+    val pairs = if (corpusFits) q.crossJoin(broadcast(c)) else q.crossJoin(c)
+    val scored = pairs.filter(col("qid") =!= col("cid"))
+      .withColumn("score_q", longDot(col("qa"), col("ca")))
+    val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("score_q"))
+  }
 }

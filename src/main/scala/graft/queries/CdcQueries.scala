@@ -194,6 +194,98 @@ object CdcQueries {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("k", "valid_from")),
 
+    // snapshot-comparison CDC: recover the change set from two STATES
+    // (old = the orders snapshot; new = the post-changelog state plus a
+    // batch of genuinely-new rows) — the no-log fallback mode, and the
+    // dataset-versioning diff. One co-partitioned full-outer join; the
+    // delta rows must hash-match the oracle's closed-form classification.
+    "q97_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"), col("o_orderstatus").as("st"))
+      val isUpd = col("k") % 5 === 2
+      val isDel = col("k") % 7 === 3
+      val maxId = o.agg(max(col("k")).as("id_off"))
+      val newState = o.filter(!isDel)
+        .select(col("k"),
+          when(isUpd, col("price") * 1.1).otherwise(col("price")).as("price"),
+          col("st"))
+        .unionAll(o.filter(col("k") % 13 === 0).crossJoin(broadcast(maxId))
+          .select((col("k") + col("id_off") + 1L).as("k"), col("price"),
+            lit("N").as("st")))
+      graft.operators.SnapshotDiff.diff(o, newState, Seq("k")).orderBy("k")
+    }),
+
+    // STREAMING SCD2: the cdc-log source replays the orders event log
+    // (sentinel-free fixture — no event-time state, so no watermark
+    // scaffolding) in offset-capped micro-batches; scd2ClosedIntervals
+    // holds ONE open version per live key and emits each history row the
+    // instant its closing event arrives. The closed intervals must
+    // hash-match the closed-form derivation — the streaming complement of
+    // batch q69, whose valid_to IS NOT NULL subset this reproduces.
+    "q99_stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val root = writeTemporalProviderTable(s, dir, sentinels = false)
+      val maxOff = q92MaxOff(s, dir)
+      val raw = s.readStream.format("cdc-log").option("path", root)
+        .option("scan.startup.mode", "earliest")
+        .option("metadata.columns", "op_offset,row_kind")
+        // ~9 micro-batches at every SF: open versions must cross real
+        // checkpointed state, not just within-batch sort order
+        .option("scan.log.max-offsets-per-batch",
+          math.max(1L, maxOff / 8).toString)
+        .load()
+      val ev = raw.filter(col("op") === "c" ||
+          (col("op") === "u" && col("row_kind") === "+U") || col("op") === "d")
+        .select(col("k"), col("price"), col("st"),
+          col("op_offset").as("offset"), (col("op") === "d").as("isDelete"))
+        .as[graft.streaming.Scd2Event]
+      val closed = graft.streaming.StreamingOps.scd2ClosedIntervals(ev)
+      StreamFixtures.drainAppend(s, closed.toDF(), "q99_scd2")
+        .select("k", "price", "st", "valid_from", "valid_to")
+        .orderBy("k", "valid_from")
+    }),
+
+    // STREAMING RETRACT AGGREGATION: the aggregate consumed STRAIGHT off
+    // the changelog with signed contributions (+after for c/+U, −before
+    // for d/-U — Flink's retract-stream aggregate, which the reference's
+    // op-column design transposes into append rows) — NO per-key
+    // materialization in between: state is O(groups), not O(keys), the
+    // way a 100 TB pipeline keeps a running corpus-level aggregate
+    // current against a firehose of updates. Signed sums in
+    // DECIMAL(38,6) are order-free exact, so update/delete pairs cancel
+    // bit-exactly and the final snapshot equals q25's closed form.
+    "q100_stream_retract_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = writeTemporalProviderTable(s, dir, sentinels = false)
+      val maxOff = q92MaxOff(s, dir)
+      val raw = s.readStream.format("cdc-log").option("path", root)
+        .option("scan.startup.mode", "earliest")
+        .option("metadata.columns", "op_offset,row_kind")
+        .option("scan.log.max-offsets-per-batch",
+          math.max(1L, maxOff / 8).toString)
+        .load()
+      val sign = when(col("op") === "d" || col("row_kind") === "-U", -1L)
+        .otherwise(1L)
+      val agg = raw
+        .select(col("st"), (col("price").cast("decimal(38,6)") * sign).as("sp"),
+          sign.as("sn"))
+        .groupBy("st")
+        .agg(sum(col("sp")).cast("double").as("total"),
+          sum(col("sn")).as("n"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q100_ckpt_")
+      tmp.toFile.deleteOnExit()
+      val qname = "q100_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        agg.writeStream.outputMode("complete").format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      q.awaitTermination()
+      s.table(qname).orderBy("st")
+    }),
+
     // THE SOURCE ITSELF under the hash gate: the derived changelog written
     // out as a file-provider table (snapshot.jsonl + log.jsonl), batch-read
     // through format("cdc-log") — ChunkSplitter plans real PK-range chunks,
@@ -326,8 +418,13 @@ object CdcQueries {
     * Distributed build, same O(1)-driver concat as
     * [[writeFileProviderTable]]. Once per (JVM, sf dir). */
   private val temporalFixtureCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def writeTemporalProviderTable(s: SparkSession, dir: String): String =
-    temporalFixtureCache.computeIfAbsent(dir, _ => {
+  /** `sentinels = false` writes the same business log WITHOUT the
+    * far-future watermark waves — for consumers with no event-time state
+    * (q99's SCD2 run), where the waves would stretch the offset span and
+    * turn offset-capped micro-batching into hundreds of empty batches. */
+  private[graft] def writeTemporalProviderTable(s: SparkSession, dir: String,
+      sentinels: Boolean = true): String =
+    temporalFixtureCache.computeIfAbsent(s"$dir|$sentinels", _ => {
       import java.nio.file.{Files, Paths}
       import s.implicits._
       val root = Files.createTempDirectory("graft_cdctemporal_").toString
@@ -360,15 +457,17 @@ object CdcQueries {
         ins ++ u ++ dl
       })
       concatText(logLines, Paths.get(root, "_log_parts"), d.resolve("log.jsonl"))
-      val (maxK, mp0, mst) = rows.orderBy(col("k").desc).head()
-      val mpCur = if (maxK % 5 == 2) mp0 * 1.1 else mp0
-      val maxOff = maxK * 3 + 3
-      val span = q92WaveSpan(maxOff)
-      val sent = (1 to 2).map { i =>
-        s"""{"offset":${maxOff + i * span},"op":"u","tsMs":300,"before":${js(maxK, mpCur, mst)},"after":${js(maxK, mpCur, mst)}}"""
-      }.mkString("", "\n", "\n")
-      Files.writeString(d.resolve("log.jsonl"), sent,
-        java.nio.file.StandardOpenOption.APPEND)
+      if (sentinels) {
+        val (maxK, mp0, mst) = rows.orderBy(col("k").desc).head()
+        val mpCur = if (maxK % 5 == 2) mp0 * 1.1 else mp0
+        val maxOff = maxK * 3 + 3
+        val span = q92WaveSpan(maxOff)
+        val sent = (1 to 2).map { i =>
+          s"""{"offset":${maxOff + i * span},"op":"u","tsMs":300,"before":${js(maxK, mpCur, mst)},"after":${js(maxK, mpCur, mst)}}"""
+        }.mkString("", "\n", "\n")
+        Files.writeString(d.resolve("log.jsonl"), sent,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
       root
     })
 
@@ -409,7 +508,9 @@ object CdcQueries {
   /** Pre-builds q92's fixture + probe stage (untimed in the bench — the
     * same ingest-scaffolding rule as the other staged streams). */
   private[graft] def ensureTemporalFixtures(s: SparkSession, dir: String): Unit = {
-    writeTemporalProviderTable(s, dir); q92Stage(s, dir); ()
+    writeTemporalProviderTable(s, dir)
+    writeTemporalProviderTable(s, dir, sentinels = false) // q99
+    q92Stage(s, dir); ()
   }
 
   /** write.text the (already range-sorted) lines, then stream the part
@@ -500,6 +601,70 @@ object CdcQueries {
          |       FROM ev)
          |SELECT k, price, st, valid_from, valid_to, valid_to IS NULL AS is_current
          |FROM iv WHERE op <> 'd' ORDER BY k, valid_from""".stripMargin,
+    // the same closed form as q25 — reached by signed event contributions
+    // (decimal cancellation) instead of materialize-then-aggregate
+    "q100_stream_retract_agg" ->
+      s"""SELECT o_orderstatus AS st,
+         |  ${oSum("CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END")} AS total,
+         |  COUNT(*) AS n
+         |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1 ORDER BY st""".stripMargin,
+
+    // closed-form classification of the same old/new state pair: removed =
+    // deleted keys, changed = updated-not-deleted keys (price only), added
+    // = the offset rows; unchanged rows never leave the engine
+    "q97_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey k, o_totalprice price, o_orderstatus st
+        |             FROM orders),
+        |nw AS (
+        |  SELECT o_orderkey k,
+        |    CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END price,
+        |    o_orderstatus st
+        |  FROM orders WHERE o_orderkey % 7 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+        |         o_totalprice, 'N'
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |j AS (
+        |  SELECT COALESCE(n.k, o.k) AS k,
+        |    o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+        |    CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+        |           AND o.price IS DISTINCT FROM n.price THEN 1 ELSE 0 END
+        |    + CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+        |           AND o.st IS DISTINCT FROM n.st THEN 1 ELSE 0 END AS nc,
+        |    CASE WHEN o.k IS NULL OR n.k IS NULL THEN ''
+        |      ELSE array_to_string(list_filter([
+        |        CASE WHEN o.price IS DISTINCT FROM n.price THEN 'price' END,
+        |        CASE WHEN o.st IS DISTINCT FROM n.st THEN 'st' END],
+        |        x -> x IS NOT NULL), ',') END AS changed_cols
+        |  FROM old o FULL OUTER JOIN nw n ON o.k = n.k)
+        |SELECT k,
+        |  CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+        |       WHEN nc > 0 THEN 'changed' ELSE 'unchanged' END AS change_type,
+        |  changed_cols, CAST(nc AS BIGINT) AS n_changed_cols
+        |FROM j
+        |WHERE NOT (in_old AND in_new AND nc = 0)
+        |ORDER BY k""".stripMargin,
+
+    // closed-form interval derivation over the same event log the source
+    // replays: the insert version is closed by the update (k%5=2) else by
+    // the delete (k%7=3); the update version is closed only by a delete;
+    // everything else stays open and is NOT emitted (streaming SCD2
+    // outputs only closed history rows — current state is q74/q78's job)
+    "q99_stream_scd2" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey k, o_totalprice price, o_orderstatus st,
+        |         o_orderkey*3+1 valid_from,
+        |         CASE WHEN o_orderkey % 5 = 2 THEN o_orderkey*3+2
+        |              WHEN o_orderkey % 7 = 3 THEN o_orderkey*3+3 END valid_to
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice*1.1, o_orderstatus,
+        |         o_orderkey*3+2, o_orderkey*3+3
+        |  FROM orders WHERE o_orderkey % 5 = 2 AND o_orderkey % 7 = 3)
+        |SELECT k, price, st, CAST(valid_from AS BIGINT) AS valid_from,
+        |       CAST(valid_to AS BIGINT) AS valid_to
+        |FROM iv WHERE valid_to IS NOT NULL ORDER BY k, valid_from""".stripMargin,
+
     // closed-form argmax over the SAME version set the source replays:
     // insert version at offset-instant 3k+1 ms, update after-image at 3k+2 ms
     // (deletes and -U before-images are not versions); each probe binds to

@@ -62,6 +62,19 @@ object DataQueries {
         .orderBy("qid", "rank")
     }),
 
+    // sign-random-projection (JL) retrieval: 64-dim embeddings projected
+    // to 16 dims by a deterministic md5-derived ±1 matrix, top-3 by the
+    // exact integer dot IN THE PROJECTED SPACE — the store-4×-less /
+    // score-4×-cheaper trick, with the whole projection replayed by the
+    // oracle (approximate by design w.r.t. the original space, exact as a
+    // computation)
+    "q98_random_projection_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.signProjectTopK(e, e.filter(col("vec_id") < 50), "vec_id",
+        "embedding", outDim = 16, k = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // md5-keyed MinHash+LSH — the cross-engine-deterministic variant, fully
     // under the DuckDB hash gate (q33 below is the xxhash64 fast path)
     "q42_minhash_lsh_md5" -> ((s, dir) =>
@@ -232,6 +245,23 @@ object DataQueries {
         .select((col("doc_id") + col("id_off") + 1L).as("doc_id"), col("text"))
       val today = docs.filter(col("doc_id") % 3 =!= 0).unionAll(recrawled)
       Dedup.incrementalNewDocs(today, yesterday, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // the same incremental-ingest answer through the DISTRIBUTED sketch
+    // pipeline: per-bucket Blooms co-partitioned with the data (no driver
+    // literal — the 100 TB form of q95's pre-screen); a different
+    // yesterday/today split keeps the two queries' answers independent
+    "q96_incremental_dedup_bucketed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val yesterday = docs.filter(col("doc_id") % 4 === 0)
+      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+      val recrawled = docs.filter(col("doc_id") % 12 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + col("id_off") + 1L).as("doc_id"), col("text"))
+      val today = docs.filter(col("doc_id") % 4 =!= 0).unionAll(recrawled)
+      Dedup.incrementalNewDocsBucketed(today, yesterday, "doc_id", "text",
+        nBuckets = 32)
         .orderBy("doc_id")
     }),
 
@@ -974,6 +1004,29 @@ object DataQueries {
         |  FROM dots)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // the JL projection replayed closed-form: the ±1 matrix from the same
+    // md5 keys ("rp_j_i" under the md5_number_upper>>8 56-bit hash, parity
+    // → sign), the projection as a (vec,row)×(j) sum, dots in the
+    // projected space. Spark's i is 0-based, generate_subscripts 1-based.
+    "q98_random_projection_topk" ->
+      """WITH f AS (SELECT vec_id, generate_subscripts(embedding, 1) i,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 65536) AS BIGINT) xi
+        |           FROM embeddings),
+        |signs AS (SELECT gj.j, gi.i,
+        |            CASE WHEN ((md5_number_upper('rp_' || gj.j || '_' || gi.i) >> 8) % 2) = 0
+        |                 THEN 1 ELSE -1 END AS s
+        |          FROM generate_series(0, 15) gj(j), generate_series(0, 63) gi(i)),
+        |proj AS (SELECT f.vec_id, s.j, CAST(SUM(f.xi * s.s) AS BIGINT) AS p
+        |         FROM f JOIN signs s ON f.i - 1 = s.i GROUP BY 1, 2),
+        |dots AS (SELECT a.vec_id qid, b.vec_id cid, CAST(SUM(a.p * b.p) AS BIGINT) score_q
+        |         FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id <> b.vec_id
+        |         WHERE a.vec_id < 50 GROUP BY 1, 2)
+        |SELECT qid, cid, rank, score_q FROM (
+        |  SELECT qid, cid, score_q,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) rank
+        |  FROM dots)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
     "q82_simhash_md5" -> simHashMd5OracleSql,
     "q83_streaming_lsh_dedup" -> streamingLshDedupOracleSql(k = 16, bands = 8),
@@ -1008,6 +1061,20 @@ object DataQueries {
         |  UNION ALL
         |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
         |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+        |SELECT t.doc_id, md5(t.text) AS h FROM today t
+        |WHERE NOT EXISTS (SELECT 1 FROM yesterday y WHERE md5(y.text) = md5(t.text))
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // bucketing and per-bucket sketches provably cannot change the answer
+    // either (false positives only demote rows into the exact lane), so
+    // the oracle is again the PLAIN anti-join over q96's own split
+    "q96_incremental_dedup_bucketed" ->
+      """WITH yesterday AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |today AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+        |  FROM documents WHERE doc_id % 12 = 0)
         |SELECT t.doc_id, md5(t.text) AS h FROM today t
         |WHERE NOT EXISTS (SELECT 1 FROM yesterday y WHERE md5(y.text) = md5(t.text))
         |ORDER BY t.doc_id""".stripMargin,

@@ -312,6 +312,50 @@ object StreamingOps {
     * State is one boolean per distinct bucket (the claim), partitioned by
     * the shuffle on the bucket key — the same O(buckets) footprint a
     * Bloom-style ingest filter would hold, but exact. */
+  /** Incremental SCD Type-2 maintenance from a changelog stream: emits a
+    * history row the moment a version is SUPERSEDED (by a newer version
+    * or a delete) — the streaming complement of the batch
+    * [[graft.operators.ChangelogOps.scd2History]], whose
+    * `valid_to IS NOT NULL` subset this reproduces exactly (q99 gates
+    * that equality through the DuckDB oracle; open versions stay in
+    * state and are the materialized current table, which q74/q78 already
+    * cover through the upsert path).
+    *
+    * Scale contract — why the streaming form is the 100 TB shape: the
+    * batch derivation windows over the ENTIRE accumulated history every
+    * run (shuffle grows with total versions ever), while this operator's
+    * state is ONE open version per live key, O(live keys), and each
+    * day's increment shuffles only that day's events. Events for a key
+    * must arrive in ascending `offset` order ACROSS micro-batches (the
+    * cdc-log source replays the log in offset order — its contract);
+    * within one batch the group's rows arrive unordered, so each
+    * invocation sorts its batch slice (bounded: one batch × one key).
+    * Emission is append-only — an interval row is final the instant the
+    * closing event is seen, so no retraction is ever needed (the same
+    * design choice as the reference's delete-as-insert op column). */
+  def scd2ClosedIntervals(events: Dataset[Scd2Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k, it, state: GroupState[Scd2Open]) =>
+          val evs = it.toArray.sortBy(_.offset)
+          val out = Seq.newBuilder[Scd2Closed]
+          var open = state.getOption
+          evs.foreach { e =>
+            open.foreach(o =>
+              out += Scd2Closed(k, o.price, o.st, o.offset, e.offset))
+            open = if (e.isDelete) None
+                   else Some(Scd2Open(e.price, e.st, e.offset))
+          }
+          open match {
+            case Some(o) => state.update(o)
+            case None    => if (state.exists) state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
   def lshBucketClaims(bands: Dataset[BandRow]): Dataset[BucketClaim] = {
     import bands.sparkSession.implicits._
     bands.groupByKey(r => (r.band, r.bhv))
@@ -329,3 +373,13 @@ object StreamingOps {
 
 final case class BandRow(doc_id: Long, band: Int, bhv: Long)
 final case class BucketClaim(band: Int, bhv: Long, first_doc: Long)
+
+/** One state-bearing changelog event for [[StreamingOps.scd2ClosedIntervals]]
+  * (`isDelete` events close the open version without opening one). */
+final case class Scd2Event(k: Long, price: Double, st: String,
+    offset: Long, isDelete: Boolean)
+/** Per-key state: the currently-open version. */
+final case class Scd2Open(price: Double, st: String, offset: Long)
+/** A closed SCD2 interval — append-only, final on emission. */
+final case class Scd2Closed(k: Long, price: Double, st: String,
+    valid_from: Long, valid_to: Long)

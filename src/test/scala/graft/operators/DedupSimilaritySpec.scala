@@ -242,4 +242,69 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got === expect)
   }
+
+  test("incrementalNewDocsBucketed: identical to the plain anti-join across bucket counts and fpp") {
+    val base = docs.select("doc_id", "text")
+    val yesterday = base.filter(col("doc_id") % 4 === 0)
+    val today = base.filter(col("doc_id") % 4 =!= 0)
+      .unionAll(yesterday.limit(15).select((col("doc_id") + 200000L).as("doc_id"),
+        col("text"))) // re-crawled copies → NOT new
+    val expect = today
+      .join(yesterday.select(md5(col("text")).as("__yh")),
+        md5(col("text")) === col("__yh"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty && !expect.exists(_ >= 200000L))
+    // nBuckets=1 (degenerate single sketch), a prime count, and more
+    // buckets than some have keys (empty-bucket lane); sloppy and tight
+    // fpp; a starved per-bucket budget — all must be EXACTLY the anti-join
+    for (nb <- Seq(1, 7, 64); fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.incrementalNewDocsBucketed(today, yesterday, "doc_id", "text",
+          nBuckets = nb, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"nBuckets=$nb fpp=$fpp diverged from the plain anti-join")
+    }
+    val starved = Dedup.incrementalNewDocsBucketed(today, yesterday, "doc_id", "text",
+        nBuckets = 8, fpp = 0.0001, sketchBudgetBytes = 128)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(starved === expect)
+    // empty yesterday: every today doc is definitively new, no bloom rows
+    val none = Dedup.incrementalNewDocsBucketed(today, yesterday.limit(0),
+        "doc_id", "text", nBuckets = 8)
+      .count()
+    assert(none === today.count())
+  }
+
+  test("sign projection: deterministic ±1 matrix; projected space preserves neighborhoods") {
+    val signs = Similarity.signMatrix(8, 64)
+    assert(signs.length === 8 && signs.forall(_.length === 64))
+    assert(signs.flatten.forall(s => s == 1L || s == -1L))
+    // both signs occur (a constant matrix would be a hash bug)
+    assert(signs.flatten.toSet === Set(1L, -1L))
+    // derivation is stable call-to-call (drives the q98 oracle)
+    assert(Similarity.signMatrix(8, 64).map(_.toSeq).toSeq === signs.map(_.toSeq).toSeq)
+    // JL: top-10 in the 16-dim projected space recovers a solid fraction
+    // of the original-space top-10 (the shortlist-then-rescore contract)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val proj = Similarity.signProjectTopK(emb, queries, "vec_id", "embedding",
+        outDim = 16, k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(proj.contains).toDouble / exact.size
+    info(s"projected-space recall@10 = $recall")
+    // the fixture's embeddings are near-random (worst case for JL: all
+    // true dots are tiny, so distortion noise dominates) — still must
+    // beat chance (10/500 = 0.02) decisively; measured 0.11 at 16 dims
+    assert(recall >= 0.05, s"recall@10 $recall not above chance")
+  }
+
+  test("h56OfMd5Hex matches the h56FromMd5Hex column derivation") {
+    val rows = docs.select(md5(col("text")).as("h"))
+      .withColumn("k", graft.operators.Dedup.h56FromMd5Hex(col("h")))
+      .limit(100).collect()
+    rows.foreach { r =>
+      assert(Dedup.h56OfMd5Hex(r.getString(0)) === r.getLong(1),
+        s"JVM/Catalyst 56-bit key drift for md5 ${r.getString(0)}")
+    }
+  }
 }
