@@ -97,4 +97,32 @@ object BucketedOps {
 
   /** Layout-spec manifest written next to a durable bucketed layout. */
   private[operators] val ManifestName = "_graft_bucket_spec.json"
+
+  /** Latest-state compaction of an op-column changelog STORED AS A BUCKETED
+    * LAYOUT on its primary key — the periodic maintenance job of the
+    * changelog lake, planned with ZERO exchanges: the grouping key IS the
+    * bucket key, so the scan's HashPartitioning satisfies the aggregate
+    * and nothing shuffles; a downstream join against any same-key bucketed
+    * table (or a bucketed write-back of the compacted state) stays
+    * exchange-free too (q101 gates the whole compaction→join pipeline and
+    * PlanAuditSpec pins the no-Exchange plan).
+    *
+    * Semantics are [[graft.operators.ChangelogOps.materializeStreaming]]'s
+    * batch twin: one `max_by((payload, op), (op_offset, after-wins))` per
+    * key, keys whose last event is a delete dropped. At 100 TB this is why
+    * the layout pays for itself twice: ingest appends changelog files into
+    * buckets, compaction rewrites each bucket INDEPENDENTLY (no shuffle,
+    * per-task memory = one bucket's keys), and every consumer joins the
+    * compacted state shuffle-free. */
+  def compactChangelog(s: org.apache.spark.sql.SparkSession, changelogTable: String,
+      key: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val seq = struct(col("op_offset"),
+      when(col("row_kind") === "-U", 0).otherwise(1))
+    s.table(changelogTable)
+      .groupBy(col(key))
+      .agg(max_by(struct((payloadCols :+ "op").map(col): _*), seq).as("__last"))
+      .filter(col("__last.op") =!= "d")
+      .select(col(key) +: payloadCols.map(c => col(s"__last.$c").as(c)): _*)
+  }
 }

@@ -245,6 +245,27 @@ object CdcQueries {
         .orderBy("k", "valid_from")
     }),
 
+    // ZERO-EXCHANGE CHANGELOG COMPACTION: the changelog lands bucketed on
+    // its key (the ingest layout), compaction's grouping key IS the bucket
+    // key so the latest-state aggregate runs without a shuffle, and the
+    // compacted state joins the same-key bucketed lineitem layout — the
+    // WHOLE maintenance pipeline (compact → enrich → agg) plans zero
+    // Exchange nodes (PlanAuditSpec pins it). Values must equal the plain
+    // derivation — bucketing changes the plan, never the answer.
+    "q101_bucketed_compaction" -> ((s, dir) => {
+      val clT = graft.operators.BucketedOps.ensureBucketed(
+        changelog(s, dir), s"$dir/changelog_q101", "k", 8)
+      val compacted = graft.operators.BucketedOps
+        .compactChangelog(s, clT, "k", Seq("price", "st"))
+      val (_, lbT) = RelQueries.ensureBucketedTables(s, dir)
+      val l = s.table(lbT).select("l_orderkey", "l_extendedprice", "l_discount")
+      compacted.hint("merge").join(l, col("l_orderkey") === col("k"))
+        .groupBy("k", "price", "st")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          cnt.as("n_items"))
+        .orderBy("k")
+    }),
+
     // STREAMING RETRACT AGGREGATION: the aggregate consumed STRAIGHT off
     // the changelog with signed contributions (+after for c/+U, −before
     // for d/-U — Flink's retract-stream aggregate, which the reference's
@@ -509,8 +530,13 @@ object CdcQueries {
     * same ingest-scaffolding rule as the other staged streams). */
   private[graft] def ensureTemporalFixtures(s: SparkSession, dir: String): Unit = {
     writeTemporalProviderTable(s, dir)
-    writeTemporalProviderTable(s, dir, sentinels = false) // q99
-    q92Stage(s, dir); ()
+    writeTemporalProviderTable(s, dir, sentinels = false) // q99/q100
+    q92Stage(s, dir)
+    // q101's ingest layout (the bucketed changelog) — an index build paid
+    // once at ingest, same rule as q87's bucketed tables
+    graft.operators.BucketedOps.ensureBucketed(
+      changelog(s, dir), s"$dir/changelog_q101", "k", 8)
+    ()
   }
 
   /** write.text the (already range-sorted) lines, then stream the part
@@ -601,6 +627,20 @@ object CdcQueries {
          |       FROM ev)
          |SELECT k, price, st, valid_from, valid_to, valid_to IS NULL AS is_current
          |FROM iv WHERE op <> 'd' ORDER BY k, valid_from""".stripMargin,
+    // the bucketed compaction must never change the answer: the oracle is
+    // the plain latest-state derivation joined to lineitem
+    "q101_bucketed_compaction" ->
+      s"""WITH state AS (
+         |  SELECT o_orderkey AS k,
+         |    CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+         |    o_orderstatus AS st
+         |  FROM orders WHERE o_orderkey % 7 <> 3)
+         |SELECT k, price, st,
+         |  ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM state JOIN lineitem ON l_orderkey = k
+         |GROUP BY k, price, st ORDER BY k""".stripMargin,
+
     // the same closed form as q25 — reached by signed event contributions
     // (decimal cancellation) instead of materialize-then-aggregate
     "q100_stream_retract_agg" ->

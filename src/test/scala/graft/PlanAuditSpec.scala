@@ -135,4 +135,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange"), s"q87 planned an exchange:\n$p")
   }
+
+  test("q101 changelog compaction: compact → join → agg with no hash exchange") {
+    // the compaction agg groups on the bucket key, the join's other side
+    // is bucketed on the same key with the same count, and the final agg
+    // groups on a superset of the key — one bucketed scan partitioning
+    // carries the ENTIRE maintenance pipeline. The single allowed Exchange
+    // is the battery's presentation orderBy (rangepartitioning at the very
+    // top); any hashpartitioning Exchange means compaction or the join
+    // started shuffling — a regression.
+    val p = plan("q101_bucketed_compaction")
+    assert(p.contains("SortMergeJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"q101 planned a data exchange beyond the presentation sort:\n$p")
+  }
 }
