@@ -136,6 +136,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"q87 planned an exchange:\n$p")
   }
 
+  test("q93 chunking: one generate projection — no shuffle, no window, no join") {
+    // the whole operator is a codegen-fused split→sequence→explode→slice
+    // projection; any Window, join, or data shuffle means chunking stopped
+    // being embarrassingly parallel. The single allowed Exchange is the
+    // presentation orderBy's rangepartitioning.
+    val p = plan("q93_doc_chunks")
+    assert(!p.contains("Window"), s"q93 planned a window:\n$p")
+    assert(!p.contains("Join"), s"q93 planned a join:\n$p")
+    assert(p.contains("Generate"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q93 planned a data exchange beyond the presentation sort:\n$p")
+  }
+
+  test("q94 source mixture: rate table folds to expressions — no join, no shuffle") {
+    // the rates ride as a literal-folded CASE/map lookup and copies explode
+    // per-row; a join against a materialized rate table (or any hash
+    // exchange) would re-introduce the shuffle the design exists to avoid
+    val p = plan("q94_source_mixture")
+    assert(!p.contains("Join"), s"q94 planned a join:\n$p")
+    assert(p.contains("Generate"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q94 planned a data exchange beyond the presentation sort:\n$p")
+  }
+
+  test("q95 incremental dedup: native might_contain pre-screen + anti-join lane") {
+    // the Bloom pre-screen must plan as Spark's codegen'd
+    // BloomFilterMightContain (renders `might_contain`) — a UDF here would
+    // break whole-stage codegen on the widest scan of the pipeline; the
+    // exact lane must stay a broadcast/hash LeftAnti (never cartesian)
+    val p = plan("q95_incremental_dedup")
+    assert(p.contains("might_contain"), s"q95 lost the native Bloom expression:\n$p")
+    assert(p.contains("LeftAnti"), s"q95 lost the exact anti-join lane:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q101 changelog compaction: compact → join → agg with no hash exchange") {
     // the compaction agg groups on the bucket key, the join's other side
     // is bucketed on the same key with the same count, and the final agg
