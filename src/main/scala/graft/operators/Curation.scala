@@ -95,4 +95,111 @@ object Curation {
           .otherwise(lit("kept")).as("verdict"),
         col("n_tokens"), col("pack_id"))
   }
+
+  /** The DAILY-INGEST form of [[curationLedger]]: curate TODAY's crawl
+    * against a corpus that already exists, touching yesterday's data only
+    * through its kept-document content-hash manifest — the actual shape a
+    * 100 TB pipeline runs every day (re-curating the full corpus daily is
+    * the thing this operator exists to avoid).
+    *
+    *   quality filter → language filter → PRIOR-corpus exact dedup
+    *   (Bloom pre-screened) → within-today exact dedup → within-today
+    *   near-dup cluster dedup → token-budget packing of the NEW survivors
+    *
+    * `priorKeptHashes` is a one-column (`h` = md5 hex) manifest of the
+    * documents the corpus already retains — O(|corpus|) hashes, not texts.
+    * The prior-dup stage is [[Dedup.incrementalNewDocs]]'s lane split: a
+    * Bloom over the manifest rides to the executors, today's
+    * definite-misses (most of a fresh crawl) bypass the manifest join
+    * entirely, and only possible-members verify against the exact hash
+    * set — a false positive only demotes a row into the exact lane, so the
+    * ledger is provably identical for every (fpp, budget), which is what
+    * lets q102 put the whole incremental composition under the DuckDB
+    * hash gate. `sketchBudgetBytes` caps the sketch via
+    * [[Dedup.budgetedFpp]] (fpp auto-raises under starvation — slower,
+    * never wrong).
+    *
+    * `packIdStart` continues the corpus's pack sequence: today's packs are
+    * new shards appended after yesterday's highest (a day boundary starts
+    * a fresh pack — daily shards, the layout training dataloaders expect).
+    *
+    * Verdicts: drop_quality | drop_lang | drop_prior_dup | drop_exact_dup
+    * | drop_near_dup | kept, first failing stage wins. Near-dup clustering
+    * runs WITHIN today only — a near-duplicate (not byte-identical) of a
+    * prior kept doc is admitted; catching those cross-day requires a
+    * shingle-band index of the corpus (the [[Dedup]] LSH family), which is
+    * a deliberate second index this exact-manifest operator does not
+    * require.
+    *
+    * Scale shape: stages fuse into the scan as in [[curationLedger]]; the
+    * prior manifest never shuffles today's corpus (Bloom lane split + a
+    * semi/anti join on the shrunken possible-member side); everything
+    * downstream runs on strictly shrinking survivor sets. */
+  def incrementalCurationLedger(todayDocs: DataFrame, priorKeptHashes: DataFrame,
+      idCol: String, textCol: String,
+      minQuality: Double = 0.2, keepLang: String = "en",
+      shingleN: Int = 3, minJaccard: Double = 0.3,
+      packBudget: Long = 256, packIdStart: Long = 0L,
+      fpp: Double = 0.03, sketchBudgetBytes: Long = 64L << 20): DataFrame = {
+    val base = todayDocs.select(
+      col(idCol).cast("bigint").as("doc_id"),
+      col(textCol).as("text"),
+      qualityScore(col(textCol)).as("quality"),
+      langId(col(textCol)).as("lang_pred"),
+      tokenCount(col(textCol)).as("n_tokens"))
+
+    val s2 = base.filter(col("quality") >= minQuality &&
+        col("lang_pred") === keepLang)
+      .select(col("doc_id"), col("text"), col("n_tokens"),
+        contentHash(col("text")).as("h"))
+
+    // prior-corpus stage: Bloom lane split + exact verify on the manifest
+    val prior = priorKeptHashes.select(col("h")).distinct()
+    val nPrior = math.max(1L, prior.count())
+    val bloom = Sketches.bloomFilterOf(
+      prior.select(Dedup.h56FromMd5Hex(col("h")).as("k")), "k",
+      expectedItems = nPrior,
+      fpp = Dedup.budgetedFpp(fpp, nPrior, sketchBudgetBytes))
+    val pred = Sketches.mightContainCol(Dedup.h56FromMd5Hex(col("h")), bloom)
+    val maybe = s2.filter(pred)
+    val priorRef = prior.withColumnRenamed("h", "__ph")
+    val priorDrops = maybe
+      .join(priorRef, col("h") === col("__ph"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_prior_dup"))
+    val s2b = s2.filter(!pred).unionAll(
+      maybe.join(priorRef, col("h") === col("__ph"), "left_anti"))
+
+    // within-today exact dedup — reuses the hash column the lane split
+    // already carries (one digest per row, total)
+    val ex = s2b.withColumn("keeper",
+      min("doc_id").over(Window.partitionBy(col("h"))))
+    val exDrops = ex.filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), lit(true).as("is_exact_dup"))
+    val s3 = ex.filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text", "n_tokens")
+
+    val pairs = Dedup.ngramJaccardPairs(s3, "doc_id", "text",
+      n = shingleN, minJaccard = minJaccard)
+    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
+    val ndDrops = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"), lit(true).as("is_near_dup"))
+
+    val kept = s3.join(ndDrops.select("doc_id"), Seq("doc_id"), "left_anti")
+    val packs = Packing.sequentialPacks(kept, "doc_id", "text", packBudget)
+      .select(col("doc_id"), (col("pack_id") + lit(packIdStart)).as("pack_id"))
+
+    base
+      .join(priorDrops, Seq("doc_id"), "left")
+      .join(exDrops, Seq("doc_id"), "left")
+      .join(ndDrops, Seq("doc_id"), "left")
+      .join(packs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality") < minQuality, lit("drop_quality"))
+          .when(col("lang_pred") =!= keepLang, lit("drop_lang"))
+          .when(col("is_prior_dup"), lit("drop_prior_dup"))
+          .when(col("is_exact_dup"), lit("drop_exact_dup"))
+          .when(col("is_near_dup"), lit("drop_near_dup"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("n_tokens"), col("pack_id"))
+  }
 }

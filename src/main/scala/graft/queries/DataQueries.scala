@@ -265,6 +265,42 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // THE DAILY PIPELINE end to end under the hash gate — the q91 × q95
+    // composition the round-8 verdict asked for: yesterday's corpus is
+    // curated once (q91's funnel), and today's crawl (fresh docs + re-crawls
+    // of yesterday's) is curated INCREMENTALLY against yesterday's
+    // kept-hash manifest — Bloom pre-screened prior-dup stage, within-today
+    // dedup stages, packs continuing yesterday's sequence. The updated
+    // two-day ledger must hash-match DuckDB replaying BOTH funnels
+    // closed-form (two recursive component walks in one oracle).
+    "q102_incremental_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val yesterday = docs.filter(col("doc_id") % 3 === 0)
+      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+      val recrawled = yesterday.filter(col("doc_id") % 5 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + col("id_off") + 1L).as("doc_id"), col("text"))
+      val today = docs.filter(col("doc_id") % 3 =!= 0).unionAll(recrawled)
+      // yesterday's ledger feeds three consumers (output rows, the
+      // kept-hash manifest, the pack-sequence offset): persist so the
+      // funnel runs once (bench/verify clear the cache between queries)
+      val yl = graft.operators.Curation.curationLedger(yesterday, "doc_id", "text")
+        .persist()
+      // the manifest feeds four actions inside the operator (cardinality
+      // probe, Bloom build, semi lane, anti lane) — persist the tiny
+      // hash set so each doesn't replay the ledger-join
+      val priorHashes = yl.filter(col("verdict") === "kept").select("doc_id")
+        .join(yesterday, "doc_id").select(md5(col("text")).as("h"))
+        .persist()
+      val packStart = yl.agg((coalesce(max("pack_id"), lit(-1L)) + lit(1L)).as("p0"))
+        .head().getLong(0)
+      val tl = graft.operators.Curation.incrementalCurationLedger(
+        today, priorHashes, "doc_id", "text", packIdStart = packStart)
+      yl.withColumn("ingest_day", lit(0L))
+        .unionAll(tl.withColumn("ingest_day", lit(1L)))
+        .orderBy("doc_id")
+    }),
+
     // epoch-weighted source mixture: "2.5 epochs of src0, half of src1,
     // a quarter of src2, none of src3" materialized as deterministic row
     // multiplicity — copy counts a pure function of the id hash
@@ -762,6 +798,57 @@ object DataQueries {
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
   private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
 
+  /** The curation funnel's DuckDB replay, split in two so q102 can splice
+    * a prior-corpus dedup stage between the quality/lang head and the
+    * dedup/pack tail. All CTE names carry prefix `p`, so the q102 oracle
+    * can instantiate the funnel TWICE (yesterday + today) in one
+    * WITH RECURSIVE clause. [[funnelHeadSql]]: b → lp → s2 (q28 quality,
+    * q29 lang vote). */
+  private def funnelHeadSql(p: String, src: String): String =
+    s"""${p}b AS (SELECT doc_id, text,
+       |  (CAST(LEAST(len(string_split(text,' ')),100) AS DOUBLE)/CAST(100 AS DOUBLE))
+       |   * (CAST(1 AS DOUBLE) - CAST(length(text)-length(translate(text,'.,!?','')) AS DOUBLE)/CAST(GREATEST(length(text),1) AS DOUBLE))
+       |   * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) AS DOUBLE)/CAST(GREATEST(len(string_split(text,' ')),1) AS DOUBLE)) AS quality,
+       |  len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) AS en,
+       |  len(list_filter(string_split(text,' '), x -> x IN ($deIn))) AS de,
+       |  len(list_filter(string_split(text,' '), x -> x IN ($frIn))) AS fr,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+       |  FROM $src),
+       |${p}lp AS (SELECT doc_id, text, quality, n_tokens,
+       |  CASE WHEN GREATEST(en,de,fr)=0 THEN 'unknown'
+       |       WHEN en>=de AND en>=fr THEN 'en'
+       |       WHEN de>=fr THEN 'de' ELSE 'fr' END AS lang_pred FROM ${p}b),
+       |${p}s2 AS (SELECT doc_id, text, n_tokens FROM ${p}lp
+       |       WHERE quality >= 0.2 AND lang_pred = 'en')""".stripMargin
+
+  /** [[funnelHeadSql]]'s tail: exact dedup (q27's md5 keeper) over `exSrc`,
+    * shingle pairs (q30) over the survivors, the recursive component walk
+    * (q57), and prefix-sum packs (q60) whose ids start at `packOffset`. */
+  private def funnelTailSql(p: String, exSrc: String, packOffset: String): String =
+    s"""${p}ex AS (SELECT doc_id, text, n_tokens,
+       |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM $exSrc),
+       |${p}s3 AS (SELECT doc_id, text, n_tokens FROM ${p}ex WHERE doc_id = keeper),
+       |${p}toks AS (SELECT doc_id, string_split(text,' ') ts FROM ${p}s3),
+       |${p}sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |       FROM ${p}toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
+       |${p}sizes AS (SELECT doc_id, COUNT(*) n_sh FROM ${p}sh GROUP BY 1),
+       |${p}pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+       |          FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+       |${p}np AS (SELECT id_a, id_b FROM ${p}pairs
+       |       JOIN ${p}sizes sa ON id_a = sa.doc_id JOIN ${p}sizes sb ON id_b = sb.doc_id
+       |       WHERE CAST(shared AS DOUBLE)/CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3),
+       |${p}edges AS (SELECT id_a u, id_b v FROM ${p}np UNION SELECT id_b, id_a FROM ${p}np),
+       |${p}walk(u, lbl) AS (SELECT u, u FROM (SELECT DISTINCT u FROM ${p}edges)
+       |  UNION SELECT e.u, w.lbl FROM ${p}edges e JOIN ${p}walk w ON e.v = w.u),
+       |${p}comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster FROM ${p}walk GROUP BY u),
+       |${p}nd AS (SELECT doc_id FROM ${p}comp WHERE cluster <> doc_id),
+       |${p}kept AS (SELECT s3.doc_id, s3.n_tokens FROM ${p}s3 s3
+       |         LEFT JOIN ${p}nd nd ON s3.doc_id = nd.doc_id WHERE nd.doc_id IS NULL),
+       |${p}packs AS (SELECT doc_id,
+       |  CAST(($packOffset) + COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS pack_id
+       |  FROM ${p}kept)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q84_sketch_exact_side" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
@@ -782,44 +869,8 @@ object DataQueries {
          |        UNION ALL
          |        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
          |        FROM documents WHERE doc_id % 50 = 0),
-         |b AS (SELECT doc_id, text,
-         |  (CAST(LEAST(len(string_split(text,' ')),100) AS DOUBLE)/CAST(100 AS DOUBLE))
-         |   * (CAST(1 AS DOUBLE) - CAST(length(text)-length(translate(text,'.,!?','')) AS DOUBLE)/CAST(GREATEST(length(text),1) AS DOUBLE))
-         |   * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) AS DOUBLE)/CAST(GREATEST(len(string_split(text,' ')),1) AS DOUBLE)) AS quality,
-         |  len(list_filter(string_split(text,' '), x -> x IN ($stopIn))) AS en,
-         |  len(list_filter(string_split(text,' '), x -> x IN ($deIn))) AS de,
-         |  len(list_filter(string_split(text,' '), x -> x IN ($frIn))) AS fr,
-         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
-         |  FROM src),
-         |lp AS (SELECT doc_id, text, quality, n_tokens,
-         |  CASE WHEN GREATEST(en,de,fr)=0 THEN 'unknown'
-         |       WHEN en>=de AND en>=fr THEN 'en'
-         |       WHEN de>=fr THEN 'de' ELSE 'fr' END AS lang_pred FROM b),
-         |s2 AS (SELECT doc_id, text, n_tokens FROM lp
-         |       WHERE quality >= 0.2 AND lang_pred = 'en'),
-         |ex AS (SELECT doc_id, text, n_tokens,
-         |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM s2),
-         |s3 AS (SELECT doc_id, text, n_tokens FROM ex WHERE doc_id = keeper),
-         |toks AS (SELECT doc_id, string_split(text,' ') ts FROM s3),
-         |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-         |       FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)),
-         |sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
-         |np AS (SELECT id_a, id_b FROM pairs
-         |       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         |       WHERE CAST(shared AS DOUBLE)/CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3),
-         |edges AS (SELECT id_a u, id_b v FROM np UNION SELECT id_b, id_a FROM np),
-         |walk(u, lbl) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-         |  UNION SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
-         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster FROM walk GROUP BY u),
-         |nd AS (SELECT doc_id FROM comp WHERE cluster <> doc_id),
-         |kept AS (SELECT s3.doc_id, s3.n_tokens FROM s3
-         |         LEFT JOIN nd ON s3.doc_id = nd.doc_id WHERE nd.doc_id IS NULL),
-         |packs AS (SELECT doc_id,
-         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS pack_id
-         |  FROM kept)
+         |${funnelHeadSql("", "src")},
+         |${funnelTailSql("", "s2", "0")}
          |SELECT l.doc_id,
          |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
          |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
@@ -832,6 +883,55 @@ object DataQueries {
          |LEFT JOIN nd n ON l.doc_id = n.doc_id
          |LEFT JOIN packs p ON l.doc_id = p.doc_id
          |ORDER BY l.doc_id""".stripMargin,
+
+    // both days' funnels replayed closed-form in ONE WITH RECURSIVE clause
+    // (two independent recursive component walks); today's chain splices
+    // the prior-manifest stage (NOT EXISTS against yesterday's kept
+    // hashes — the null-robust form) between s2 and the dedup tail, and
+    // today's pack ids continue after yesterday's highest
+    "q102_incremental_curation" ->
+      s"""WITH RECURSIVE
+         |ysrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |${funnelHeadSql("y", "ysrc")},
+         |${funnelTailSql("y", "ys2", "0")},
+         |yprior AS (SELECT DISTINCT md5(s.text) AS h
+         |           FROM ykept k JOIN ysrc s ON k.doc_id = s.doc_id),
+         |tsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |         UNION ALL
+         |         SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+         |         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+         |${funnelHeadSql("t", "tsrc")},
+         |tpd AS (SELECT doc_id FROM ts2
+         |        WHERE EXISTS (SELECT 1 FROM yprior p WHERE p.h = md5(ts2.text))),
+         |ts2b AS (SELECT doc_id, text, n_tokens FROM ts2
+         |         WHERE NOT EXISTS (SELECT 1 FROM yprior p WHERE p.h = md5(ts2.text))),
+         |${funnelTailSql("t", "ts2b", "(SELECT COALESCE(MAX(pack_id), -1) + 1 FROM ypacks)")}
+         |SELECT CAST(0 AS BIGINT) AS ingest_day, l.doc_id,
+         |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
+         |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
+         |       WHEN e.doc_id IS NOT NULL THEN 'drop_exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+         |       ELSE 'kept' END AS verdict,
+         |  l.n_tokens, p.pack_id
+         |FROM ylp l
+         |LEFT JOIN (SELECT doc_id FROM yex WHERE doc_id <> keeper) e ON l.doc_id = e.doc_id
+         |LEFT JOIN ynd n ON l.doc_id = n.doc_id
+         |LEFT JOIN ypacks p ON l.doc_id = p.doc_id
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS ingest_day, l.doc_id,
+         |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
+         |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
+         |       WHEN pd.doc_id IS NOT NULL THEN 'drop_prior_dup'
+         |       WHEN e.doc_id IS NOT NULL THEN 'drop_exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+         |       ELSE 'kept' END AS verdict,
+         |  l.n_tokens, p.pack_id
+         |FROM tlp l
+         |LEFT JOIN tpd pd ON l.doc_id = pd.doc_id
+         |LEFT JOIN (SELECT doc_id FROM tex WHERE doc_id <> keeper) e ON l.doc_id = e.doc_id
+         |LEFT JOIN tnd n ON l.doc_id = n.doc_id
+         |LEFT JOIN tpacks p ON l.doc_id = p.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q28_doc_quality" ->
       s"""SELECT doc_id,

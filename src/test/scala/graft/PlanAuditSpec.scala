@@ -173,6 +173,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q102 incremental curation: native Bloom pre-screen survives the composition") {
+    // the daily-pipeline composition must keep q95's pre-screen shape: the
+    // prior-manifest stage plans Spark's codegen'd might_contain (both the
+    // bypass-lane filter and its negation), today's corpus reaches it
+    // without a preceding join, and nothing in the funnel goes cartesian
+    val p = plan("q102_incremental_curation")
+    assert(p.contains("might_contain"), s"q102 lost the native Bloom expression:\n$p")
+    assert(p.contains("LeftAnti"), s"q102 lost the exact anti-join lane:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q101 changelog compaction: compact → join → agg with no hash exchange") {
     // the compaction agg groups on the bucket key, the join's other side
     // is bucketed on the same key with the same count, and the final agg

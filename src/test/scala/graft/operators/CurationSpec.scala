@@ -56,4 +56,49 @@ class CurationSpec extends SparkSpec {
     // is the exact-dup drop — the earlier stage claims it
     assert(ledger.find(_.getLong(0) == 2L).get.getString(1) == "drop_exact_dup")
   }
+
+  // ---- incremental (daily-ingest) form ----
+  // yesterday's corpus: docs 1 (kept) and 6 (kept); today's crawl:
+  //   10 re-crawl of 1    → drop_prior_dup (hash in the manifest)
+  //   11 fresh english    → kept
+  //   12 copy of 11       → drop_exact_dup (within-today)
+  //   13 near-dup of 11   → drop_near_dup (within-today)
+  //   14 german           → drop_lang
+  //   15 junk             → drop_quality
+  private val en3 =
+    "seven small boats sailed up the wide river past the old stone bridge " +
+    "while children waved from the bank and a cold wind played in the reeds"
+  private lazy val priorHashes = Seq(1L -> en1, 6L -> en2).toDF("doc_id", "text")
+    .select(md5(col("text")).as("h"))
+  private def todayDocs = Seq(10L -> en1, 11L -> en3,
+    12L -> en3, 13L -> en3.replace("seven", "nine"), 14L -> de1, 15L -> junk)
+    .toDF("doc_id", "text")
+
+  private def incLedger(fpp: Double, budget: Long = 64L << 20) =
+    Curation.incrementalCurationLedger(todayDocs, priorHashes, "doc_id", "text",
+      minQuality = 0.1, packBudget = 30, packIdStart = 7L,
+      fpp = fpp, sketchBudgetBytes = budget)
+      .orderBy("doc_id").collect()
+
+  test("incremental ledger: prior dups drop first, today's funnel unchanged") {
+    val verdicts = incLedger(0.03).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts == Map(10L -> "drop_prior_dup", 11L -> "kept",
+      12L -> "drop_exact_dup", 13L -> "drop_near_dup",
+      14L -> "drop_lang", 15L -> "drop_quality"))
+  }
+
+  test("incremental ledger: pack ids continue the corpus sequence") {
+    val byId = incLedger(0.03).map(r => r.getLong(0) -> r).toMap
+    assert(byId(11L).getLong(3) == 7L) // first new pack = packIdStart
+    assert(incLedger(0.03).forall(r => (r.getString(1) == "kept") == !r.isNullAt(3)))
+  }
+
+  test("incremental ledger is fpp-invariant: FPs only demote to the exact lane") {
+    val a = incLedger(0.5).map(_.toSeq).toSeq
+    val b = incLedger(0.01).map(_.toSeq).toSeq
+    // starved sketch budget (64 bytes) forces fpp toward 1: the pre-screen
+    // degrades to routing ~everything into the exact lane — same answer
+    val c = incLedger(0.03, budget = 64L).map(_.toSeq).toSeq
+    assert(a == b && b == c)
+  }
 }
