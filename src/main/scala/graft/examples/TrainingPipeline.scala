@@ -114,6 +114,19 @@ object TrainingPipeline {
       minSim = 0.35, ncells = 8)
     println(s"semantic dedup: kept ${sem.filter(col("kept")).count()} " +
       s"of ${sem.count()} vectors")
+
+    // 7. DAY 2, incrementally: tomorrow's crawl (fresh docs + re-crawls)
+    //    is curated against TODAY's corpus through its kept-hash manifest
+    //    only — the daily job never re-curates the corpus. The Bloom
+    //    pre-screen lets definite-misses (most of a fresh crawl) bypass
+    //    the manifest join; packs continue the corpus pack sequence.
+    val manifest = quotaed.select(contentHash(col("text")).as("h"))
+    val nextPack = packed.agg(coalesce(max("pack_id"), lit(-1L)) + 1L).head().getLong(0)
+    val day2 = docs.filter(col("doc_id") % 2 === 0) // stand-in crawl
+    val ledger2 = graft.operators.Curation.incrementalCurationLedger(
+      day2, manifest, "doc_id", "text", packIdStart = nextPack)
+    println("day-2 incremental curation verdicts:")
+    ledger2.groupBy("verdict").count().orderBy("verdict").show(false)
     spark.stop()
   }
 }
