@@ -171,6 +171,9 @@ object Bench {
     // run at the bench SF pays the stage build inside its window.
     try graft.queries.RelQueries.ensureStreamFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // q83's staged doc stream, same rule
+    try graft.queries.DataQueries.ensureStreamFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
     // q92's event-log provider table + staged probe stream, same rule
     try graft.queries.CdcQueries.ensureTemporalFixtures(spark, sfDir)
     catch { case _: Throwable => () }

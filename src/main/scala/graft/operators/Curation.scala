@@ -51,12 +51,19 @@ object Curation {
       minQuality: Double = 0.2, keepLang: String = "en",
       shingleN: Int = 3, minJaccard: Double = 0.3,
       packBudget: Long = 256): DataFrame = {
+    // materialization barrier at the first fan-out: `base` feeds the final
+    // ledger join AND the whole survivor funnel, and Spark does not
+    // common-subexpression identical subplans across join legs — without
+    // the barrier the scan + quality/lang expressions execute once PER
+    // LEG (measured 3-4x at sf0.1). Same call a production pipeline makes
+    // at every fan-out point (TrainingPipeline persists there); at
+    // corpus scale this is the job's natural stage checkpoint.
     val base = docs.select(
       col(idCol).cast("bigint").as("doc_id"),
       col(textCol).as("text"),
       qualityScore(col(textCol)).as("quality"),
       langId(col(textCol)).as("lang_pred"),
-      tokenCount(col(textCol)).as("n_tokens"))
+      tokenCount(col(textCol)).as("n_tokens")).localCheckpoint()
 
     // stages 1+2: stateless filters fused into the scan stage
     val s2 = base.filter(col("quality") >= minQuality &&
@@ -67,8 +74,10 @@ object Curation {
       min("doc_id").over(Window.partitionBy(contentHash(col("text")))))
     val exDrops = ex.filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), lit(true).as("is_exact_dup"))
+    // second fan-out barrier: s3 seeds pair-gen, the components loop, the
+    // kept set, and packing — four consumers of one window shuffle
     val s3 = ex.filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "n_tokens")
+      .select("doc_id", "text", "n_tokens").localCheckpoint()
 
     // stage 4: near-dup clusters over the (smaller) survivor set only
     val pairs = Dedup.ngramJaccardPairs(s3, "doc_id", "text",
@@ -141,12 +150,13 @@ object Curation {
       shingleN: Int = 3, minJaccard: Double = 0.3,
       packBudget: Long = 256, packIdStart: Long = 0L,
       fpp: Double = 0.03, sketchBudgetBytes: Long = 64L << 20): DataFrame = {
+    // same fan-out barriers as [[curationLedger]] (see the note there)
     val base = todayDocs.select(
       col(idCol).cast("bigint").as("doc_id"),
       col(textCol).as("text"),
       qualityScore(col(textCol)).as("quality"),
       langId(col(textCol)).as("lang_pred"),
-      tokenCount(col(textCol)).as("n_tokens"))
+      tokenCount(col(textCol)).as("n_tokens")).localCheckpoint()
 
     val s2 = base.filter(col("quality") >= minQuality &&
         col("lang_pred") === keepLang)
@@ -176,7 +186,7 @@ object Curation {
     val exDrops = ex.filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), lit(true).as("is_exact_dup"))
     val s3 = ex.filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "n_tokens")
+      .select("doc_id", "text", "n_tokens").localCheckpoint()
 
     val pairs = Dedup.ngramJaccardPairs(s3, "doc_id", "text",
       n = shingleN, minJaccard = minJaccard)

@@ -107,20 +107,19 @@ object DataQueries {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_q83_")
       tmp.toFile.deleteOnExit()
-      val in = tmp.resolve("in").toString
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // stage sorted-by-id part files with staggered mtimes so micro-batches
-      // consume the corpus in id order (the q61 ingest harness pattern)
-      docs.orderBy("doc_id").write.mode("overwrite").parquet(in)
-      val parts = new java.io.File(in).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      val base = System.currentTimeMillis()
-      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
-      // 2 files per trigger → a REAL multi-batch run at every cpu count
-      // (the part count follows shuffle parallelism): within-batch claims
-      // exercise the min-over-group path, cross-batch claims the state
+      // staged id-ordered part files, mtime arrival order (q61 harness
+      // pattern), cached per JVM like the other stream stages; only the
+      // CHECKPOINT is per-run (fresh claim state every run). 8 parts under
+      // maxFilesPerTrigger=2 → 4-5 micro-batches: within-batch claims
+      // exercise the min-over-group path, cross-batch claims the state.
+      // Fewer/bigger batches are SAFE here, unlike the stream-stream joins
+      // (SCALE_PROBE_sf1.md round-9 negative result): claim state has no
+      // event-time eviction — it is monotone and O(buckets) — and the
+      // min-per-bucket answer holds under ANY doc-ordered batching.
+      val st = StreamFixtures.arm(q83Stage(s, dir))
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "2").parquet(in)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
       val bandStream = Dedup.md5BandsPerRow(stream, "doc_id", "text")
         .as[graft.streaming.BandRow]
       val qname = "q83_lsh_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -792,6 +791,27 @@ object DataQueries {
        |        FROM hs GROUP BY doc_id)
        |SELECT doc_id AS id, CAST($sigSum AS BIGINT) AS simhash
        |FROM votes ORDER BY id""".stripMargin
+  }
+
+  /** q83's staged doc stream: id-range part files in id-mtime order.
+    * Part count pinned to 8 (not shuffle parallelism): under
+    * maxFilesPerTrigger=2 that is 4-5 micro-batches — real cross-batch
+    * state without paying ~17 batches of per-batch fixed cost for a
+    * 5k-row gate input. */
+  private def q83Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q83", dir) { in =>
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
+  /** Pre-builds the staged stream inputs this battery owns (q83) — called
+    * by Bench outside the timed window, the same ingest-scaffolding rule
+    * as RelQueries.ensureStreamFixtures. */
+  private[graft] def ensureStreamFixtures(s: SparkSession, dir: String): Unit = {
+    q83Stage(s, dir)
+    ()
   }
 
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
