@@ -118,9 +118,17 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    // NB: the self-join does NOT recompute the signature pipeline — both
-    // sides produce identical exchanges and Spark's ReuseExchange collapses
-    // them.
+    // NB: the signature pipeline DOES re-execute per plan leg (both band
+    // self-join sides + both verify joins — 4 Scan→Generate→HashAggregate
+    // subtrees in the audited sf0.1 plan: the legs resolve to broadcast
+    // joins, so there is no identical shuffle for ReuseExchange to
+    // collapse). Measured at the gate SF this is CHEAPER than a
+    // localCheckpoint barrier (q42 A/B: 2.63 s vs 2.94 s) — the
+    // signature aggregation is fast relative to materializing it, and the
+    // broadcast legs run concurrently. At corpus scale the trade flips
+    // exactly like Curation's funnel barriers: persist the signatures at
+    // the fan-out when the corpus is large enough that recomputing the
+    // shingle explode dominates.
     val sigs = minHashSignatures(df, idCol, textCol, n, k)
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
