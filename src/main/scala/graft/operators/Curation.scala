@@ -135,10 +135,10 @@ object Curation {
     * Verdicts: drop_quality | drop_lang | drop_prior_dup | drop_exact_dup
     * | drop_near_dup | kept, first failing stage wins. Near-dup clustering
     * runs WITHIN today only — a near-duplicate (not byte-identical) of a
-    * prior kept doc is admitted; catching those cross-day requires a
-    * shingle-band index of the corpus (the [[Dedup]] LSH family), which is
-    * a deliberate second index this exact-manifest operator does not
-    * require.
+    * prior kept doc is admitted by THIS operator; the cross-day screen is
+    * [[Dedup.nearDupVsPrior]] over the corpus's [[Dedup.bandManifest]]
+    * (q103) — a deliberate second index this exact-manifest operator does
+    * not require, composed upstream or downstream as policy dictates.
     *
     * Scale shape: stages fuse into the scan as in [[curationLedger]]; the
     * prior manifest never shuffles today's corpus (Bloom lane split + a

@@ -509,4 +509,58 @@ object Dedup {
       h.substring(14, 16) + h.substring(12, 14) + h.substring(10, 12) +
         h.substring(8, 10) + h.substring(6, 8) + h.substring(4, 6) +
         h.substring(2, 4), 16)
+
+  // -------------------------------------------------------------------------
+  // Cross-day near-dup screen (the companion to the incremental exact lane)
+  // -------------------------------------------------------------------------
+
+  /** The LSH band manifest of a corpus: its DISTINCT (band, bhv) keys —
+    * the second index a daily pipeline keeps beside the kept-hash
+    * manifest of [[incrementalNewDocs]]. O(|corpus| × bands) longs, no
+    * texts and no signatures, so it ships as a compact table (or lands
+    * bucketed on (band, bhv) in the lake layout) and is maintained by
+    * appending each day's kept docs' bands. */
+  def bandManifest(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame =
+    md5BandsPerRow(docs, idCol, textCol, n, k, bands)
+      .select("band", "bhv").distinct()
+
+  /** Cross-day NEAR-dup screen: which of today's docs collide with the
+    * prior corpus's [[bandManifest]] — the check [[incrementalNewDocs]]'s
+    * exact lane cannot do (a re-crawl with one changed token hashes to a
+    * different md5 but shares almost every MinHash band with its prior
+    * version). Output, one row per today doc: (id, n_bands, n_hit,
+    * near_dup_prior = n_hit > 0). Docs under `n` tokens emit no bands and
+    * are never flagged (vacuously new — same rule as q83's ingest claims).
+    *
+    * This is a SCREEN, deliberately: candidates (band collisions), not
+    * verified near-dups — the manifest holds no texts to verify against,
+    * which is exactly what makes it cheap to keep. False positives route
+    * candidates to whatever policy the pipeline wants (drop, dedup-review
+    * queue, fetch-and-verify against the lake); false negatives are the
+    * standard LSH miss probability (1−s^r)^b. Everything is a pure
+    * function of the md5 band arithmetic, so the whole screen sits under
+    * the DuckDB hash gate (q103).
+    *
+    * Scale: today's bands are O(|today| × bands) rows joined hash-on-
+    * (band, bhv) against the manifest — one shuffle of longs, no
+    * all-pairs, no text movement; with the manifest bucketed on the band
+    * key the join co-locates like every other lake join. */
+  def nearDupVsPrior(today: DataFrame, priorBands: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+    val tb = md5BandsPerRow(today, idCol, textCol, n, k, bands)
+    val manifest = priorBands.select(col("band"), col("bhv")).distinct()
+    val per = tb.join(manifest.withColumn("__hit", lit(1L)),
+        Seq("band", "bhv"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    today.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0L).as("near_dup_prior"))
+  }
 }

@@ -300,6 +300,26 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // CROSS-DAY NEAR-DUP SCREEN — the check q102's exact lane cannot do
+    // (documented there): today's docs vs yesterday's LSH band MANIFEST
+    // (distinct band keys, no texts). Today's fixture includes re-crawls
+    // with one PREPENDED token — a different md5 (the exact lane would
+    // admit them) but near-identical shingle sets, so the band screen
+    // flags them. Everything is md5 band arithmetic → fully hash-gated.
+    "q103_crossday_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val yesterday = docs.filter(col("doc_id") % 3 === 0)
+      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+      val modified = yesterday.filter(col("doc_id") % 5 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + col("id_off") + 1L).as("doc_id"),
+          concat(lit("upd "), col("text")).as("text"))
+      val today = docs.filter(col("doc_id") % 3 =!= 0).unionAll(modified)
+      val manifest = Dedup.bandManifest(yesterday, "doc_id", "text")
+      Dedup.nearDupVsPrior(today, manifest, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // epoch-weighted source mixture: "2.5 epochs of src0, half of src1,
     // a quarter of src2, none of src3" materialized as deterministic row
     // multiplicity — copy counts a pure function of the id hash
@@ -534,23 +554,27 @@ object DataQueries {
     * bit-identical across engines. */
   /** Shared CTE chain for the md5 MinHash family: shingles → 56-bit md5
     * base hashes mod 2^31−1 → k-min signature → packed band keys. */
-  private def md5SigBandCtes(k: Int, bands: Int): String = {
+  /** `src`/`p` parameterized (default = the historical single-corpus form)
+    * so q103 can instantiate the band derivation TWICE — yesterday's
+    * manifest and today's bands — in one oracle. */
+  private def md5SigBandCtes(k: Int, bands: Int, src: String = "documents",
+      p: String = ""): String = {
     require(k == bands * 2)
     val P = 2147483647L
     val minCols = Dedup.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       s"MIN((h0 * $a + $b) % $P) AS m$i"
     }.mkString(",\n         ")
     val bandRows = (0 until bands).map { b =>
-      s"SELECT doc_id, $b AS band, m${2 * b} * $P + m${2 * b + 1} AS bhv FROM sig"
+      s"SELECT doc_id, $b AS band, m${2 * b} * $P + m${2 * b + 1} AS bhv FROM ${p}sig"
     }.mkString("\n  UNION ALL ")
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS s
-       |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
-       |hs AS (SELECT doc_id, ((md5_number_upper(s) >> 8) % $P)::BIGINT AS h0 FROM sh),
-       |sig AS (SELECT doc_id,
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') ts FROM $src),
+       |${p}sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS s
+       |       FROM ${p}toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
+       |${p}hs AS (SELECT doc_id, ((md5_number_upper(s) >> 8) % $P)::BIGINT AS h0 FROM ${p}sh),
+       |${p}sig AS (SELECT doc_id,
        |         $minCols
-       |        FROM hs GROUP BY doc_id),
-       |bands AS (
+       |        FROM ${p}hs GROUP BY doc_id),
+       |${p}bands AS (
        |  $bandRows)""".stripMargin
   }
 
@@ -1148,6 +1172,31 @@ object DataQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q42_minhash_lsh_md5" -> minHashMd5OracleSql(k = 16, bands = 8),
+
+    // the band derivation instantiated twice (yesterday manifest, today
+    // bands); per-today-doc hit counts against the DISTINCT manifest keys
+    "q103_crossday_neardup" ->
+      s"""WITH
+         |ysrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |tsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |         UNION ALL
+         |         SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         |                'upd ' || text
+         |         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+         |${md5SigBandCtes(16, 8, "ysrc", "y")},
+         |${md5SigBandCtes(16, 8, "tsrc", "t")},
+         |ybk AS (SELECT DISTINCT band, bhv FROM ybands),
+         |per AS (SELECT b.doc_id, COUNT(*) AS n_bands,
+         |          SUM(CASE WHEN y.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |        FROM tbands b LEFT JOIN ybk y
+         |        ON b.band = y.band AND b.bhv = y.bhv
+         |        GROUP BY 1)
+         |SELECT s.doc_id,
+         |  CAST(COALESCE(p.n_bands, 0) AS BIGINT) AS n_bands,
+         |  CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
+         |  (COALESCE(p.n_hit, 0) > 0) AS near_dup_prior
+         |FROM tsrc s LEFT JOIN per p ON s.doc_id = p.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "q82_simhash_md5" -> simHashMd5OracleSql,
     "q83_streaming_lsh_dedup" -> streamingLshDedupOracleSql(k = 16, bands = 8),
 

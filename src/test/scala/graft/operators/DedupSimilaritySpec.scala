@@ -217,6 +217,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("nearDupVsPrior: band manifest flags exact AND near re-crawls, not fresh or short docs") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over a lazy dog and runs to the green " +
+      "hill where the sun is warm and the grass is tall for every summer day"
+    val b = "trade ships crossed the ocean carrying spice silk and grain to " +
+      "distant ports while merchants counted profit in the harbor morning"
+    val fresh = "seven small boats sailed up the wide river past the old stone " +
+      "bridge while children waved from the bank and a cold wind played there"
+    val prior = Seq(1L -> a, 2L -> b).toDF("doc_id", "text")
+    val manifest = Dedup.bandManifest(prior, "doc_id", "text")
+    val today = Seq(
+      10L -> a,                       // exact re-crawl → every band hits
+      11L -> ("upd " + a),            // near-dup (one prepended token) → hits
+      12L -> fresh,                   // disjoint text → no hits
+      13L -> "too short").toDF("doc_id", "text") // < n tokens → no bands
+    val got = Dedup.nearDupVsPrior(today, manifest, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(10L)._1 == 8 && got(10L)._2 == 8 && got(10L)._3) // all 8 bands
+    assert(got(11L)._3 && got(11L)._2 > 0, s"near re-crawl missed: ${got(11L)}")
+    assert(!got(12L)._3, s"fresh doc flagged: ${got(12L)}")
+    assert(got(13L) == ((0L, 0L, false))) // no bands → vacuously new
+  }
+
   test("budgetedFpp: sketch stays within the byte budget, answer unchanged") {
     // the sketch is O(n·log(1/fpp)) bits — at 10^9 items a 3%-fpp filter
     // would be ~900 MB; a 1 MB budget must auto-raise fpp instead
