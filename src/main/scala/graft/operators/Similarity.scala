@@ -510,6 +510,49 @@ object Similarity {
     val centroids =
       ivfCentroidsPortable(emb, idCol, vecCol, resolveCells(emb, ncells), iters)
     val corpusCells = assignCellsPortable(emb, idCol, vecCol, centroids)
+    ivfSearchPortable(centroids, corpusCells, queries, idCol, vecCol, dim, k, nprobe)
+  }
+
+  /** INCREMENTAL IVF — the daily-append shape of [[ivfTopKPortable]]:
+    * centroids stay FROZEN on the prior corpus (trained once, at index
+    * build), and each day only the increment's vectors assign to them —
+    * O(|today| × ncells) work instead of a full re-train + re-assign of
+    * the corpus. Retrieval searches the UNION index (prior assignments,
+    * which production would have stored, plus today's). Assignment is a
+    * pure function of (vector, centroids), so the oracle (q104) re-derives
+    * the whole union index closed-form with the training sample drawn from
+    * the prior corpus only — freezing the centroids changes WHICH cells
+    * exist, never the determinism of who lands where.
+    *
+    * The trade a 100 TB retrieval system actually makes: cell occupancy
+    * drifts as the corpus grows past the training distribution (recall
+    * degrades slowly), and a periodic re-train (a new index generation,
+    * re-assigning everything once) resets it. This operator is the
+    * cheap daily path between generations; [[ivfTopKPortable]] is the
+    * generation build. */
+  def ivfAppendTopKPortable(prior: DataFrame, today: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      ncells: Int = -1, nprobe: Int = 8, iters: Int = 2): DataFrame = {
+    val dim = probeDim(prior, vecCol)
+    val centroids = ivfCentroidsPortable(prior, idCol, vecCol,
+      resolveCells(prior, ncells), iters)
+    // production stores priorCells with the index; re-deriving them here
+    // is the same deterministic assignment
+    val priorCells = assignCellsPortable(prior, idCol, vecCol, centroids)
+    val newCells = assignCellsPortable(today, idCol, vecCol, centroids)
+    ivfSearchPortable(centroids, priorCells.unionAll(newCells), queries,
+      idCol, vecCol, dim, k, nprobe)
+  }
+
+  /** The shared probe/score tail of the portable IVF family: per query the
+    * `nprobe` best cells by centroid cosine, candidates = those cells'
+    * corpus members, exact 2^24 integer dot scores, top-k per query.
+    * `corpusCells` in [[assignCellsPortable]]'s (idCol, vecCol, cell)
+    * shape. */
+  private def ivfSearchPortable(centroids: DataFrame, corpusCells: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    val corpus = corpusCells
       .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"), col("cell"))
     val cents = broadcast(centroids.withColumn("__cn",
       sqrt(dotLong(col("csum"), col("csum"), dim).cast("double"))))
@@ -523,7 +566,7 @@ object Similarity {
     val qCells = qScored.withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
       .select(col("qid"), quantize(col("qv"), ScoreScale).as("qa"), col("cell"))
-    val scored = qCells.join(corpusCells, "cell").filter(col("qid") =!= col("cid"))
+    val scored = qCells.join(corpus, "cell").filter(col("qid") =!= col("cid"))
       .withColumn("score_q", dotLong(col("qa"), col("ca"), dim))
     val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))

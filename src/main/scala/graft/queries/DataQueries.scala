@@ -156,6 +156,20 @@ object DataQueries {
         k = 3, ncells = 8, nprobe = 2, iters = 1).orderBy("qid", "rank")
     }),
 
+    // INCREMENTAL ANN — the daily-append form of q35: centroids frozen on
+    // the prior corpus (vec_id%3=0), only the increment assigns, retrieval
+    // searches the union index. The oracle re-derives the whole index with
+    // the training sample drawn from the prior rows only — q104 vs q35
+    // proves frozen-centroid append changes the index generation, never
+    // the determinism of assignment or scoring.
+    "q104_incremental_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfAppendTopKPortable(
+        e.filter(col("vec_id") % 3 === 0), e.filter(col("vec_id") % 3 =!= 0),
+        e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 3, ncells = 8, nprobe = 2, iters = 1).orderBy("qid", "rank")
+    }),
+
     // IVF-PQ: coarse cells + product-quantized ADC shortlist + exact
     // rescore — the 100 TB retrieval shape (codes, not vectors, ride the
     // candidate exchange). PORTABLE variant: integer L2 k-means codebooks
@@ -625,7 +639,11 @@ object DataQueries {
     *  - `cellsf`: full-corpus argmax assignment against the final
     *    centroids.
     * Callers append their own probe/pair/scoring tail. */
-  private def ivfPortableCtes(ncells: Int, iters: Int): String = {
+  /** `trainWhere` (default none) restricts the TRAINING sample's source
+    * rows — q104's incremental index trains its centroids on the prior
+    * corpus only while `cellsf` still assigns the full corpus. */
+  private def ivfPortableCtes(ncells: Int, iters: Int,
+      trainWhere: String = ""): String = {
     def dotSql(a: String, b: String): String =
       s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS DOUBLE)"
     def scoreSql(v: String, s: String): String =
@@ -651,7 +669,7 @@ object DataQueries {
        |sample AS (SELECT vec_id, vq,
        |             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
        |               CAST(vec_id AS VARCHAR)) - 1 AS rn
-       |           FROM fq QUALIFY rn < 10000),
+       |           FROM fq $trainWhere QUALIFY rn < 10000),
        |cents0 AS (SELECT rn AS cell, vq AS s FROM sample WHERE rn < $ncells),
        |$iterCtes,
        |cellsf AS (SELECT vec_id, cell FROM (
@@ -667,8 +685,9 @@ object DataQueries {
   /** q35 oracle: probe tail over [[ivfPortableCtes]] — per query the
     * `nprobe` best cells (same argmax score), candidates = probed cells'
     * corpus members, scored with the exact 2^24 integer dot. */
-  private def ivfTopKOracleSql(ncells: Int, nprobe: Int, iters: Int, k: Int): String =
-    s"""WITH ${ivfPortableCtes(ncells, iters)},
+  private def ivfTopKOracleSql(ncells: Int, nprobe: Int, iters: Int, k: Int,
+      trainWhere: String = ""): String =
+    s"""WITH ${ivfPortableCtes(ncells, iters, trainWhere)},
        |qc AS (SELECT vec_id AS qid, cell FROM (
        |  SELECT f.vec_id, c.cell,
        |    row_number() OVER (PARTITION BY f.vec_id
@@ -1203,6 +1222,8 @@ object DataQueries {
     // portable-IVF family: the oracle re-derives the full index pipeline
     // (md5-ordered sample → integer Lloyd → assignment → probe/pairs)
     "q35_embedding_ivf_topk" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3),
+    "q104_incremental_ann" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3,
+      trainWhere = "WHERE vec_id % 3 = 0"),
     "q50_pq_topk" -> ivfPqOracleSql(ncells = 8, nprobe = 2, ivfIters = 1,
       m = 8, pqK = 16, pqIters = 2, rescoreFactor = 4, k = 3),
     "q39_cosine_near_dup" -> cosineNearDupOracleSql(ncells = 32, iters = 2, minSim = 0.35),

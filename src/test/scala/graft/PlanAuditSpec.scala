@@ -31,7 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("similarity operators plan no SortAggregate and no cartesian product") {
     Seq("q35_embedding_ivf_topk", "q39_cosine_near_dup", "q50_pq_topk",
-        "q82_simhash_md5").foreach { q =>
+        "q82_simhash_md5", "q104_incremental_ann").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortAggregate"), s"$q planned a SortAggregate:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q planned a CartesianProduct:\n$p")
