@@ -119,12 +119,18 @@ object TrainingPipeline {
     //    is curated against TODAY's corpus through its kept-hash manifest
     //    only — the daily job never re-curates the corpus. The Bloom
     //    pre-screen lets definite-misses (most of a fresh crawl) bypass
-    //    the manifest join; packs continue the corpus pack sequence.
-    val manifest = quotaed.select(contentHash(col("text")).as("h"))
-    val nextPack = packed.agg(coalesce(max("pack_id"), lit(-1L)) + 1L).head().getLong(0)
+    //    the manifest join. Persisted: the manifest feeds four actions
+    //    inside the operator (cardinality probe, Bloom build, semi lane,
+    //    anti lane) — without the cache each would replay the whole
+    //    decontamination+quota lineage. Day-2 packs start a fresh
+    //    doc-level sequence here (this demo's corpus packs are
+    //    CHUNK-level, a different unit and budget — continuing that
+    //    sequence would mix incompatible shard layouts; q102 shows true
+    //    same-unit pack continuation).
+    val manifest = quotaed.select(contentHash(col("text")).as("h")).persist()
     val day2 = docs.filter(col("doc_id") % 2 === 0) // stand-in crawl
     val ledger2 = graft.operators.Curation.incrementalCurationLedger(
-      day2, manifest, "doc_id", "text", packIdStart = nextPack)
+      day2, manifest, "doc_id", "text")
     println("day-2 incremental curation verdicts:")
     ledger2.groupBy("verdict").count().orderBy("verdict").show(false)
     spark.stop()

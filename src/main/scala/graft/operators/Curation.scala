@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * Every stage is a previously-gated primitive (q28 quality, q29 lang-id,
   * q27 exact groups, q30/q57 Jaccard clusters, q60 packing), so the whole
   * composite is cross-engine-deterministic and sits under the DuckDB hash
-  * gate as q91.
+  * gate as q91 (full-corpus form) and q102 (daily incremental form) —
+  * both through ONE shared funnel ([[ledger]]), mirroring the oracle
+  * side's shared funnelHeadSql/funnelTailSql generators, so the two
+  * queries cannot drift apart.
   *
   * Scale design (the 100 TB read):
   *   - Stages 1–2 are stateless codegen'd expressions on the scan — no
@@ -50,60 +53,9 @@ object Curation {
   def curationLedger(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.2, keepLang: String = "en",
       shingleN: Int = 3, minJaccard: Double = 0.3,
-      packBudget: Long = 256): DataFrame = {
-    // materialization barrier at the first fan-out: `base` feeds the final
-    // ledger join AND the whole survivor funnel, and Spark does not
-    // common-subexpression identical subplans across join legs — without
-    // the barrier the scan + quality/lang expressions execute once PER
-    // LEG (measured 3-4x at sf0.1). Same call a production pipeline makes
-    // at every fan-out point (TrainingPipeline persists there); at
-    // corpus scale this is the job's natural stage checkpoint.
-    val base = docs.select(
-      col(idCol).cast("bigint").as("doc_id"),
-      col(textCol).as("text"),
-      qualityScore(col(textCol)).as("quality"),
-      langId(col(textCol)).as("lang_pred"),
-      tokenCount(col(textCol)).as("n_tokens")).localCheckpoint()
-
-    // stages 1+2: stateless filters fused into the scan stage
-    val s2 = base.filter(col("quality") >= minQuality &&
-      col("lang_pred") === keepLang)
-
-    // stage 3: exact dedup — one shuffle keyed on the content hash
-    val ex = s2.withColumn("keeper",
-      min("doc_id").over(Window.partitionBy(contentHash(col("text")))))
-    val exDrops = ex.filter(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"), lit(true).as("is_exact_dup"))
-    // second fan-out barrier: s3 seeds pair-gen, the components loop, the
-    // kept set, and packing — four consumers of one window shuffle
-    val s3 = ex.filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "n_tokens").localCheckpoint()
-
-    // stage 4: near-dup clusters over the (smaller) survivor set only
-    val pairs = Dedup.ngramJaccardPairs(s3, "doc_id", "text",
-      n = shingleN, minJaccard = minJaccard)
-    val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
-    // component = min reachable id, so the keeper is the component id itself
-    val ndDrops = comp.filter(col("node") =!= col("component"))
-      .select(col("node").as("doc_id"), lit(true).as("is_near_dup"))
-
-    // stage 5: pack the survivors on a token budget
-    val kept = s3.join(ndDrops.select("doc_id"), Seq("doc_id"), "left_anti")
-    val packs = Packing.sequentialPacks(kept, "doc_id", "text", packBudget)
-      .select(col("doc_id"), col("pack_id"))
-
-    base
-      .join(exDrops, Seq("doc_id"), "left")
-      .join(ndDrops, Seq("doc_id"), "left")
-      .join(packs, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("quality") < minQuality, lit("drop_quality"))
-          .when(col("lang_pred") =!= keepLang, lit("drop_lang"))
-          .when(col("is_exact_dup"), lit("drop_exact_dup"))
-          .when(col("is_near_dup"), lit("drop_near_dup"))
-          .otherwise(lit("kept")).as("verdict"),
-        col("n_tokens"), col("pack_id"))
-  }
+      packBudget: Long = 256): DataFrame =
+    ledger(docs, idCol, textCol, minQuality, keepLang, shingleN, minJaccard,
+      packBudget, prior = None, packIdStart = 0L)
 
   /** The DAILY-INGEST form of [[curationLedger]]: curate TODAY's crawl
     * against a corpus that already exists, touching yesterday's data only
@@ -117,16 +69,15 @@ object Curation {
     *
     * `priorKeptHashes` is a one-column (`h` = md5 hex) manifest of the
     * documents the corpus already retains — O(|corpus|) hashes, not texts.
-    * The prior-dup stage is [[Dedup.incrementalNewDocs]]'s lane split: a
-    * Bloom over the manifest rides to the executors, today's
-    * definite-misses (most of a fresh crawl) bypass the manifest join
-    * entirely, and only possible-members verify against the exact hash
-    * set — a false positive only demotes a row into the exact lane, so the
-    * ledger is provably identical for every (fpp, budget), which is what
-    * lets q102 put the whole incremental composition under the DuckDB
-    * hash gate. `sketchBudgetBytes` caps the sketch via
-    * [[Dedup.budgetedFpp]] (fpp auto-raises under starvation — slower,
-    * never wrong).
+    * The prior-dup stage is [[Dedup.bloomLaneSplit]]: a Bloom over the
+    * manifest rides to the executors, today's definite-misses (most of a
+    * fresh crawl) bypass the manifest join entirely, and only
+    * possible-members verify against the exact hash set — a false
+    * positive only demotes a row into the exact lane, so the ledger is
+    * provably identical for every (fpp, budget), which is what lets q102
+    * put the whole incremental composition under the DuckDB hash gate.
+    * `sketchBudgetBytes` caps the sketch via [[Dedup.budgetedFpp]] (fpp
+    * auto-raises under starvation — slower, never wrong).
     *
     * `packIdStart` continues the corpus's pack sequence: today's packs are
     * new shards appended after yesterday's highest (a day boundary starts
@@ -149,57 +100,81 @@ object Curation {
       minQuality: Double = 0.2, keepLang: String = "en",
       shingleN: Int = 3, minJaccard: Double = 0.3,
       packBudget: Long = 256, packIdStart: Long = 0L,
-      fpp: Double = 0.03, sketchBudgetBytes: Long = 64L << 20): DataFrame = {
-    // same fan-out barriers as [[curationLedger]] (see the note there)
-    val base = todayDocs.select(
+      fpp: Double = 0.03, sketchBudgetBytes: Long = 64L << 20): DataFrame =
+    ledger(todayDocs, idCol, textCol, minQuality, keepLang, shingleN,
+      minJaccard, packBudget,
+      prior = Some((priorKeptHashes, fpp, sketchBudgetBytes)), packIdStart)
+
+  /** The ONE funnel both public forms run; `prior` switches the
+    * incremental prior-corpus stage in between the quality/lang head and
+    * the dedup/pack tail (exactly where the oracle splices its tpd/ts2b
+    * CTEs). */
+  private def ledger(docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, keepLang: String, shingleN: Int, minJaccard: Double,
+      packBudget: Long, prior: Option[(DataFrame, Double, Long)],
+      packIdStart: Long): DataFrame = {
+    // materialization barrier at the first fan-out: `base` feeds the final
+    // ledger join AND the whole survivor funnel, and Spark does not
+    // common-subexpression identical subplans across join legs — without
+    // the barrier the scan + quality/lang/md5 expressions execute once PER
+    // LEG (measured 3-4x at sf0.1). The content hash is computed HERE so
+    // it is one digest per row, total, inside the barrier. localCheckpoint
+    // (not persist) is deliberate: the funnel's component loop iterates
+    // driver-side at construction, and truncated lineage keeps each round
+    // O(round) instead of re-planning the whole funnel; the blocks are
+    // executor-local and non-recomputable, so a long-lived production
+    // pipeline at executor-loss risk would swap these two calls for
+    // reliable checkpoints to the same effect.
+    val base = docs.select(
       col(idCol).cast("bigint").as("doc_id"),
       col(textCol).as("text"),
       qualityScore(col(textCol)).as("quality"),
       langId(col(textCol)).as("lang_pred"),
-      tokenCount(col(textCol)).as("n_tokens")).localCheckpoint()
+      tokenCount(col(textCol)).as("n_tokens"),
+      contentHash(col(textCol)).as("h")).localCheckpoint()
 
+    // stages 1+2: stateless filters fused into the scan stage
     val s2 = base.filter(col("quality") >= minQuality &&
         col("lang_pred") === keepLang)
-      .select(col("doc_id"), col("text"), col("n_tokens"),
-        contentHash(col("text")).as("h"))
+      .select("doc_id", "text", "n_tokens", "h")
 
-    // prior-corpus stage: Bloom lane split + exact verify on the manifest
-    val prior = priorKeptHashes.select(col("h")).distinct()
-    val nPrior = math.max(1L, prior.count())
-    val bloom = Sketches.bloomFilterOf(
-      prior.select(Dedup.h56FromMd5Hex(col("h")).as("k")), "k",
-      expectedItems = nPrior,
-      fpp = Dedup.budgetedFpp(fpp, nPrior, sketchBudgetBytes))
-    val pred = Sketches.mightContainCol(Dedup.h56FromMd5Hex(col("h")), bloom)
-    val maybe = s2.filter(pred)
-    val priorRef = prior.withColumnRenamed("h", "__ph")
-    val priorDrops = maybe
-      .join(priorRef, col("h") === col("__ph"), "left_semi")
-      .select(col("doc_id"), lit(true).as("is_prior_dup"))
-    val s2b = s2.filter(!pred).unionAll(
-      maybe.join(priorRef, col("h") === col("__ph"), "left_anti"))
+    // optional prior-corpus stage: Bloom lane split + exact verify on the
+    // kept-hash manifest (the q95 construction, shared via Dedup)
+    val (priorDrops, s2b) = prior match {
+      case None => (None, s2)
+      case Some((hashes, fpp, budget)) =>
+        val (members, nonMembers) =
+          Dedup.bloomLaneSplit(s2, "h", hashes, fpp, budget)
+        (Some(members.select(col("doc_id"), lit(true).as("is_prior_dup"))),
+          nonMembers)
+    }
 
-    // within-today exact dedup — reuses the hash column the lane split
-    // already carries (one digest per row, total)
+    // exact dedup — one shuffle keyed on the barrier's content hash
     val ex = s2b.withColumn("keeper",
       min("doc_id").over(Window.partitionBy(col("h"))))
     val exDrops = ex.filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), lit(true).as("is_exact_dup"))
+    // second fan-out barrier: s3 seeds pair-gen, the components loop, the
+    // kept set, and packing — four consumers of one window shuffle
     val s3 = ex.filter(col("doc_id") === col("keeper"))
       .select("doc_id", "text", "n_tokens").localCheckpoint()
 
+    // near-dup clusters over the (smaller) survivor set only
     val pairs = Dedup.ngramJaccardPairs(s3, "doc_id", "text",
       n = shingleN, minJaccard = minJaccard)
     val comp = ConnectedComponents.components(pairs, "id_a", "id_b")
     val ndDrops = comp.filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"), lit(true).as("is_near_dup"))
 
+    // pack the survivors on a token budget, continuing at packIdStart
     val kept = s3.join(ndDrops.select("doc_id"), Seq("doc_id"), "left_anti")
     val packs = Packing.sequentialPacks(kept, "doc_id", "text", packBudget)
       .select(col("doc_id"), (col("pack_id") + lit(packIdStart)).as("pack_id"))
 
-    base
-      .join(priorDrops, Seq("doc_id"), "left")
+    val withPrior = priorDrops.fold(
+      base.withColumn("is_prior_dup", lit(null).cast("boolean")))(pd =>
+      base.join(pd, Seq("doc_id"), "left"))
+    withPrior
       .join(exDrops, Seq("doc_id"), "left")
       .join(ndDrops, Seq("doc_id"), "left")
       .join(packs, Seq("doc_id"), "left")

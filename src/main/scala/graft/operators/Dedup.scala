@@ -382,20 +382,38 @@ object Dedup {
   def incrementalNewDocs(today: DataFrame, yesterday: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.03,
       sketchBudgetBytes: Long = 64L << 20): DataFrame = {
-    val h = md5(col(textCol)).as("h")
-    val yh = yesterday.select(h).distinct()
-    val key = h56FromMd5Hex(col("h"))
-    val nY = math.max(1L, yh.count())
+    val yh = yesterday.select(md5(col(textCol)).as("h")).distinct()
+    val withH = today.select(col(idCol), md5(col(textCol)).as("h"))
+    val (_, newDocs) = bloomLaneSplit(withH, "h", yh, fpp, sketchBudgetBytes)
+    newDocs.select(col(idCol), col("h"))
+  }
+
+  /** The Bloom lane split shared by [[incrementalNewDocs]] and the
+    * incremental curation ledger's prior stage (q95/q102): partitions `df`
+    * by membership of its `hashCol` (md5 hex) in `hashes`' `h` column —
+    * returns (members, nonMembers), an EXACT partition. The Bloom over the
+    * manifest's [[h56FromMd5Hex]] keys only routes: definite-misses join
+    * nothing (provably non-members — no false negatives), possible-members
+    * verify against the exact hash set via semi/anti joins, so fpp and
+    * `sketchBudgetBytes` ([[budgetedFpp]]) affect cost, never the answer.
+    * Keeping the fpp/budget/h56 conventions in ONE place is the point —
+    * the two call sites cannot drift. */
+  private[graft] def bloomLaneSplit(df: DataFrame, hashCol: String,
+      hashes: DataFrame, fpp: Double = 0.03,
+      sketchBudgetBytes: Long = 64L << 20): (DataFrame, DataFrame) = {
+    val prior = hashes.select(col("h")).distinct()
+    val n = math.max(1L, prior.count())
     val bloom = graft.operators.Sketches.bloomFilterOf(
-      yh.select(key.as("k")), "k", expectedItems = nY,
-      fpp = budgetedFpp(fpp, nY, sketchBudgetBytes))
-    val withK = today.select(col(idCol), h).withColumn("__k", key)
-    val pred = graft.operators.Sketches.mightContainCol(col("__k"), bloom)
-    val definiteNew = withK.filter(!pred).select(col(idCol), col("h"))
-    val verifiedNew = withK.filter(pred)
-      .join(yh.withColumnRenamed("h", "__yh"), col("h") === col("__yh"), "left_anti")
-      .select(col(idCol), col("h"))
-    definiteNew.unionAll(verifiedNew)
+      prior.select(h56FromMd5Hex(col("h")).as("k")), "k", expectedItems = n,
+      fpp = budgetedFpp(fpp, n, sketchBudgetBytes))
+    val pred = graft.operators.Sketches.mightContainCol(
+      h56FromMd5Hex(col(hashCol)), bloom)
+    val maybe = df.filter(pred)
+    val ref = prior.withColumnRenamed("h", "__ph")
+    val members = maybe.join(ref, col(hashCol) === col("__ph"), "left_semi")
+    val nonMembers = df.filter(!pred).unionAll(
+      maybe.join(ref, col(hashCol) === col("__ph"), "left_anti"))
+    (members, nonMembers)
   }
 
   /** The fpp that keeps an optimal Bloom sketch over `n` items within
