@@ -118,20 +118,19 @@ object Curation {
     // common-subexpression identical subplans across join legs — without
     // the barrier the scan + quality/lang/md5 expressions execute once PER
     // LEG (measured 3-4x at sf0.1). The content hash is computed HERE so
-    // it is one digest per row, total, inside the barrier. localCheckpoint
-    // (not persist) is deliberate: the funnel's component loop iterates
-    // driver-side at construction, and truncated lineage keeps each round
-    // O(round) instead of re-planning the whole funnel; the blocks are
-    // executor-local and non-recomputable, so a long-lived production
-    // pipeline at executor-loss risk would swap these two calls for
-    // reliable checkpoints to the same effect.
+    // it is one digest per row, total, inside the barrier. persist (not
+    // localCheckpoint) is deliberate: lineage is RETAINED, so on a real
+    // cluster an executor loss recomputes the missing partitions instead
+    // of failing the job on a vanished checkpoint block — the
+    // fault-tolerance a 1000-executor run needs from a barrier that holds
+    // the whole corpus. (A/B at sf0.1: within noise of localCheckpoint.)
     val base = docs.select(
       col(idCol).cast("bigint").as("doc_id"),
       col(textCol).as("text"),
       qualityScore(col(textCol)).as("quality"),
       langId(col(textCol)).as("lang_pred"),
       tokenCount(col(textCol)).as("n_tokens"),
-      contentHash(col(textCol)).as("h")).localCheckpoint()
+      contentHash(col(textCol)).as("h")).persist()
 
     // stages 1+2: stateless filters fused into the scan stage
     val s2 = base.filter(col("quality") >= minQuality &&
@@ -157,7 +156,7 @@ object Curation {
     // second fan-out barrier: s3 seeds pair-gen, the components loop, the
     // kept set, and packing — four consumers of one window shuffle
     val s3 = ex.filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "n_tokens").localCheckpoint()
+      .select("doc_id", "text", "n_tokens").persist()
 
     // near-dup clusters over the (smaller) survivor set only
     val pairs = Dedup.ngramJaccardPairs(s3, "doc_id", "text",
