@@ -241,6 +241,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(13L) == ((0L, 0L, false))) // no bands → vacuously new
   }
 
+  test("bandManifest append-maintenance: union of daily manifests == manifest of the union") {
+    // the scaladoc's maintenance contract — each day's kept docs' bands
+    // APPEND to the manifest — is sound only if manifests compose by set
+    // union; a per-corpus dependence (e.g. anything min'd across docs)
+    // would silently break daily appends
+    val base = docs.select("doc_id", "text")
+    val day1 = base.filter(col("doc_id") % 2 === 0)
+    val day2 = base.filter(col("doc_id") % 2 =!= 0)
+    val appended = Dedup.bandManifest(day1, "doc_id", "text")
+      .unionAll(Dedup.bandManifest(day2, "doc_id", "text")).distinct()
+    val whole = Dedup.bandManifest(base, "doc_id", "text")
+    assert(appended.exceptAll(whole).isEmpty && whole.exceptAll(appended).isEmpty)
+    // and the screen over the appended manifest flags exactly what the
+    // whole-corpus manifest flags
+    val probe = base.limit(30)
+    val a = Dedup.nearDupVsPrior(probe, appended, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.nearDupVsPrior(probe, whole, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("budgetedFpp: sketch stays within the byte budget, answer unchanged") {
     // the sketch is O(n·log(1/fpp)) bits — at 10^9 items a 3%-fpp filter
     // would be ~900 MB; a 1 MB budget must auto-raise fpp instead
