@@ -49,6 +49,11 @@ object Curation {
     * Exact-dup groups keep the minimum id; near-dup clusters (connected
     * components of the Jaccard-pair graph over survivors) keep the
     * component's minimum id.
+    *
+    * Lifecycle: the funnel executes eagerly inside this call (its internal
+    * fan-out barriers are released before returning — repeated invocations
+    * hold no hidden cache residue), and the RETURNED ledger is persisted;
+    * the caller owns that handle and should `unpersist()` it when done.
     */
   def curationLedger(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.2, keepLang: String = "en",
@@ -94,7 +99,9 @@ object Curation {
     * Scale shape: stages fuse into the scan as in [[curationLedger]]; the
     * prior manifest never shuffles today's corpus (Bloom lane split + a
     * semi/anti join on the shrunken possible-member side); everything
-    * downstream runs on strictly shrinking survivor sets. */
+    * downstream runs on strictly shrinking survivor sets. Same lifecycle
+    * contract as [[curationLedger]]: eager, returned ledger persisted,
+    * caller releases it. */
   def incrementalCurationLedger(todayDocs: DataFrame, priorKeptHashes: DataFrame,
       idCol: String, textCol: String,
       minQuality: Double = 0.2, keepLang: String = "en",
@@ -173,7 +180,7 @@ object Curation {
     val withPrior = priorDrops.fold(
       base.withColumn("is_prior_dup", lit(null).cast("boolean")))(pd =>
       base.join(pd, Seq("doc_id"), "left"))
-    withPrior
+    val out = withPrior
       .join(exDrops, Seq("doc_id"), "left")
       .join(ndDrops, Seq("doc_id"), "left")
       .join(packs, Seq("doc_id"), "left")
@@ -185,5 +192,18 @@ object Curation {
           .when(col("is_near_dup"), lit("drop_near_dup"))
           .otherwise(lit("kept")).as("verdict"),
         col("n_tokens"), col("pack_id"))
+    // The funnel is forced HERE so both fan-out barriers can be released
+    // before returning — a daily job calling this repeatedly must not
+    // accumulate cached corpora for the life of the application. The
+    // LEDGER itself (one narrow row per input doc, the smallest frame in
+    // the funnel) is handed back persisted: the caller owns that one
+    // handle (`ledger.unpersist()` when done); if its blocks are ever
+    // evicted, recomputation replays the whole funnel unbarriered —
+    // correct, just slower, the safe failure direction.
+    val ledger = out.persist()
+    ledger.count()
+    base.unpersist()
+    s3.unpersist()
+    ledger
   }
 }

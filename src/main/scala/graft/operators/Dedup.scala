@@ -396,6 +396,9 @@ object Dedup {
     * nothing (provably non-members — no false negatives), possible-members
     * verify against the exact hash set via semi/anti joins, so fpp and
     * `sketchBudgetBytes` ([[budgetedFpp]]) affect cost, never the answer.
+    * A NULL `hashCol` (md5 of a NULL text) routes to nonMembers — the same
+    * verdict a plain anti-join gives a NULL-keyed row (NULL never equals a
+    * manifest hash), so the partition stays exact with no vanishing lane.
     * Keeping the fpp/budget/h56 conventions in ONE place is the point —
     * the two call sites cannot drift. */
   private[graft] def bloomLaneSplit(df: DataFrame, hashCol: String,
@@ -406,8 +409,10 @@ object Dedup {
     val bloom = graft.operators.Sketches.bloomFilterOf(
       prior.select(h56FromMd5Hex(col("h")).as("k")), "k", expectedItems = n,
       fpp = budgetedFpp(fpp, n, sketchBudgetBytes))
-    val pred = graft.operators.Sketches.mightContainCol(
-      h56FromMd5Hex(col(hashCol)), bloom)
+    // coalesce: might_contain(NULL) is NULL, which would fail BOTH lane
+    // filters and silently drop the row from the partition
+    val pred = coalesce(graft.operators.Sketches.mightContainCol(
+      h56FromMd5Hex(col(hashCol)), bloom), lit(false))
     val maybe = df.filter(pred)
     val ref = prior.withColumnRenamed("h", "__ph")
     val members = maybe.join(ref, col(hashCol) === col("__ph"), "left_semi")
@@ -563,7 +568,13 @@ object Dedup {
     * Scale: today's bands are O(|today| × bands) rows joined hash-on-
     * (band, bhv) against the manifest — one shuffle of longs, no
     * all-pairs, no text movement; with the manifest bucketed on the band
-    * key the join co-locates like every other lake join. */
+    * key the join co-locates like every other lake join.
+    *
+    * Precondition: `idCol` must be unique in `today` (a document table's
+    * primary key). Duplicate ids would collapse into one output row with
+    * their band counts merged — the per-ID (not per-input-row) aggregation
+    * is deliberate, matching the one-row-per-document contract of every
+    * other dedup screen here. */
   def nearDupVsPrior(today: DataFrame, priorBands: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {

@@ -295,23 +295,6 @@ object StreamingOps {
     pickLatestPerEvent(unioned, eTs, vTs, eCols, payload, tieCols)
   }
 
-  /** Streaming LSH bucket claims — the stateful heart of dedup-at-ingest:
-    * the input is a stream of (doc, band, bhv) band rows (see
-    * `Dedup.md5BandsPerRow`) arriving in doc order; each (band, bhv)
-    * bucket is CLAIMED by the first document that presents it, and the
-    * operator emits one (band, bhv, first_doc) row per bucket, exactly
-    * once, in the micro-batch where the claim happens.
-    *
-    * Determinism the hash gate depends on: the per-batch winner is the
-    * MIN doc id over the batch's group (order-free — groupByKey hands the
-    * whole batch's rows for a key to one invocation), and cross-batch the
-    * state blocks re-emission, so with doc-ordered arrival the winner is
-    * the global min per bucket — a closed-form SQL fact, unlike
-    * dropDuplicates' partition-arrival-order row pick.
-    *
-    * State is one boolean per distinct bucket (the claim), partitioned by
-    * the shuffle on the bucket key — the same O(buckets) footprint a
-    * Bloom-style ingest filter would hold, but exact. */
   /** Incremental SCD Type-2 maintenance from a changelog stream: emits a
     * history row the moment a version is SUPERSEDED (by a newer version
     * or a delete) — the streaming complement of the batch
@@ -356,6 +339,23 @@ object StreamingOps {
       }
   }
 
+  /** Streaming LSH bucket claims — the stateful heart of dedup-at-ingest:
+    * the input is a stream of (doc, band, bhv) band rows (see
+    * `Dedup.md5BandsPerRow`) arriving in doc order; each (band, bhv)
+    * bucket is CLAIMED by the first document that presents it, and the
+    * operator emits one (band, bhv, first_doc) row per bucket, exactly
+    * once, in the micro-batch where the claim happens.
+    *
+    * Determinism the hash gate depends on: the per-batch winner is the
+    * MIN doc id over the batch's group (order-free — groupByKey hands the
+    * whole batch's rows for a key to one invocation), and cross-batch the
+    * state blocks re-emission, so with doc-ordered arrival the winner is
+    * the global min per bucket — a closed-form SQL fact, unlike
+    * dropDuplicates' partition-arrival-order row pick.
+    *
+    * State is one boolean per distinct bucket (the claim), partitioned by
+    * the shuffle on the bucket key — the same O(buckets) footprint a
+    * Bloom-style ingest filter would hold, but exact. */
   def lshBucketClaims(bands: Dataset[BandRow]): Dataset[BucketClaim] = {
     import bands.sparkSession.implicits._
     bands.groupByKey(r => (r.band, r.bhv))

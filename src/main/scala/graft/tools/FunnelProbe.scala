@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
 /** Stage-by-stage timing of the q91 curation funnel at a given SF: where
   * do the seconds go (filters / exact dedup / pair-gen / components /
   * packing / full ledger)? Run twice per stage to shed codegen warmup.
+  *
+  * NOTE: the stages here deliberately reproduce the UNBARRIERED,
+  * pre-refactor funnel shape (no persist fan-out barriers, no shared `h`
+  * column) — this probe exists to measure what the duplicate-subplan
+  * problem costs, which is exactly what [[graft.operators.Curation.ledger]]
+  * no longer executes. Its per-stage numbers are the baseline the barrier
+  * fix was measured against, not a timing of the current operator; the
+  * `6_full_ledger` stage times the real operator for the comparison.
   * {{{ SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.FunnelProbe" }}} */
 object FunnelProbe {
   def main(args: Array[String]): Unit = {

@@ -263,6 +263,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bloomLaneSplit: NULL-hash rows land in exactly one lane (nonMembers)") {
+    // might_contain(NULL) is NULL — without the coalesce guard a NULL-text
+    // doc would fail BOTH lane filters and vanish from the partition; the
+    // plain anti-join (the q95 oracle) keeps NULL-keyed rows, so the exact
+    // partition must route them to nonMembers
+    import spark.implicits._
+    val today = Seq((1L, Some("alpha")), (2L, None), (3L, Some("beta")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val manifest = Seq("alpha").toDF("t").select(md5(col("t")).as("h"))
+    val (members, nonMembers) = Dedup.bloomLaneSplit(today, "h", manifest)
+    assert(members.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(nonMembers.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
   test("budgetedFpp: sketch stays within the byte budget, answer unchanged") {
     // the sketch is O(n·log(1/fpp)) bits — at 10^9 items a 3%-fpp filter
     // would be ~900 MB; a 1 MB budget must auto-raise fpp instead
