@@ -517,8 +517,12 @@ object Similarity {
     * centroids stay FROZEN on the prior corpus (trained once, at index
     * build), and each day only the increment's vectors assign to them —
     * O(|today| × ncells) work instead of a full re-train + re-assign of
-    * the corpus. Retrieval searches the UNION index (prior assignments,
-    * which production would have stored, plus today's). Assignment is a
+    * the corpus. Retrieval searches the UNION index (prior assignments
+    * plus today's). THIS form takes prior documents and derives the index
+    * in-line (the generation-build + first-day shape);
+    * [[ivfAppendTopKPortableStored]] is the daily path, taking the
+    * PERSISTED index tables so the recurring cost is genuinely
+    * independent of |prior|. Assignment is a
     * pure function of (vector, centroids), so the oracle (q104) re-derives
     * the whole union index closed-form with the training sample drawn from
     * the prior corpus only — freezing the centroids changes WHICH cells
@@ -533,15 +537,39 @@ object Similarity {
   def ivfAppendTopKPortable(prior: DataFrame, today: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       ncells: Int = -1, nprobe: Int = 8, iters: Int = 2): DataFrame = {
-    val dim = probeDim(prior, vecCol)
     val centroids = ivfCentroidsPortable(prior, idCol, vecCol,
       resolveCells(prior, ncells), iters)
-    // production stores priorCells with the index; re-deriving them here
-    // is the same deterministic assignment
     val priorCells = assignCellsPortable(prior, idCol, vecCol, centroids)
+    ivfAppendTopKPortableStored(centroids, priorCells, today, queries,
+      idCol, vecCol, k, nprobe)
+  }
+
+  /** The STORED-INDEX daily path of [[ivfAppendTopKPortable]] — what a
+    * production pipeline actually runs every day. The index built at
+    * generation time is TWO persisted tables: the frozen `centroids`
+    * ([[ivfCentroidsPortable]]'s (cell, csum)) and the prior corpus's
+    * `priorIndex` assignments ([[assignCellsPortable]]'s (id, vec, cell) —
+    * in a lake layout, bucketed on `cell` via
+    * [[graft.operators.BucketedOps.ensureBucketed]] so the probe join
+    * co-locates). The daily leg then does NO work proportional to the
+    * prior corpus beyond the search's candidate scan: assignment is
+    * O(|today| × ncells), and the union index is searched through the
+    * shared [[ivfSearchPortable]] tail — the same plan the from-documents
+    * form produces, so the two forms cannot drift (the from-documents
+    * form delegates here).
+    *
+    * Assignment is a pure function of (vector, centroids), so an index
+    * read from storage is bit-identical to one re-derived — which is why
+    * q104's oracle can keep re-deriving the whole union index closed-form
+    * while the engine side reads the stored tables. */
+  def ivfAppendTopKPortableStored(centroids: DataFrame, priorIndex: DataFrame,
+      today: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 8): DataFrame = {
+    val dim = probeDim(today, vecCol)
     val newCells = assignCellsPortable(today, idCol, vecCol, centroids)
-    ivfSearchPortable(centroids, priorCells.unionAll(newCells), queries,
-      idCol, vecCol, dim, k, nprobe)
+    ivfSearchPortable(centroids,
+      priorIndex.select(col(idCol), col(vecCol), col("cell")).unionAll(newCells),
+      queries, idCol, vecCol, dim, k, nprobe)
   }
 
   /** The shared probe/score tail of the portable IVF family: per query the

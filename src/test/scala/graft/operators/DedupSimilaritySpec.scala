@@ -263,6 +263,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("stored-index incremental ANN ≡ the from-documents form (parquet round-trip)") {
+    // the daily path reads the persisted (centroids, assignments) tables;
+    // assignment is a pure function of (vector, centroids), and float
+    // vectors round-trip parquet exactly, so the stored form must be
+    // bit-identical to deriving the index from the prior documents in-line
+    val prior = emb.filter(col("vec_id") % 3 === 0)
+    val today = emb.filter(col("vec_id") % 3 =!= 0)
+    val qs = emb.filter(col("vec_id") < 50)
+    val direct = Similarity.ivfAppendTopKPortable(prior, today, qs,
+      "vec_id", "embedding", k = 3, ncells = 8, nprobe = 2, iters = 1)
+      .collect().map(_.toSeq).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_")
+    tmp.toFile.deleteOnExit()
+    val centroids = Similarity.ivfCentroidsPortable(prior, "vec_id", "embedding",
+      ncells = 8, iters = 1)
+    centroids.write.parquet(s"$tmp/centroids")
+    Similarity.assignCellsPortable(prior, "vec_id", "embedding", centroids)
+      .write.parquet(s"$tmp/index")
+    val stored = Similarity.ivfAppendTopKPortableStored(
+      spark.read.parquet(s"$tmp/centroids"), spark.read.parquet(s"$tmp/index"),
+      today, qs, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(stored === direct)
+  }
+
   test("bloomLaneSplit: NULL-hash rows land in exactly one lane (nonMembers)") {
     // might_contain(NULL) is NULL — without the coalesce guard a NULL-text
     // doc would fail BOTH lane filters and vanish from the partition; the
