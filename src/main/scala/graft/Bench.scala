@@ -179,6 +179,10 @@ object Bench {
     // the bench times the daily leg reading the stored tables.
     try graft.queries.DataQueries.ensureAnnIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // q105's maintained manifest tables: days 0-1 of the lake choreography
+    // are past steps; the bench times day 2's daily job reading them.
+    try graft.queries.DataQueries.ensureCurationManifests(spark, sfDir)
+    catch { case _: Throwable => () }
     // q92's event-log provider table + staged probe stream, same rule
     try graft.queries.CdcQueries.ensureTemporalFixtures(spark, sfDir)
     catch { case _: Throwable => () }

@@ -339,6 +339,42 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // LAKE-MAINTAINED MANIFESTS — the production shape of q102/q103's
+    // derived-in-query manifests: day 0 writes its kept docs' content-hash
+    // and LSH-band manifests as BUCKETED TABLES, day 1 curates against
+    // them and APPENDS its kept docs' rows into the same buckets
+    // (ensureCurationManifests — past steps, amortized like every ingest
+    // fixture), and THIS query is day 2's daily job: curate the increment
+    // against the maintained hash manifest (Bloom lane + semi/anti joins
+    // that never shuffle the manifest side — the scan's bucketing IS the
+    // distribution) and screen it against the maintained band manifest.
+    // Append-maintenance is sound because manifests compose by set union
+    // (property-pinned in DedupSimilaritySpec); the oracle re-derives both
+    // manifests from scratch and must agree bit-for-bit.
+    "q105_manifest_maintenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+      // day 2's crawl: fresh docs + exact re-crawls of day-0 docs (the
+      // hash manifest catches these) + one-token-modified re-crawls of
+      // day-1 docs (a different md5 — only the band screen sees them)
+      val d2 = docs.filter(col("doc_id") % 3 === 2)
+        .unionAll(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
+          .crossJoin(broadcast(maxId))
+          .select((col("doc_id") + (col("id_off") + 1L) * 2L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+          .crossJoin(broadcast(maxId))
+          .select((col("doc_id") + (col("id_off") + 1L) * 3L).as("doc_id"),
+            concat(lit("upd "), col("text")).as("text")))
+      val (htbl, btbl, p2) = ensureCurationManifests(s, dir)
+      val led = graft.operators.Curation.incrementalCurationLedger(
+        d2, s.table(htbl), "doc_id", "text", packIdStart = p2)
+      val screen = Dedup.nearDupVsPrior(d2, s.table(btbl), "doc_id", "text")
+      led.join(screen, Seq("doc_id"))
+        .select(col("doc_id"), col("verdict"), col("n_tokens"), col("pack_id"),
+          col("n_bands"), col("n_hit"), col("near_dup_prior"))
+        .orderBy("doc_id")
+    }),
+
     // epoch-weighted source mixture: "2.5 epochs of src0, half of src1,
     // a quarter of src2, none of src3" materialized as deterministic row
     // multiplicity — copy counts a pure function of the id hash
@@ -890,6 +926,53 @@ object DataQueries {
   private val annIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** q105's maintained manifest tables: the 3-day lake choreography's PAST
+    * steps (day-0 generation + day-1 increment), run once per
+    * (session, dir) — the amortized-ingest rule. Day 0 curates in full and
+    * WRITES its kept docs' content hashes and LSH bands as bucketed tables
+    * (hashes on `h`, bands on `bhv` — the keys their consumers join on);
+    * day 1 curates incrementally against the hash table and APPENDS its
+    * kept docs' hashes/bands into the same buckets (a real lake append:
+    * `saveAsTable(Append)` against a bucketed table routes each row to its
+    * bucket file). Returns (hashTable, bandTable, day2PackStart). */
+  private[graft] def ensureCurationManifests(s: SparkSession, dir: String): (String, String, Long) =
+    curationManifestCache.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + dir, _ => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+        val d0 = docs.filter(col("doc_id") % 3 === 0)
+        val d1 = docs.filter(col("doc_id") % 3 === 1).unionAll(
+          d0.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + off).as("doc_id"), col("text")))
+        def keptDocs(l: DataFrame, src: DataFrame): DataFrame =
+          l.filter(col("verdict") === "kept").select("doc_id").join(src, "doc_id")
+        def keptHashes(l: DataFrame, src: DataFrame): DataFrame =
+          keptDocs(l, src).select(md5(col("text")).as("h"))
+        def keptBands(l: DataFrame, src: DataFrame): DataFrame =
+          Dedup.bandManifest(keptDocs(l, src), "doc_id", "text")
+        val l0 = graft.operators.Curation.curationLedger(d0, "doc_id", "text")
+        val htbl = graft.operators.BucketedOps.ensureBucketed(
+          keptHashes(l0, d0), s"q105_hashes|$dir", "h", buckets = 8)
+        val btbl = graft.operators.BucketedOps.ensureBucketed(
+          keptBands(l0, d0), s"q105_bands|$dir", "bhv", buckets = 8)
+        val p1 = l0.agg((coalesce(max("pack_id"), lit(-1L)) + lit(1L)).as("p"))
+          .head().getLong(0)
+        l0.unpersist()
+        val l1 = graft.operators.Curation.incrementalCurationLedger(
+          d1, s.table(htbl), "doc_id", "text", packIdStart = p1)
+        val p2 = l1.agg((coalesce(max("pack_id"), lit(p1 - 1L)) + lit(1L)).as("p"))
+          .head().getLong(0)
+        keptHashes(l1, d1).write.mode("append")
+          .bucketBy(8, "h").sortBy("h").format("parquet").saveAsTable(htbl)
+        keptBands(l1, d1).write.mode("append")
+          .bucketBy(8, "bhv").sortBy("bhv").format("parquet").saveAsTable(btbl)
+        l1.unpersist()
+        (htbl, btbl, p2)
+      })
+
+  private val curationManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
+
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
   private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
@@ -1028,6 +1111,79 @@ object DataQueries {
          |LEFT JOIN tnd n ON l.doc_id = n.doc_id
          |LEFT JOIN tpacks p ON l.doc_id = p.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // q105: the whole 3-day maintenance loop replayed closed-form — three
+    // funnels (day-0 full, day-1 vs day-0's kept hashes, day-2 vs the
+    // UNION of day-0/day-1 kept hashes = the appended manifest table) plus
+    // the band manifests of both days' kept docs and day-2's screen
+    // against their union. Only the day-2 leg is emitted (any error in the
+    // earlier days corrupts the manifests and shows up here).
+    // The fan-out CTEs carry MATERIALIZED: DuckDB inlines CTEs per
+    // reference, and the day-0/day-1 funnel chains are referenced through
+    // daprior/dbprior/mprior/d0k/d1k multiplicatively — without the hints
+    // the OPTIMIZER itself runs for minutes on 500 docs; with them the
+    // whole oracle is ~3 s at the gate SF.
+    "q105_manifest_maintenance" ->
+      s"""WITH RECURSIVE
+         |dasrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |${funnelHeadSql("da", "dasrc")},
+         |${funnelTailSql("da", "das2", "0")},
+         |daprior AS MATERIALIZED (SELECT DISTINCT md5(s.text) AS h
+         |            FROM dakept k JOIN dasrc s ON k.doc_id = s.doc_id),
+         |dbsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+         |          UNION ALL
+         |          SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+         |          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+         |${funnelHeadSql("db", "dbsrc")},
+         |dbs2b AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM dbs2
+         |          WHERE NOT EXISTS (SELECT 1 FROM daprior p WHERE p.h = md5(dbs2.text))),
+         |${funnelTailSql("db", "dbs2b", "(SELECT COALESCE(MAX(pack_id), -1) + 1 FROM dapacks)")},
+         |dbprior AS MATERIALIZED (SELECT DISTINCT md5(s.text) AS h
+         |            FROM dbkept k JOIN dbsrc s ON k.doc_id = s.doc_id),
+         |mprior AS MATERIALIZED (SELECT h FROM daprior UNION SELECT h FROM dbprior),
+         |d0k AS MATERIALIZED (SELECT s.doc_id, s.text FROM dakept k JOIN dasrc s ON k.doc_id = s.doc_id),
+         |d1k AS MATERIALIZED (SELECT s.doc_id, s.text FROM dbkept k JOIN dbsrc s ON k.doc_id = s.doc_id),
+         |dcsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+         |          UNION ALL
+         |          SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents), text
+         |          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
+         |          UNION ALL
+         |          SELECT doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM documents), 'upd ' || text
+         |          FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0),
+         |${funnelHeadSql("dc", "dcsrc")},
+         |dcpd AS MATERIALIZED (SELECT doc_id FROM dcs2
+         |         WHERE EXISTS (SELECT 1 FROM mprior p WHERE p.h = md5(dcs2.text))),
+         |dcs2b AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM dcs2
+         |          WHERE NOT EXISTS (SELECT 1 FROM mprior p WHERE p.h = md5(dcs2.text))),
+         |${funnelTailSql("dc", "dcs2b",
+             "(SELECT COALESCE(MAX(pack_id), (SELECT COALESCE(MAX(pack_id), -1) FROM dapacks)) + 1 FROM dbpacks)")},
+         |${md5SigBandCtes(16, 8, "d0k", "ma")},
+         |${md5SigBandCtes(16, 8, "d1k", "mb")},
+         |${md5SigBandCtes(16, 8, "dcsrc", "tc")},
+         |mbk AS MATERIALIZED (SELECT DISTINCT band, bhv FROM
+         |        (SELECT band, bhv FROM mabands UNION ALL SELECT band, bhv FROM mbbands)),
+         |scr AS (SELECT b.doc_id, COUNT(*) AS n_bands,
+         |          SUM(CASE WHEN y.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |        FROM tcbands b LEFT JOIN mbk y ON b.band = y.band AND b.bhv = y.bhv
+         |        GROUP BY 1)
+         |SELECT l.doc_id,
+         |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
+         |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
+         |       WHEN pd.doc_id IS NOT NULL THEN 'drop_prior_dup'
+         |       WHEN e.doc_id IS NOT NULL THEN 'drop_exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+         |       ELSE 'kept' END AS verdict,
+         |  l.n_tokens, p.pack_id,
+         |  CAST(COALESCE(s.n_bands, 0) AS BIGINT) AS n_bands,
+         |  CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+         |  (COALESCE(s.n_hit, 0) > 0) AS near_dup_prior
+         |FROM dclp l
+         |LEFT JOIN dcpd pd ON l.doc_id = pd.doc_id
+         |LEFT JOIN (SELECT doc_id FROM dcex WHERE doc_id <> keeper) e ON l.doc_id = e.doc_id
+         |LEFT JOIN dcnd n ON l.doc_id = n.doc_id
+         |LEFT JOIN dcpacks p ON l.doc_id = p.doc_id
+         |LEFT JOIN scr s ON l.doc_id = s.doc_id
+         |ORDER BY l.doc_id""".stripMargin,
 
     "q28_doc_quality" ->
       s"""SELECT doc_id,

@@ -184,6 +184,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q105 maintained manifest: verify joins never shuffle the manifest side") {
+    // the kept-hash manifest is stored bucketed on `h` (q105's lake
+    // layout); the Bloom lane split's semi/anti verify joins must consume
+    // the scan's HashPartitioning directly. At the gate SF the manifest
+    // would broadcast, so force the large-manifest plan (broadcast off):
+    // every ShuffleExchange must sit on the probe side — an exchange whose
+    // subtree contains the manifest scan means the layout stopped paying.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val (htbl, _, _) = graft.queries.DataQueries.ensureCurationManifests(s, dir)
+    val probe = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      for (joinType <- Seq("left_semi", "left_anti")) {
+        val j = probe.join(
+          s.table(htbl).withColumnRenamed("h", "__ph"),
+          col("h") === col("__ph"), joinType)
+        val p = j.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        def manifestScans(q: org.apache.spark.sql.execution.SparkPlan) =
+          q.collect { case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == htbl) => f }
+        val scans = manifestScans(p)
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          s"$joinType: manifest not read as a bucketed scan:\n$p")
+        val offending = p.collect {
+          case e: ShuffleExchangeExec if manifestScans(e.child).nonEmpty => e }
+        assert(offending.isEmpty,
+          s"$joinType: manifest side shuffled despite bucketing:\n$p")
+      }
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("q101 changelog compaction: compact → join → agg with no hash exchange") {
     // the compaction agg groups on the bucket key, the join's other side
     // is bucketed on the same key with the same count, and the final agg
