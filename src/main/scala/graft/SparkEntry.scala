@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Battery: q01–q105 (no q66) = 104 queries, 101 oracle-checked + 3 rows-only
+  * Battery: q01–q106 (no q66) = 105 queries, 102 oracle-checked + 3 rows-only
   * (q33/q34 fast-path twins of the oracle-checked q42/q82; q55 estimates,
   * whose exact-side columns are gated as q84). */
 object SparkEntry {

@@ -307,6 +307,47 @@ object CdcQueries {
       s.table(qname).orderBy("st")
     }),
 
+    // THE DURABLE RETRACT-AGGREGATE PATH — q100's semantics composed with
+    // the q78 sink machinery into the production shape: changelog →
+    // signed retract aggregate → UPDATE mode → UpsertSink durable state.
+    // Each micro-batch upserts only its CHANGED group rows (O(groups)
+    // emission, O(touched buckets) I/O — never a complete-mode rewrite);
+    // the final state table must hash-match the same closed-form oracle
+    // as q25/q100. Complete-mode memory-sink q100 stays as the semantics
+    // gate; THIS is what a 100 TB pipeline actually deploys.
+    "q106_retract_agg_durable" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = writeTemporalProviderTable(s, dir, sentinels = false)
+      val maxOff = q92MaxOff(s, dir)
+      val raw = s.readStream.format("cdc-log").option("path", root)
+        .option("scan.startup.mode", "earliest")
+        .option("metadata.columns", "op_offset,row_kind")
+        .option("scan.log.max-offsets-per-batch",
+          math.max(1L, maxOff / 8).toString)
+        .load()
+      val sign = when(col("op") === "d" || col("row_kind") === "-U", -1L)
+        .otherwise(1L)
+      val agg = raw
+        .select(col("st"), (col("price").cast("decimal(38,6)") * sign).as("sp"),
+          sign.as("sn"))
+        .groupBy("st")
+        .agg(sum(col("sp")).cast("double").as("total"),
+          sum(col("sn")).as("n"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q106_ckpt_")
+      tmp.toFile.deleteOnExit()
+      val state = tmp.resolve("state").toString
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        graft.streaming.UpsertSink.upsertAggregate(agg, Seq("st"), state,
+            numBuckets = 4)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      q.awaitTermination()
+      graft.streaming.UpsertSink.readState(s, state).orderBy("st")
+    }),
+
     // THE SOURCE ITSELF under the hash gate: the derived changelog written
     // out as a file-provider table (snapshot.jsonl + log.jsonl), batch-read
     // through format("cdc-log") — ChunkSplitter plans real PK-range chunks,
@@ -644,6 +685,14 @@ object CdcQueries {
     // the same closed form as q25 — reached by signed event contributions
     // (decimal cancellation) instead of materialize-then-aggregate
     "q100_stream_retract_agg" ->
+      s"""SELECT o_orderstatus AS st,
+         |  ${oSum("CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END")} AS total,
+         |  COUNT(*) AS n
+         |FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY 1 ORDER BY st""".stripMargin,
+
+    // same closed form as q100 — the durable path changes where the state
+    // lives (UpsertSink bucket files vs a memory sink), never the algebra
+    "q106_retract_agg_durable" ->
       s"""SELECT o_orderstatus AS st,
          |  ${oSum("CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END")} AS total,
          |  COUNT(*) AS n

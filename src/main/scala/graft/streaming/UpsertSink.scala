@@ -71,6 +71,28 @@ object UpsertSink {
     }
   }
 
+  /** Wire an UPDATE-mode streaming AGGREGATE (not a changelog) to the same
+    * durable state table — the production shape of a retract aggregate:
+    * changelog → signed groupBy → durable state, with per-batch I/O
+    * O(touched groups). Update mode emits at most one row per CHANGED
+    * group per micro-batch, so sequencing by the batch epoch makes the
+    * changelog merge algebra directly reusable: op columns are synthesized
+    * (`op=u`, `op_offset=epoch`, `row_kind=+U`) and a later epoch's row
+    * for a group supersedes any earlier one — last-writer-wins, idempotent
+    * under batch replay exactly like the changelog path. Aggregates never
+    * delete groups (a count reaching zero is still the group's current
+    * value), so no tombstones arise and [[readState]] returns one row per
+    * group ever touched. */
+  def upsertAggregate(updates: DataFrame, pkCols: Seq[String], path: String,
+      numBuckets: Int = DefaultBuckets): DataStreamWriter[Row] =
+    updates.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, epoch: Long) =>
+        mergeBatch(batch
+          .withColumn("op", lit("u"))
+          .withColumn("op_offset", lit(epoch))
+          .withColumn("row_kind", lit("+U")), pkCols, path, numBuckets)
+    }
+
   /** Read the current-state table: tombstones filtered, sink-internal and
     * changelog columns dropped. Runs [[recover]] first so a bucket caught
     * between its two swap renames (rows only in `_old/`) is restored before

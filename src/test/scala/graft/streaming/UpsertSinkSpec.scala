@@ -46,6 +46,38 @@ class UpsertSinkSpec extends SparkSpec {
     assert(s2.toSeq == Seq((1L, 11.0), (3L, 30.0)))
   }
 
+  test("upsertAggregate: update-mode aggregate lands durably, later epochs supersede") {
+    // the durable retract-aggregate path (q106): a signed streaming
+    // aggregate in update mode emits only changed groups per batch; the
+    // epoch-sequenced upsert must converge to the full-stream aggregate
+    // and a group untouched in later batches must keep its last value
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_agg_")
+    val in = tmp.resolve("in").toString
+    val out = tmp.resolve("state").toString
+    // batch 1: groups a (10+5) and b (7); batch 2: only a changes (−5)
+    Seq(("a", 10L), ("a", 5L), ("b", 7L))
+      .toDF("g", "x").coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val agg = stream.groupBy("g").agg(sum("x").as("total"))
+      val q = UpsertSink.upsertAggregate(agg, Seq("g"), out, numBuckets = 2)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(UpsertSink.readState(spark, out).orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 15L), ("b", 7L)))
+    Seq(("a", -5L)).toDF("g", "x").coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(UpsertSink.readState(spark, out).orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 10L), ("b", 7L)))
+  }
+
   test("replaying a batch is a no-op (idempotent merge algebra)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert2_")
     val out = tmp.resolve("state").toString
