@@ -213,4 +213,25 @@ object DebeziumEmbedded {
     thread.start()
     () => engine.asInstanceOf[AutoCloseable].close()
   }
+
+  /** Factory the SQL-DDL alias (`provider=debezium-embedded`) builds
+    * engines with. Defaults to [[reflectiveFactory]]; a spec swaps in a
+    * fake to drive the full DDL round-trip without the debezium jars —
+    * the same seam the provider constructor exposes, surfaced for the
+    * table-factory path where no constructor argument exists. */
+  @volatile var ddlEngineFactory: EngineFactory = reflectiveFactory
+
+  /** One engine per spool root per JVM: `resolveProvider()` runs on every
+    * planning probe, and each [[DebeziumEmbeddedChangeLogProvider]]
+    * STARTS an engine — constructing per probe would dial the database
+    * once per micro-batch. The first resolve builds and starts; later
+    * resolves (and parallel queries over the same DDL table) share it,
+    * exactly the connector-instance lifecycle the reference's table
+    * factory keeps per source. */
+  def sharedProvider(spoolRoot: String,
+      build: () => DebeziumEmbeddedChangeLogProvider): DebeziumEmbeddedChangeLogProvider =
+    shared.computeIfAbsent(spoolRoot, _ => build())
+
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[String, DebeziumEmbeddedChangeLogProvider]()
 }

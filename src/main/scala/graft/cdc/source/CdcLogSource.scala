@@ -85,7 +85,13 @@ final case class CdcOptions(
       * JdbcUrlUtils/DebeziumOptions): accepted and carried (stripped of the
       * prefix) for `provider.class` implementations to consume; the
       * built-in offline providers dial no databases and ignore them. */
-    passthrough: Map[String, String] = Map.empty) {
+    passthrough: Map[String, String] = Map.empty,
+    /** Tables the `provider=debezium-embedded` alias declares for capture
+      * (parsed from `capture.tables`); empty for every other kind. */
+    captureTables: Seq[TableMeta] = Seq.empty,
+    /** The `debezium.*` subset of the passthrough, unmixed with
+      * `jdbc.properties.*` — the embedded alias's engine properties. */
+    debeziumProps: Map[String, String] = Map.empty) {
 
   def resolveProvider(): ChangeLogProvider = providerKind match {
     case "registry" => ProviderRegistry.get(providerArg)
@@ -94,6 +100,21 @@ final case class CdcOptions(
       new graft.cdc.provider.DebeziumJsonChangeLogProvider(providerArg, serverTimeZone)
     case "class" => Class.forName(providerArg).getDeclaredConstructor()
       .newInstance().asInstanceOf[ChangeLogProvider]
+    case "debezium-embedded" =>
+      // one engine per spool root per JVM — resolveProvider runs per
+      // planning probe and the provider starts a live engine
+      graft.cdc.provider.DebeziumEmbedded.sharedProvider(providerArg, () => {
+        val props = new java.util.Properties()
+        debeziumProps.foreach { case (k, v) => props.setProperty(k, v) }
+        // the engine's instance name is infrastructure, not semantics —
+        // default it from the spool root rather than demand debezium.name
+        if (props.getProperty("name") == null)
+          props.setProperty("name",
+            "graft-" + java.lang.Integer.toHexString(providerArg.hashCode))
+        new graft.cdc.provider.DebeziumEmbeddedChangeLogProvider(
+          captureTables, props, providerArg,
+          graft.cdc.provider.DebeziumEmbedded.ddlEngineFactory, serverTimeZone)
+      })
     case other => throw new IllegalArgumentException(s"unknown provider kind '$other'")
   }
 
@@ -173,6 +194,16 @@ object CdcOptions {
     val (kind, arg) =
       if (o.containsKey("provider.name")) ("registry", o.get("provider.name"))
       else if (o.containsKey("provider.class")) ("class", o.get("provider.class"))
+      else if (o.getOrDefault("connector", "") == "debezium-embedded")
+        // first-class live-database alias (S11 parity; `connector` is the
+        // reference's own DDL key — other values, e.g. a ported
+        // 'mysql-cdc-log', are no-ops since USING cdc-log already selects
+        // this source). Spool root is an explicit option or the
+        // catalog-injected table location.
+        ("debezium-embedded", Option(o.get("spool.root"))
+          .orElse(Option(o.get("path"))).getOrElse(throw new IllegalArgumentException(
+            "connector=debezium-embedded requires spool.root " +
+              "(or a catalog-injected path)")))
       else if (o.containsKey("path"))
         // path.format chooses the on-file wire format: our JSONL layout
         // (default) or archived Debezium envelopes
@@ -197,6 +228,29 @@ object CdcOptions {
       case (k, v) if k.startsWith("debezium.") =>
         k.stripPrefix("debezium.") -> v
     }.toMap
+    val debeziumProps = o.asCaseSensitiveMap().asScala.collect {
+      case (k, v) if k.startsWith("debezium.") => k.stripPrefix("debezium.") -> v
+    }.toMap
+    // capture.tables: `db.table|pk1[,pk2]|<schema DDL>` entries joined by
+    // ';' — the embedded alias's declaration of what to capture (the same
+    // TableMeta contract every provider reads from meta.json)
+    val capture: Seq[TableMeta] = Option(o.get("capture.tables")).map { s =>
+      s.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+        val parts = spec.split("\\|")
+        require(parts.length == 3,
+          s"capture.tables entry '$spec' must be db.table|pk1[,pk2]|<schema DDL>")
+        val dbTable = parts(0).trim.split("\\.", 2)
+        require(dbTable.length == 2 && dbTable.forall(_.nonEmpty),
+          s"capture.tables entry '$spec': '${parts(0).trim}' is not db.table")
+        TableMeta(TableId(dbTable(0), dbTable(1)),
+          StructType.fromDDL(parts(2).trim),
+          parts(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      }
+    }.getOrElse(Seq.empty)
+    if (kind == "debezium-embedded")
+      require(capture.nonEmpty,
+        "connector=debezium-embedded requires capture.tables " +
+          "(db.table|pk|<schema DDL>[; ...])")
     CdcOptions(kind, arg,
       o.getOrDefault("database-name", ".*"),
       o.getOrDefault("table-name", ".*"),
@@ -223,7 +277,7 @@ object CdcOptions {
       o.getBoolean("scan.newly-added-table.enabled", true),
       o.getDouble("split-key.even-distribution.factor.upper-bound", 1000.0),
       o.getDouble("split-key.even-distribution.factor.lower-bound", 0.05),
-      passthrough)
+      passthrough, capture, debeziumProps)
   }
 
   /** physical ++ op STRING ++ requested metadata — the fork's contract of a

@@ -29,6 +29,34 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(p.values.forall(v => v > 0 && v < 600))
   }
 
+  test("floors are not stale-HIGH: no floor exceeds the artifact-of-record time") {
+    // round-9 verdict #1: a floor ABOVE the current settled time is a
+    // blind spot in the 1.5x rerun defense exactly where the code just got
+    // faster (q98's 3.25s floor predated the native-expression rewrite
+    // that made it 0.6s — a 3x regression would not have tripped). The
+    // "min over sources" provenance rule implies floors refresh DOWNWARD
+    // whenever a committed settled run beats them; this pins it: for every
+    // floored query, floor <= the committed artifact-of-record
+    // (BENCH_PARSED.json) time at the same SF, with 10% measurement slack.
+    val body = scala.io.Source.fromFile("BENCH_FLOORS.json").mkString
+    val sfName = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+    assert(sfName.contains("sf0.1"), "floors must declare their SF")
+    val floorRe = """"(q[0-9][A-Za-z0-9_]*)":\s*([0-9.]+)""".r
+    val floors = floorRe.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val parsed = scala.io.Source.fromFile("BENCH_PARSED.json").mkString
+    assert("""\"sf\":\"[^"]*sf0\.1\"""".r.findFirstIn(parsed).nonEmpty,
+      "BENCH_PARSED.json is not an sf0.1 artifact")
+    val artifact = floorRe.findAllMatchIn(parsed)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
+    val stale = floors.collect {
+      case (q, f) if artifact.get(q).exists(a => f > a * 1.10) =>
+        s"$q floor $f > artifact ${artifact(q)}"
+    }
+    assert(stale.isEmpty, s"stale-HIGH floors (refresh them downward): $stale")
+  }
+
   test("sf1 priors: scoped to the sf1 sections only") {
     val p = Bench.priorBest("/root/testdata/sf1")
     // BENCH_sf1.json's "sf1" section is the only sf1 source

@@ -9,6 +9,68 @@ import org.apache.spark.sql.types._
   * changelog — the Spark analogue of the reference's
   * `'connector'='mysql-cdc-log'` table factories. */
 class CdcSqlDdlSpec extends SparkSpec {
+
+  test("connector=debezium-embedded alias: DDL round-trip under the fake engine") {
+    // S11 parity for the one provider users configure via DDL: the alias
+    // parses capture.tables into TableMetas, routes debezium.* options
+    // into engine properties, starts ONE shared engine per spool root,
+    // and plain SQL folds the spooled changelog — the whole live-database
+    // path minus the jars (ddlEngineFactory is the spec seam).
+    import graft.cdc.provider.DebeziumEmbedded
+    val spool = java.nio.file.Files.createTempDirectory("dbz_ddl_").toString
+    var gotProps: java.util.Properties = null
+    var deliver: DebeziumEmbedded.Record => Unit = null
+    val old = DebeziumEmbedded.ddlEngineFactory
+    DebeziumEmbedded.ddlEngineFactory = (p, rec, _) => {
+      gotProps = p; deliver = rec
+      () => ()
+    }
+    def env(id: Long, name: String, op: String): String = {
+      val schema =
+        """{"type":"struct","fields":[
+          |{"type":"struct","optional":true,"field":"before","fields":[
+          |  {"type":"int64","optional":false,"field":"id"},
+          |  {"type":"string","optional":true,"field":"name"}]},
+          |{"type":"struct","optional":true,"field":"after","fields":[
+          |  {"type":"int64","optional":false,"field":"id"},
+          |  {"type":"string","optional":true,"field":"name"}]}
+          |]}""".stripMargin.replace("\n", "")
+      val after = if (op == "d") "null" else s"""{"id":$id,"name":"$name"}"""
+      s"""{"schema":$schema,"payload":{"before":null,"after":$after,"source":{},"op":"$op","ts_ms":1}}"""
+    }
+    spark.sql("DROP TABLE IF EXISTS dbz_ddl_products")
+    try {
+      spark.sql(s"""
+        CREATE TABLE dbz_ddl_products
+        USING `cdc-log`
+        OPTIONS (
+          `connector` 'debezium-embedded',
+          `spool.root` '$spool',
+          `capture.tables` 'inventory.products|id|id BIGINT, name STRING',
+          `debezium.connector.class` 'io.debezium.connector.mysql.MySqlConnector',
+          `debezium.database.hostname.ignored` 'not-dialed-here'
+        )""")
+      // first resolution of the table starts the shared engine, with the
+      // debezium.* options (prefix stripped) as its properties
+      assert(spark.table("dbz_ddl_products").columns.toSeq
+        === Seq("id", "name", "op"))
+      assert(deliver != null, "engine factory never invoked")
+      assert(gotProps.getProperty("connector.class")
+        === "io.debezium.connector.mysql.MySqlConnector")
+      deliver(DebeziumEmbedded.Record("srv.inventory.products", env(1, "a", "r")))
+      deliver(DebeziumEmbedded.Record("srv.inventory.products", env(2, "a", "r")))
+      deliver(DebeziumEmbedded.Record("srv.inventory.products", env(3, "b", "c")))
+      val rows = spark.sql(
+        "SELECT name, COUNT(*) AS n FROM dbz_ddl_products GROUP BY name ORDER BY name")
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(rows.toSeq === Seq("a" -> 2L, "b" -> 1L))
+      assert(spark.table("dbz_ddl_products").columns.toSeq === Seq("id", "name", "op"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dbz_ddl_products")
+      DebeziumEmbedded.ddlEngineFactory = old
+    }
+  }
+
   test("CREATE TABLE USING cdc-log + SQL aggregation over the changelog") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
