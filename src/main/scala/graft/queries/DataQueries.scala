@@ -962,11 +962,25 @@ object DataQueries {
           d1, s.table(htbl), "doc_id", "text", packIdStart = p1)
         val p2 = l1.agg((coalesce(max("pack_id"), lit(p1 - 1L)) + lit(1L)).as("p"))
           .head().getLong(0)
-        keptHashes(l1, d1).write.mode("append")
-          .bucketBy(8, "h").sortBy("h").format("parquet").saveAsTable(htbl)
-        keptBands(l1, d1).write.mode("append")
-          .bucketBy(8, "bhv").sortBy("bhv").format("parquet").saveAsTable(btbl)
+        // SNAPSHOT day-1's kept docs BEFORE touching the manifest tables:
+        // appending to htbl cascade-invalidates every cached plan that
+        // references it — including the (persisted) l1 ledger itself — and
+        // a recompute would re-screen day-1 against a manifest that now
+        // contains day-1's own hashes: Bloom-false-positive docs
+        // self-match in the exact lane and silently vanish from whatever
+        // derives from the recomputed ledger (observed: 46 docs' bands
+        // missing at sf0.1). A day's kept set is a persisted output in
+        // production anyway; deriving both manifest appends from the
+        // snapshot file makes them immune to invalidation order.
+        val snap = java.nio.file.Files.createTempDirectory("graft_q105_kept_")
+        snap.toFile.deleteOnExit()
+        keptDocs(l1, d1).write.parquet(s"$snap/kept")
         l1.unpersist()
+        val kd = s.read.parquet(s"$snap/kept")
+        kd.select(md5(col("text")).as("h")).write.mode("append")
+          .bucketBy(8, "h").sortBy("h").format("parquet").saveAsTable(htbl)
+        Dedup.bandManifest(kd, "doc_id", "text").write.mode("append")
+          .bucketBy(8, "bhv").sortBy("bhv").format("parquet").saveAsTable(btbl)
         (htbl, btbl, p2)
       })
 

@@ -101,4 +101,36 @@ class CurationSpec extends SparkSpec {
     val c = incLedger(0.03, budget = 64L).map(_.toSeq).toSeq
     assert(a == b && b == c)
   }
+
+  test("maintained manifest tables equal the fresh union derivation (q105 fixture)") {
+    // regression pin for the cascade-invalidation trap: appending day-1's
+    // kept hashes to the hash table invalidates every cached plan that
+    // references it — including the day-1 ledger itself — and a recompute
+    // re-screens day-1 against a manifest containing its own hashes, so
+    // Bloom-FP docs self-match and their bands silently vanish. The
+    // fixture snapshots the kept set before appending; this asserts the
+    // stored tables match an independent from-scratch derivation.
+    import org.apache.spark.sql.functions.{coalesce, lit, max, md5}
+    val dir = "/root/testdata/sf0.001"
+    val (htbl, btbl, _) = graft.queries.DataQueries.ensureCurationManifests(spark, dir)
+    val base = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val off = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val d0 = base.filter(col("doc_id") % 3 === 0)
+    val d1 = base.filter(col("doc_id") % 3 === 1).unionAll(
+      d0.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+    val l0 = Curation.curationLedger(d0, "doc_id", "text")
+    val k0 = l0.filter(col("verdict") === "kept").select("doc_id").join(d0, "doc_id")
+    val p1 = l0.agg((coalesce(max("pack_id"), lit(-1L)) + lit(1L)).as("p")).head().getLong(0)
+    val l1 = Curation.incrementalCurationLedger(
+      d1, k0.select(md5(col("text")).as("h")), "doc_id", "text", packIdStart = p1)
+    val k1 = l1.filter(col("verdict") === "kept").select("doc_id").join(d1, "doc_id")
+    val freshH = k0.unionAll(k1).select(md5(col("text")).as("h")).distinct()
+    val freshB = Dedup.bandManifest(k0.unionAll(k1), "doc_id", "text")
+    val tblH = spark.table(htbl).select("h").distinct()
+    val tblB = spark.table(btbl).select("band", "bhv").distinct()
+    assert(freshH.exceptAll(tblH).isEmpty && tblH.exceptAll(freshH).isEmpty)
+    assert(freshB.exceptAll(tblB).isEmpty && tblB.exceptAll(freshB).isEmpty)
+    l0.unpersist(); l1.unpersist()
+  }
 }
