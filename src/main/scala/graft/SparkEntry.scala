@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Battery: q01–q106 (no q66) = 105 queries, 102 oracle-checked + 3 rows-only
-  * (q33/q34 fast-path twins of the oracle-checked q42/q82; q55 estimates,
-  * whose exact-side columns are gated as q84). */
+  * Battery: q01–q106 (no q66) = 105 queries, 103 oracle-checked + 2 rows-only
+  * (q33/q34, the xxhash64 fast-path twins of the oracle-checked q42/q82;
+  * q55's estimates are gated as a BOUNDED check — in-band boolean vs the
+  * oracle's independent exact count — with its exact side also gated as
+  * q84). */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -215,11 +215,21 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
-    // sketch tier: HLL++ approximate distincts next to the exact reference
-    // (engine-local sketch bits → rows-only check; error bounds asserted in
-    // SketchesSpec)
+    // sketch tier: HLL++ approximate distincts, gated as a BOUNDED
+    // cross-engine check (round-9 verdict #8): the estimate itself is
+    // engine-local sketch bits, but its RELATIVE ERROR against the exact
+    // count is a verifiable fact — Spark emits `approx_ok` = within ±20%
+    // (4× the rsd=0.05 std-dev, conservatively past the tail), the oracle
+    // independently derives the exact count and expects TRUE, and the
+    // equality gate then fails if the estimate ever leaves the band OR the
+    // exact side drifts. Tight rsd-level bounds stay asserted in
+    // SketchesSpec; the raw estimate rides q33/q34-style in the spec, not
+    // the gate.
     "q55_approx_distinct" -> ((s, dir) =>
       graft.operators.Sketches.approxDistinct(t(s, dir, "events"), Seq("event_type"), "user_id")
+        .select(col("event_type"), col("n"), col("exact_distinct"),
+          (abs(col("approx_distinct") / col("exact_distinct") - 1.0) <= 0.20)
+            .as("approx_ok"))
         .orderBy("event_type")),
 
     // the exact side of the sketch tier under the hash gate: the SAME
@@ -1046,6 +1056,13 @@ object DataQueries {
     "q84_sketch_exact_side" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
         |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // bounded check: the oracle derives the exact side independently and
+    // asserts the estimate stayed in band (Spark-side boolean must be TRUE)
+    "q55_approx_distinct" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS approx_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q27_doc_exact_dedup" ->
