@@ -183,6 +183,10 @@ object Bench {
     // are past steps; the bench times day 2's daily job reading them.
     try graft.queries.DataQueries.ensureCurationManifests(spark, sfDir)
     catch { case _: Throwable => () }
+    // q107's date-partitioned events lake: the partitioned re-land is the
+    // ingest layout; the bench times the pruned query over it.
+    try graft.queries.RelQueries.ensurePartitionedEventsLake(spark, sfDir)
+    catch { case _: Throwable => () }
     // q92's event-log provider table + staged probe stream, same rule
     try graft.queries.CdcQueries.ensureTemporalFixtures(spark, sfDir)
     catch { case _: Throwable => () }

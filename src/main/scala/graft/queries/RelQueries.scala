@@ -63,6 +63,7 @@ object RelQueries {
     "q54_streaming_sessions" -> q54,
     "q61_streaming_dedup" -> q61,
     "q87_bucketed_join" -> q87,
+    "q107_partition_pruned" -> q107,
     "q88_stream_interval_join" -> q88,
     "q89_stream_temporal_join" -> q89,
     "q90_stream_temporal_outer" -> q90
@@ -77,6 +78,45 @@ object RelQueries {
     import graft.operators.BucketedOps.ensureBucketed
     (ensureBucketed(t(s, dir, "orders"), s"$dir/orders", "o_orderkey", 8),
       ensureBucketed(t(s, dir, "lineitem"), s"$dir/lineitem", "l_orderkey", 8))
+  }
+
+  /** q107's partitioned events lake: the events table re-landed
+    * Hive-partitioned by `event_day` (ts div 1 day — 30 day directories at
+    * every SF), one file per day. This is the layout a 100 TB event store
+    * actually uses: a date-bounded query must PRUNE partitions at planning
+    * (directory listing beats scanning), and the gate pins that the
+    * pruning really happens (PlanAuditSpec: PartitionFilters on the scan,
+    * 3 of 30 directories read). Written once per (session, dir); Bench
+    * pre-materializes it untimed — an ingest-time layout, amortized, the
+    * same rule as the bucketed tables. */
+  private[graft] def ensurePartitionedEventsLake(s: SparkSession, dir: String): String =
+    partitionedEventsCache.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + dir, _ => {
+        val path = java.nio.file.Files.createTempDirectory("graft_events_lake_").toString
+        t(s, dir, "events")
+          .withColumn("event_day", expr("ts div 86400000000000"))
+          .repartition(col("event_day")) // one task (and file) per day dir
+          .write.mode("overwrite").partitionBy("event_day").parquet(path)
+        path
+      })
+
+  private val partitionedEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // date-bounded aggregate over the partitioned lake: the filter lands in
+  // PartitionFilters (planning-time directory pruning — 3 of 30 day dirs
+  // are ever opened), not in a post-scan row filter. The day bounds derive
+  // from the raw table's min day (one bounded driver probe, the maxId
+  // pattern); the oracle re-derives the same bounds closed-form.
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val lake = ensurePartitionedEventsLake(s, dir)
+    val d0 = t(s, dir, "events")
+      .agg(min(expr("ts div 86400000000000")).as("d0")).head().getLong(0)
+    s.read.parquet(lake)
+      .filter(col("event_day") >= d0 + 2 && col("event_day") <= d0 + 4)
+      .groupBy(col("event_day").cast("bigint").as("event_day"), col("event_type"))
+      .agg(cnt.as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("event_day", "event_type")
   }
 
   /** Pre-build every streaming query's staged input for `dir` (untimed in
@@ -585,6 +625,15 @@ object RelQueries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q107_partition_pruned" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) // 86400000000000 AS event_day,
+         |            event_type, value FROM events),
+         |b AS (SELECT MIN(event_day) AS d0 FROM e)
+         |SELECT e.event_day, e.event_type, COUNT(*) AS n,
+         |  ${oSum("e.value")} AS total_value
+         |FROM e, b WHERE e.event_day BETWEEN b.d0 + 2 AND b.d0 + 4
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q62_salted_join" ->
       s"""WITH d AS (SELECT event_type, ${oSum("value")} AS tv, COUNT(*) AS tn

@@ -229,6 +229,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 partitioned lake: the date filter prunes partitions at planning") {
+    // the point of a date-partitioned event lake is that a date-bounded
+    // query opens 3 of 30 day directories instead of filtering rows after
+    // a full scan — the filter must land in the scan's PartitionFilters
+    // (planning-time directory pruning), and the pruned file set must be a
+    // strict, small subset
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q107_partition_pruned")(spark, dir)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scans = p.collect {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty => f }
+    assert(scans.nonEmpty, "q107 lost its partitioned scan")
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "event_day"))),
+      s"q107's day filter did not reach PartitionFilters:\n${df.queryExecution}")
+    // 30 day dirs exist; the 3-day window must read exactly 3
+    assert(scans.forall(_.selectedPartitions.partitionCount == 3),
+      s"expected 3 pruned partitions, got ${scans.map(_.selectedPartitions.partitionCount).toSeq}")
+  }
+
   test("q101 changelog compaction: compact → join → agg with no hash exchange") {
     // the compaction agg groups on the bucket key, the join's other side
     // is bucketed on the same key with the same count, and the final agg

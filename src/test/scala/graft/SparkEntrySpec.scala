@@ -19,11 +19,11 @@ class SparkEntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // round 6: q35/q39/q50/q81 flipped to the oracle via the portable
-    // IVF/PQ family — the remaining three are engine-local by nature
-    // (xxhash64 LSH/SimHash fast paths, HLL sketch bits), each with a
-    // portable oracle-checked twin (q42/q82) or an error-bound spec (q55)
-    assert(noOracle === Set("q33_minhash_lsh_candidates", "q34_simhash_signatures",
-      "q55_approx_distinct"),
+    // IVF/PQ family; round 10: q55 flipped to a BOUNDED oracle check
+    // (in-band boolean vs the exact count) — the remaining two are the
+    // engine-local xxhash64 LSH/SimHash fast paths, each with a portable
+    // oracle-checked twin (q42/q82)
+    assert(noOracle === Set("q33_minhash_lsh_candidates", "q34_simhash_signatures"),
       s"rows-only queries changed: $noOracle — update this spec deliberately")
   }
 

@@ -68,4 +68,58 @@ class UpsertSinkPropertySpec extends AnyFunSuite {
       ok
     })
   }
+
+  private val aggScenarioGen = for {
+    nDeltas <- Gen.choose(1, 24)
+    deltas <- Gen.listOfN(nDeltas,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-50L, 50L)))
+    nBatches <- Gen.choose(1, 4)
+    assignment <- Gen.listOfN(nDeltas, Gen.choose(0, nBatches - 1))
+    replayIdx <- Gen.choose(0, nBatches - 1)
+  } yield (deltas, nBatches, assignment, replayIdx)
+
+  test("upsertAggregate algebra: any batching of group deltas converges to the full aggregate") {
+    // the q106 path's core claim: update mode emits each batch's changed
+    // group PREFIX aggregates, and epoch-sequenced last-wins merges must
+    // make the final state equal the whole-stream aggregate for ANY split
+    // of the deltas into micro-batches — plus replaying an epoch's rows
+    // (same epoch number, same prefix values) is a no-op, which is what
+    // makes foreachBatch's at-least-once delivery exactly-once in effect
+    check(Prop.forAll(aggScenarioGen) { case (deltas, nBatches, assignment, replayIdx) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_upsert_aggp_")
+        .resolve("state").toString
+      val batches = (0 until nBatches).map { b =>
+        deltas.zip(assignment).collect { case (d, a) if a == b => d }
+      }.filter(_.nonEmpty)
+      // what the streaming aggregate emits at epoch e: the running prefix
+      // total of every group touched in batch e (update-mode contract)
+      val running = scala.collection.mutable.Map[String, Long]()
+      val emitted = batches.zipWithIndex.map { case (b, e) =>
+        b.foreach { case (g, x) => running(g) = running.getOrElse(g, 0L) + x }
+        b.map(_._1).distinct.map(g => (g, running(g))) -> e.toLong
+      }
+      def mergeEpoch(rows: Seq[(String, Long)], epoch: Long): Unit =
+        UpsertSink.mergeBatch(
+          rows.toDF("g", "total")
+            .withColumn("op", org.apache.spark.sql.functions.lit("u"))
+            .withColumn("op_offset", org.apache.spark.sql.functions.lit(epoch))
+            .withColumn("row_kind", org.apache.spark.sql.functions.lit("+U")),
+          Seq("g"), out, numBuckets = 2)
+      emitted.foreach { case (rows, e) => mergeEpoch(rows, e) }
+      val model = deltas.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+      def state(): Map[String, Long] =
+        if (emitted.isEmpty) Map.empty
+        else UpsertSink.readState(spark, out).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = state()
+      val replayed = if (emitted.isEmpty) got else {
+        val (rows, e) = emitted(replayIdx % emitted.size)
+        mergeEpoch(rows, e)
+        state()
+      }
+      val ok = got == model && replayed == model
+      if (!ok) println(s"FAIL deltas=$deltas batches=$batches\n  got=$got\n  exp=$model\n  replayed=$replayed")
+      ok
+    })
+  }
 }
