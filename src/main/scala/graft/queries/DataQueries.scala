@@ -349,6 +349,56 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAM-STATIC JOIN at ingest — the §2.4 join shape the battery
+    // lacked: today's crawl arrives as a REAL multi-batch stream and every
+    // micro-batch's band rows join the STATIC prior-corpus band manifest
+    // (broadcast per batch — stateless, no watermark, the standard
+    // "enrich the firehose against a reference table" deployment). The
+    // per-doc aggregation runs batch-side after the stream drains (q83's
+    // post-processing pattern); the result must hash-match q103's batch
+    // screen — same oracle SQL, different execution shape, which is the
+    // point.
+    "q108_stream_static_screen" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val yesterday = docs.filter(col("doc_id") % 3 === 0)
+      // CACHE the static side: a stream-static join re-executes the static
+      // plan EVERY micro-batch, so an uncached manifest re-derives the
+      // whole prior corpus's minhash signatures per batch (measured 1.4s →
+      // ~0.3s/batch here; at 100 TB the static side is a persisted table —
+      // q105's bucketed manifests — or an explicitly cached frame, never a
+      // derivation left inline)
+      val manifest = Dedup.bandManifest(yesterday, "doc_id", "text").persist()
+      manifest.count()
+      val st = StreamFixtures.arm(q108Stage(s, dir))
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
+      val joined = Dedup.md5BandsPerRow(stream, "doc_id", "text")
+        .join(broadcast(manifest.withColumn("__hit", lit(1L))),
+          Seq("band", "bhv"), "left")
+        .select(col("doc_id"), coalesce(col("__hit"), lit(0L)).as("hit"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q108_")
+      tmp.toFile.deleteOnExit()
+      val qname = "q108_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream.outputMode("append").format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      q.awaitTermination()
+      val per = s.table(qname).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"), sum("hit").as("n_hit"))
+      s.read.parquet(st.in).select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) > 0L).as("near_dup_prior"))
+        .orderBy("doc_id")
+    }),
+
     // LAKE-MAINTAINED MANIFESTS — the production shape of q102/q103's
     // derived-in-query manifests: day 0 writes its kept docs' content-hash
     // and LSH-band manifests as BUCKETED TABLES, day 1 curates against
@@ -887,6 +937,33 @@ object DataQueries {
        |FROM votes ORDER BY id""".stripMargin
   }
 
+  /** The q103/q108 screen's closed form: yesterday's band manifest and
+    * today's per-doc hit counts, both re-derived from the md5 band
+    * arithmetic. Shared by the batch (q103) and stream-static (q108)
+    * gates — same answer, different execution shape. */
+  private def crossdayScreenOracleSql: String =
+    s"""WITH
+       |ysrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |tsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+       |         UNION ALL
+       |         SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+       |                'upd ' || text
+       |         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+       |${md5SigBandCtes(16, 8, "ysrc", "y")},
+       |${md5SigBandCtes(16, 8, "tsrc", "t")},
+       |ybk AS (SELECT DISTINCT band, bhv FROM ybands),
+       |per AS (SELECT b.doc_id, COUNT(*) AS n_bands,
+       |          SUM(CASE WHEN y.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |        FROM tbands b LEFT JOIN ybk y
+       |        ON b.band = y.band AND b.bhv = y.bhv
+       |        GROUP BY 1)
+       |SELECT s.doc_id,
+       |  CAST(COALESCE(p.n_bands, 0) AS BIGINT) AS n_bands,
+       |  CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
+       |  (COALESCE(p.n_hit, 0) > 0) AS near_dup_prior
+       |FROM tsrc s LEFT JOIN per p ON s.doc_id = p.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   /** q83's staged doc stream: id-range part files in id-mtime order.
     * Part count pinned to 8 (not shuffle parallelism): under
     * maxFilesPerTrigger=2 that is 4-5 micro-batches — real cross-batch
@@ -900,11 +977,30 @@ object DataQueries {
       StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
     }
 
-  /** Pre-builds the staged stream inputs this battery owns (q83) — called
-    * by Bench outside the timed window, the same ingest-scaffolding rule
-    * as RelQueries.ensureStreamFixtures. */
+  /** q108's staged TODAY stream: the q103 fixture's today side (fresh docs
+    * + one-token-modified re-crawls of yesterday's) as id-ordered part
+    * files — the crawl arriving as a stream. */
+  private def q108Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q108", dir) { in =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val yesterday = docs.filter(col("doc_id") % 3 === 0)
+      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+      val modified = yesterday.filter(col("doc_id") % 5 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + col("id_off") + 1L).as("doc_id"),
+          concat(lit("upd "), col("text")).as("text"))
+      docs.filter(col("doc_id") % 3 =!= 0).unionAll(modified)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
+  /** Pre-builds the staged stream inputs this battery owns (q83, q108) —
+    * called by Bench outside the timed window, the same ingest-scaffolding
+    * rule as RelQueries.ensureStreamFixtures. */
   private[graft] def ensureStreamFixtures(s: SparkSession, dir: String): Unit = {
     q83Stage(s, dir)
+    q108Stage(s, dir)
     ()
   }
 
@@ -1414,28 +1510,11 @@ object DataQueries {
 
     // the band derivation instantiated twice (yesterday manifest, today
     // bands); per-today-doc hit counts against the DISTINCT manifest keys
-    "q103_crossday_neardup" ->
-      s"""WITH
-         |ysrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-         |tsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
-         |         UNION ALL
-         |         SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
-         |                'upd ' || text
-         |         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
-         |${md5SigBandCtes(16, 8, "ysrc", "y")},
-         |${md5SigBandCtes(16, 8, "tsrc", "t")},
-         |ybk AS (SELECT DISTINCT band, bhv FROM ybands),
-         |per AS (SELECT b.doc_id, COUNT(*) AS n_bands,
-         |          SUM(CASE WHEN y.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-         |        FROM tbands b LEFT JOIN ybk y
-         |        ON b.band = y.band AND b.bhv = y.bhv
-         |        GROUP BY 1)
-         |SELECT s.doc_id,
-         |  CAST(COALESCE(p.n_bands, 0) AS BIGINT) AS n_bands,
-         |  CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
-         |  (COALESCE(p.n_hit, 0) > 0) AS near_dup_prior
-         |FROM tsrc s LEFT JOIN per p ON s.doc_id = p.doc_id
-         |ORDER BY s.doc_id""".stripMargin,
+    "q103_crossday_neardup" -> crossdayScreenOracleSql,
+    // q108 runs the SAME screen through a stream-static broadcast join
+    // (today arriving as a multi-batch stream) — one oracle, two
+    // execution shapes, so the two entries cannot drift
+    "q108_stream_static_screen" -> crossdayScreenOracleSql,
     "q82_simhash_md5" -> simHashMd5OracleSql,
     "q83_streaming_lsh_dedup" -> streamingLshDedupOracleSql(k = 16, bands = 8),
 
