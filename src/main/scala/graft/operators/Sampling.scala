@@ -67,6 +67,39 @@ object Sampling {
     df.filter(
       hashBucket(col(idCol), 1000000).cast("double") < weight * lit(1000000.0))
 
+  /** Deterministic EPOCH SHARD PLACEMENT — the global training shuffle,
+    * derandomized: every row lands in exactly one of `nshards` training
+    * shards with a deterministic position inside it, and the whole
+    * placement is a pure function of (id, epoch). shard =
+    * H31("e<epoch>:" || id) mod nshards; pos = the row's 1-based rank
+    * inside its shard by (hash, id). Reading shard files in pos order IS
+    * the epoch's shuffled visit order: uniform, reproducible across runs,
+    * partitionings, and engines (oracle-checkable), and a different epoch
+    * seed re-permutes everything — no `orderBy(rand())`, whose output is
+    * neither stable nor resumable.
+    *
+    * Scale shape: the hash and shard columns are embarrassingly parallel;
+    * the ONLY exchange is one hash-partition on `shard`, and the per-shard
+    * rank sorts each shard inside its own task — exactly the
+    * repartition + sortWithinPartitions a shard-file writer pays anyway,
+    * so the placement plan IS the export plan (write with
+    * `.partitionBy(shard)` and the files come out in visit order). Shard
+    * skew is hash-uniform (±√ over |corpus|/nshards); size `nshards` so a
+    * shard fits one task (100 TB / 4096 shards ≈ 25 GB sorted spill-free
+    * on a standard executor). */
+  def epochShards(df: DataFrame, idCol: String, nshards: Int, epoch: Long,
+      shardCol: String = "shard", posCol: String = "pos"): DataFrame = {
+    require(nshards > 0, s"nshards must be positive, got $nshards")
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h",
+        Dedup.portableH31(concat(lit(s"e$epoch:"), col(idCol).cast("string"))))
+      .withColumn(shardCol, pmod(col("__h"), lit(nshards.toLong)))
+      .withColumn(posCol, row_number().over(w).cast("bigint"))
+      .drop("__h")
+  }
+
   /** Deterministic epoch-weighted source MIXTURE — materializing "train on
     * source A for 2.5 epochs, B for 0.5, drop C" as row multiplicity: each
     * row is emitted floor(rate) times plus one more copy iff its

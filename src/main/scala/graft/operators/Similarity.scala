@@ -582,6 +582,25 @@ object Similarity {
       k: Int, nprobe: Int): DataFrame = {
     val corpus = corpusCells
       .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"), col("cell"))
+    val qCells = probeCellsPortable(centroids, queries, idCol, vecCol, dim, nprobe)
+    val scored = qCells.join(corpus, "cell").filter(col("qid") =!= col("cid"))
+      .withColumn("score_q", dotLong(col("qa"), col("ca"), dim))
+    val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("score_q"))
+  }
+
+  /** Per-query probe-cell selection, the shared head of the portable IVF
+    * search and screen tails: each query scores every (broadcast) centroid
+    * — dot(v_q, s_c)/‖s_c‖ from exact integers, ties → lowest cell — and
+    * keeps its `nprobe` best. Returns (qid, qa = 2^24-quantized query
+    * vector, cell), one row per (query, probed cell). The pinned
+    * repartition clusters the argmax window's input on qid BEFORE the
+    * ncells-way blowup (the same exchange-before-blowup reasoning as
+    * [[assignCellsPortable]]). */
+  private def probeCellsPortable(centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, nprobe: Int): DataFrame = {
     val cents = broadcast(centroids.withColumn("__cn",
       sqrt(dotLong(col("csum"), col("csum"), dim).cast("double"))))
     val qScored = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -591,15 +610,61 @@ object Similarity {
       .withColumn("__sim",
         dotLong(col("__vq"), col("csum"), dim).cast("double") / col("__cn"))
     val wq = Window.partitionBy("qid").orderBy(col("__sim").desc, col("cell"))
-    val qCells = qScored.withColumn("__rn", row_number().over(wq))
+    qScored.withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
       .select(col("qid"), quantize(col("qv"), ScoreScale).as("qa"), col("cell"))
-    val scored = qCells.join(corpus, "cell").filter(col("qid") =!= col("cid"))
-      .withColumn("score_q", dotLong(col("qa"), col("ca"), dim))
-    val w = Window.partitionBy("qid").orderBy(col("score_q").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), col("score_q"))
+  }
+
+  /** INCREMENTAL SEMANTIC SCREEN — the embedding leg of the cross-day
+    * screen family (exact lane: [[Dedup.incrementalNewDocs]]; MinHash
+    * lane: [[Dedup.nearDupVsPrior]]): every document in today's crawl is
+    * checked for a semantic near-duplicate in the PRIOR corpus, through
+    * the same stored IVF index the retrieval path reads
+    * ([[ivfAppendTopKPortableStored]]'s (centroids, priorIndex) tables —
+    * one index serves both retrieval and screening). Each today-vector
+    * probes its `nprobe` best cells ([[probeCellsPortable]] — the shared
+    * head, so screen and search cannot drift), candidates are the PRIOR
+    * index's members of those cells only, and the pair similarity is the
+    * portable 2^24 integer-dot cosine ([[cosineNearDupPairsPortable]]'s
+    * arithmetic — identical doubles in DuckDB). Emits one row per today
+    * doc: (id, n_cand, nn_prior, nn_sim, sem_dup) with nn = the argmax-sim
+    * prior neighbor (ties → lowest id; no candidates → (-1, -1.0, false)).
+    *
+    * Scale shape: centroids broadcast; ONE shuffle of today keyed on the
+    * query id (probe argmax + both per-query windows reuse it); the
+    * candidate join is keyed on `cell`, so a priorIndex persisted via
+    * [[graft.operators.BucketedOps.ensureBucketed]] on `cell` joins
+    * without exchanging the corpus side. Work is O(|today| · ncells) for
+    * assignment + O(|today| · probed-cell occupancy) for scoring — never
+    * O(|prior|·|today|), and the prior corpus is read, not recomputed.
+    * A doc offered today under an id the prior corpus already holds
+    * legitimately screens against itself — dup by definition — so no
+    * self-pair filter exists (unlike the retrieval tail's qid ≠ cid). */
+  def semanticScreenVsPriorStored(centroids: DataFrame, priorIndex: DataFrame,
+      today: DataFrame, idCol: String, vecCol: String, minSim: Double,
+      nprobe: Int = 8): DataFrame = {
+    val dim = probeDim(today, vecCol)
+    val corpus = priorIndex
+      .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"), col("cell"))
+      .withColumn("__cn2", dotLong(col("ca"), col("ca"), dim).cast("double"))
+    val qCells = probeCellsPortable(centroids, today, idCol, vecCol, dim, nprobe)
+      .withColumn("__qn2", dotLong(col("qa"), col("qa"), dim).cast("double"))
+    val scored = qCells.join(corpus, "cell")
+      .withColumn("sim",
+        dotLong(col("qa"), col("ca"), dim).cast("double")
+          / (sqrt(col("__qn2")) * sqrt(col("__cn2"))))
+    val wn = Window.partitionBy("qid")
+    val wb = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val best = scored.withColumn("n_cand", count(lit(1)).over(wn))
+      .withColumn("__rn", row_number().over(wb)).filter(col("__rn") === 1)
+      .select(col("qid"), col("n_cand"), col("cid").as("nn_prior"),
+        col("sim").as("nn_sim"))
+    today.select(col(idCol).as("qid")).join(best, Seq("qid"), "left")
+      .select(col("qid").as(idCol),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("nn_prior"), lit(-1L)).as("nn_prior"),
+        coalesce(col("nn_sim"), lit(-1.0)).as("nn_sim"),
+        coalesce(col("nn_sim") >= minSim, lit(false)).as("sem_dup"))
   }
 
   /** Portable cosine near-dup pairs: portable cells, and the pair

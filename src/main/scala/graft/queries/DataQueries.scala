@@ -175,6 +175,31 @@ object DataQueries {
         "vec_id", "embedding", k = 3, nprobe = 2).orderBy("qid", "rank")
     }),
 
+    // INCREMENTAL SEMANTIC SCREEN — the embedding leg of the cross-day
+    // screen family (exact lane q95/q96, MinHash lane q103/q105): today's
+    // crawl — fresh vectors plus re-embedded exact re-crawls of prior docs
+    // under new ids — is checked for semantic near-dups in the PRIOR
+    // corpus through the SAME stored IVF index q104's retrieval reads
+    // (one index, two consumers: search and screen). The re-crawls land in
+    // their source's cell (assignment is a pure function of the vector)
+    // and score sim ≈ 1.0 against it, so the screen flags them; fresh
+    // vectors top out near the corpus's ~0.5 background sim and pass. The
+    // oracle re-derives the index closed-form and replays every probe and
+    // integer-dot cosine.
+    "q109_semantic_screen" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (centTbl, idxTbl) = ensureAnnIndex(s, dir)
+      val maxId = e.agg(max(col("vec_id")).as("id_off"))
+      val recrawls = e.filter(col("vec_id") % 3 === 0 && col("vec_id") % 5 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("vec_id") + col("id_off") + 1L).as("vec_id"), col("embedding"))
+      val today = e.filter(col("vec_id") % 3 =!= 0)
+        .select("vec_id", "embedding").unionAll(recrawls)
+      Similarity.semanticScreenVsPriorStored(s.table(centTbl), s.table(idxTbl),
+        today, "vec_id", "embedding", minSim = 0.9, nprobe = 2)
+        .orderBy("vec_id")
+    }),
+
     // IVF-PQ: coarse cells + product-quantized ADC shortlist + exact
     // rescore — the 100 TB retrieval shape (codes, not vectors, ride the
     // candidate exchange). PORTABLE variant: integer L2 k-means codebooks
@@ -213,6 +238,20 @@ object DataQueries {
       Sampling.split(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("bucket"), col("split"))
         .orderBy("doc_id")
+    }),
+
+    // DETERMINISTIC EPOCH SHARDS — the global training shuffle as a pure
+    // function of (id, epoch): shard + within-shard visit position from
+    // the portable seeded hash, two epochs gated side by side so the
+    // oracle also pins that a new epoch RE-permutes the corpus (same rows,
+    // different placement). One exchange on shard = the export plan.
+    "q110_epoch_shards" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = t(s, dir, "documents").select("doc_id")
+      Seq(0L, 1L).map { ep =>
+        Sampling.epochShards(docs, "doc_id", nshards = 16, epoch = ep)
+          .withColumn("epoch", lit(ep))
+      }.reduce(_ unionAll _).orderBy("epoch", "doc_id")
     }),
 
     // sketch tier: HLL++ approximate distincts, gated as a BOUNDED
@@ -806,6 +845,56 @@ object DataQueries {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) AS rank
        |  FROM dots)
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** q109 oracle: the incremental semantic screen closed-form. The index
+    * CTEs re-derive q104's stored index (training sample restricted to the
+    * prior corpus; `cellsf` filtered to it), `today` mirrors the fixture's
+    * fresh + offset-re-crawl union (MATERIALIZED — it fans out into three
+    * consumers), and the probe/score tail replays
+    * [[graft.operators.Similarity.semanticScreenVsPriorStored]]'s
+    * arithmetic: nprobe best cells per today-vector, prior members of
+    * those cells as candidates, integer-dot cosine as identical doubles,
+    * argmax neighbor with (sim desc, id) ties. */
+  private def semanticScreenOracleSql(ncells: Int, iters: Int, nprobe: Int,
+      minSim: Double): String =
+    s"""WITH ${ivfPortableCtes(ncells, iters, trainWhere = "WHERE vec_id % 3 = 0")},
+       |off AS (SELECT MAX(vec_id) + 1 AS o FROM embeddings),
+       |today AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT e.vec_id + off.o AS vec_id, e.embedding
+       |  FROM embeddings e, off WHERE e.vec_id % 3 = 0 AND e.vec_id % 5 = 0),
+       |tfq AS (SELECT vec_id, list_transform(embedding,
+       |          x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS vq
+       |        FROM today),
+       |tv24 AS (SELECT vec_id, list_transform(embedding,
+       |          x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS a
+       |        FROM today),
+       |prior AS (SELECT vec_id, cell FROM cellsf WHERE vec_id % 3 = 0),
+       |qc AS (SELECT vec_id AS qid, cell FROM (
+       |  SELECT f.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY CAST(${ivfDotSql("f.vq", "c.s")} AS DOUBLE)
+       |        / sqrt(CAST(${ivfDotSql("c.s", "c.s")} AS DOUBLE)) DESC, c.cell) AS rk
+       |  FROM tfq f CROSS JOIN cents$iters c) WHERE rk <= $nprobe),
+       |sims AS (SELECT qc.qid, p.vec_id AS cid,
+       |    CAST(${ivfDotSql("qa.a", "ca.a")} AS DOUBLE)
+       |      / (sqrt(CAST(${ivfDotSql("qa.a", "qa.a")} AS DOUBLE))
+       |         * sqrt(CAST(${ivfDotSql("ca.a", "ca.a")} AS DOUBLE))) AS sim
+       |  FROM qc JOIN prior p USING (cell)
+       |  JOIN tv24 qa ON qc.qid = qa.vec_id
+       |  JOIN v24 ca ON p.vec_id = ca.vec_id),
+       |best AS (SELECT qid, cid, sim,
+       |    COUNT(*) OVER (PARTITION BY qid) AS n_cand,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       |  FROM sims)
+       |SELECT t.vec_id,
+       |  CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(b.cid, -1) AS BIGINT) AS nn_prior,
+       |  COALESCE(b.sim, -1.0) AS nn_sim,
+       |  COALESCE(b.sim >= $minSim, FALSE) AS sem_dup
+       |FROM today t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON t.vec_id = b.qid
+       |ORDER BY t.vec_id""".stripMargin
 
   /** q50 oracle: the full portable IVF-PQ pipeline in DuckDB. Subspaces
     * are FLATTENED into rows (one Lloyd chain handles all m via (mi, cw)
@@ -1523,10 +1612,24 @@ object DataQueries {
     "q35_embedding_ivf_topk" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3),
     "q104_incremental_ann" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3,
       trainWhere = "WHERE vec_id % 3 = 0"),
+    "q109_semantic_screen" ->
+      semanticScreenOracleSql(ncells = 8, iters = 1, nprobe = 2, minSim = 0.9),
     "q50_pq_topk" -> ivfPqOracleSql(ncells = 8, nprobe = 2, ivfIters = 1,
       m = 8, pqK = 16, pqIters = 2, rescoreFactor = 4, k = 3),
     "q39_cosine_near_dup" -> cosineNearDupOracleSql(ncells = 32, iters = 2, minSim = 0.35),
     "q81_semantic_dedup" -> semanticDedupOracleSql(ncells = 32, iters = 2, minSim = 0.35),
+
+    "q110_epoch_shards" -> {
+      def arm(ep: Long): String =
+        s"""SELECT doc_id, CAST(hh % 16 AS BIGINT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT) AS pos,
+           |  CAST($ep AS BIGINT) AS epoch
+           |FROM (SELECT doc_id,
+           |  ((md5_number_upper('e$ep:' || CAST(doc_id AS VARCHAR)) >> 8) % 2147483647) AS hh
+           |  FROM documents)""".stripMargin
+      s"""SELECT doc_id, shard, pos, epoch FROM (${arm(0)} UNION ALL ${arm(1)})
+         |ORDER BY epoch, doc_id""".stripMargin
+    },
 
     "q56_hash_split" ->
       """WITH b AS (SELECT doc_id,

@@ -288,6 +288,66 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stored === direct)
   }
 
+  test("semanticScreenVsPriorStored: flags re-embedded re-crawls; ncells=1 equals brute-force max-cosine") {
+    val prior = emb.filter(col("vec_id") % 3 === 0)
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val recrawls = prior.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"), col("embedding"))
+    val today = emb.filter(col("vec_id") % 3 =!= 0)
+      .select("vec_id", "embedding").unionAll(recrawls)
+    val centroids = Similarity.ivfCentroidsPortable(prior, "vec_id", "embedding",
+      ncells = 8, iters = 1)
+    val idx = Similarity.assignCellsPortable(prior, "vec_id", "embedding", centroids)
+    val out = Similarity.semanticScreenVsPriorStored(centroids, idx, today,
+      "vec_id", "embedding", minSim = 0.9, nprobe = 2)
+    assert(out.count() === today.count(), "one verdict row per today doc")
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    val recrawlIds = recrawls.select("vec_id").collect().map(_.getLong(0))
+    assert(recrawlIds.nonEmpty)
+    recrawlIds.foreach { id =>
+      val r = rows(id)
+      // an identical vector lands in its source's cell and scores sim ≈ 1
+      assert(r.getBoolean(4), s"recrawl $id not flagged")
+      assert(r.getLong(2) === id - (maxId + 1), s"recrawl $id nn_prior ${r.getLong(2)}")
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, s"recrawl $id sim ${r.getDouble(3)}")
+    }
+    val freshFlagged = rows.filterNot { case (id, _) => recrawlIds.contains(id) }
+      .count { case (_, r) => r.getBoolean(4) }
+    assert(freshFlagged === 0, s"$freshFlagged fresh docs flagged (background sim ~0.5)")
+
+    // ncells = 1 → every prior vector is a candidate: the screen's neighbor
+    // must equal a driver-side brute-force argmax over the same quantized
+    // arithmetic (exact doubles, ties → lowest id)
+    val c1 = Similarity.ivfCentroidsPortable(prior, "vec_id", "embedding",
+      ncells = 1, iters = 1)
+    val i1 = Similarity.assignCellsPortable(prior, "vec_id", "embedding", c1)
+    val s1 = Similarity.semanticScreenVsPriorStored(c1, i1, today,
+      "vec_id", "embedding", minSim = 0.9, nprobe = 1)
+    def q24(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 16777216.0).toLong).toArray
+    def dotL(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val pv = prior.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> q24(r.getSeq[Float](1))).sortBy(_._1)
+    val tv = today.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> q24(r.getSeq[Float](1)))
+    val expected = tv.map { case (id, a) =>
+      val na = math.sqrt(dotL(a, a).toDouble)
+      val best = pv.map { case (cid, b) =>
+        (cid, dotL(a, b).toDouble / (na * math.sqrt(dotL(b, b).toDouble)))
+      }.minBy { case (cid, s) => (-s, cid) }
+      id -> best
+    }.toMap
+    s1.collect().foreach { r =>
+      val (ecid, esim) = expected(r.getLong(0))
+      assert(r.getLong(2) === ecid, s"qid ${r.getLong(0)} nn")
+      assert(r.getDouble(3) === esim, s"qid ${r.getLong(0)} sim")
+    }
+  }
+
   test("bloomLaneSplit: NULL-hash rows land in exactly one lane (nonMembers)") {
     // might_contain(NULL) is NULL — without the coalesce guard a NULL-text
     // doc would fail BOTH lane filters and vanish from the partition; the

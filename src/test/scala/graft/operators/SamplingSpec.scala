@@ -86,4 +86,42 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"mixture must stay a per-row flatMap:\n$plan")
   }
+
+  test("epochShards: one shard each, dense positions, repartition-stable, epoch re-permutes") {
+    val ids = docs.select("doc_id")
+    val n = ids.count()
+    val e0 = Sampling.epochShards(ids, "doc_id", nshards = 8, epoch = 0)
+    assert(e0.count() === n, "placement is a permutation — no row gained or lost")
+    // per shard: positions are exactly 1..|shard| (dense, unique)
+    val per = e0.groupBy("shard").agg(count(lit(1)).as("n"),
+      countDistinct("pos").as("d"), min("pos").as("mn"), max("pos").as("mx")).collect()
+    assert(per.length === 8, "all shards populated at this size")
+    per.foreach { r =>
+      val (cnt, dst, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dst === cnt && mn === 1L && mx === cnt, s"shard ${r.getLong(0)}: $cnt/$dst/$mn/$mx")
+    }
+    // hash-uniform: no shard more than 2× the mean at this corpus size
+    val sizes = per.map(_.getLong(1))
+    assert(sizes.max.toDouble / (n.toDouble / 8) < 2.0, sizes.mkString(","))
+    // placement is a pure function of (id, epoch) — partitioning-invariant
+    val a = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.epochShards(ids.repartition(13), "doc_id", nshards = 8, epoch = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    // a new epoch RE-permutes: most rows move shard, and within-shard
+    // orders decorrelate (the whole point of an epoch reshuffle)
+    val m0 = a.map(t => t._1 -> t._2).toMap
+    val m1 = Sampling.epochShards(ids, "doc_id", nshards = 8, epoch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = m0.count { case (id, s0) => m1(id) != s0 }
+    assert(moved > n / 2, s"epoch 1 moved only $moved of $n")
+    // exactly ONE exchange (on shard) — the export plan's repartition
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val pp = e0.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    val plan = pp.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
 }
