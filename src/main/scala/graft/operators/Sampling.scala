@@ -100,6 +100,60 @@ object Sampling {
       .drop("__h")
   }
 
+  /** TOKEN-BUDGET MIXTURE — the composition control a pretraining run
+    * actually specifies ("X tokens of web, Y of code"), not row counts:
+    * per source, documents are taken in portable-hash order until the
+    * source's token budget is exhausted — a doc is kept iff the cumulative
+    * token count BEFORE it is under the budget (so the crossing doc is
+    * kept and every budgeted source with enough mass reaches ≥ its
+    * budget). Membership is a pure function of (id, token counts, budget):
+    * reproducible across runs, partitionings, and engines.
+    *
+    * NOT the naive corpus-wide window. A per-source prefix sum with a
+    * handful of sources would serialize the whole corpus through a few
+    * window tasks; instead the hash range is RANGE-bucketed
+    * (bucket = h / ceil(P31/nBuckets) — bucket order IS hash order, so
+    * (bucket, h, id) ordering equals (h, id) ordering and the two-level
+    * sum is exactly the global one):
+    *   1. per (source, bucket) token totals — one map-side-combined agg;
+    *   2. exclusive prefix offsets over the tiny (sources × nBuckets)
+    *      frame — broadcast back;
+    *   3. buckets whose offset already exceeds the budget are PRUNED
+    *      before any sort (their every doc has cum_before ≥ offset ≥
+    *      budget) — the corpus past the budget is never windowed, so the
+    *      expensive stage reads ~budget worth of data, not the corpus;
+    *   4. intra-bucket running sums in parallel across sources × buckets
+    *      partitions, shifted by the bucket offset.
+    * Emits (idCol, sourceCol, n_tokens, cum_tokens) for kept docs. */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: Column, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0), s"budgets must be >= 0")
+    val P31 = 2147483647L
+    val span = (P31 + nBuckets - 1) / nBuckets
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, b)) =>
+      when(col(sourceCol) === k, b).otherwise(acc)
+    }
+    val base = df
+      .withColumn("__h", Dedup.portableH31(col(idCol).cast("string")))
+      .withColumn("__b", (col("__h") / lit(span)).cast("long"))
+      .withColumn("n_tokens", tokensCol.cast("bigint"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__b"))
+    val offsets = base.groupBy(col(sourceCol), col("__b"))
+      .agg(sum("n_tokens").as("__bt"))
+      .withColumn("__off", sum("__bt").over(wOff) - col("__bt"))
+      .select(col(sourceCol), col("__b"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("__b")).orderBy(col("__h"), col(idCol))
+    base.join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .filter(col("__off") < budget) // bucket pruning — exact, see scaladoc
+      .withColumn("cum_tokens", (col("__off") + sum("n_tokens").over(wIn)).cast("bigint"))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Deterministic epoch-weighted source MIXTURE — materializing "train on
     * source A for 2.5 epochs, B for 0.5, drop C" as row multiplicity: each
     * row is emitted floor(rate) times plus one more copy iff its

@@ -642,11 +642,33 @@ object Similarity {
     * self-pair filter exists (unlike the retrieval tail's qid ≠ cid). */
   def semanticScreenVsPriorStored(centroids: DataFrame, priorIndex: DataFrame,
       today: DataFrame, idCol: String, vecCol: String, minSim: Double,
-      nprobe: Int = 8): DataFrame = {
-    val dim = probeDim(today, vecCol)
-    val corpus = priorIndex
+      nprobe: Int = 8): DataFrame =
+    semanticScreenVsPriorPrepared(centroids,
+      prepareScreenIndex(priorIndex, idCol, vecCol),
+      today, idCol, vecCol, minSim, nprobe)
+
+  /** The screen corpus in pre-derived form: (cid, ca = 2^24-quantized
+    * vector, cell, __cn2 = squared norm as double) from a stored
+    * (id, vec, cell) index table. [[semanticScreenVsPriorStored]] derives
+    * this inline — fine for one batch run, but a STREAMING screen calls
+    * the operator once per micro-batch, and re-deriving the projection is
+    * O(|prior|) work per batch (the same class of leak as q108's inline
+    * static manifest). Prepare once, persist, and pass to
+    * [[semanticScreenVsPriorPrepared]]. */
+  def prepareScreenIndex(priorIndex: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dim = probeDim(priorIndex, vecCol)
+    priorIndex
       .select(col(idCol).as("cid"), quantize(col(vecCol), ScoreScale).as("ca"), col("cell"))
       .withColumn("__cn2", dotLong(col("ca"), col("ca"), dim).cast("double"))
+  }
+
+  /** [[semanticScreenVsPriorStored]] with the corpus side already in
+    * [[prepareScreenIndex]]'s shape — the per-micro-batch entry point. */
+  def semanticScreenVsPriorPrepared(centroids: DataFrame, corpus: DataFrame,
+      today: DataFrame, idCol: String, vecCol: String, minSim: Double,
+      nprobe: Int = 8): DataFrame = {
+    val dim = probeDim(today, vecCol)
     val qCells = probeCellsPortable(centroids, today, idCol, vecCol, dim, nprobe)
       .withColumn("__qn2", dotLong(col("qa"), col("qa"), dim).cast("double"))
     val scored = qCells.join(corpus, "cell")

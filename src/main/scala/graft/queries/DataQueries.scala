@@ -187,17 +187,69 @@ object DataQueries {
     // oracle re-derives the index closed-form and replays every probe and
     // integer-dot cosine.
     "q109_semantic_screen" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
       val (centTbl, idxTbl) = ensureAnnIndex(s, dir)
-      val maxId = e.agg(max(col("vec_id")).as("id_off"))
-      val recrawls = e.filter(col("vec_id") % 3 === 0 && col("vec_id") % 5 === 0)
-        .crossJoin(broadcast(maxId))
-        .select((col("vec_id") + col("id_off") + 1L).as("vec_id"), col("embedding"))
-      val today = e.filter(col("vec_id") % 3 =!= 0)
-        .select("vec_id", "embedding").unionAll(recrawls)
       Similarity.semanticScreenVsPriorStored(s.table(centTbl), s.table(idxTbl),
-        today, "vec_id", "embedding", minSim = 0.9, nprobe = 2)
+        todayEmbeddings(s, dir), "vec_id", "embedding", minSim = 0.9, nprobe = 2)
         .orderBy("vec_id")
+    }),
+
+    // STREAMING SEMANTIC SCREEN AT INGEST — q109's execution dual, the
+    // same pairing q108 is to q103: today's embeddings arrive as a REAL
+    // multi-batch stream and each micro-batch runs the FULL screen
+    // operator against the stored index via foreachBatch (a doc's verdict
+    // only needs the STATIC index, so per-batch screening is complete —
+    // no cross-batch state). The static tables are read once and
+    // persisted (the q108 lesson: a stream-static plan re-executes the
+    // static side per batch), results append to a parquet spool, and the
+    // drained union must hash-match q109 — one oracle, two shapes.
+    "q111_stream_semantic_screen" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (centTbl, idxTbl) = ensureAnnIndex(s, dir)
+      val cents = s.table(centTbl).persist()
+      // the corpus side PREPARED (quantized + norms) once — per-batch
+      // re-derivation would be O(|prior|) work per micro-batch
+      val idx = Similarity.prepareScreenIndex(s.table(idxTbl), "vec_id", "embedding")
+        .persist()
+      cents.count(); idx.count()
+      val st = StreamFixtures.arm(q111Stage(s, dir))
+      val schema = s.read.parquet(st.in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q111_")
+      tmp.toFile.deleteOnExit()
+      val resDir = tmp.resolve("res").toString
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              Similarity.semanticScreenVsPriorPrepared(cents, idx, batch,
+                "vec_id", "embedding", minSim = 0.9, nprobe = 2)
+                .write.mode("append").parquet(resDir)
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      q.awaitTermination()
+      cents.unpersist(); idx.unpersist()
+      s.read.parquet(resDir).orderBy("vec_id")
+    }),
+
+    // TOKEN-BUDGET MIXTURE — composition by token count, the unit a
+    // pretraining run actually budgets: per source take docs in portable-
+    // hash order until the budget crosses (src0 generous, src1 starved,
+    // src2 unbounded, everyone else the default). The operator's
+    // two-level range-bucketed prefix sum + bucket pruning must equal the
+    // oracle's naive per-source window exactly.
+    "q112_token_budget" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.tokenBudgetMixture(
+        t(s, dir, "documents").select("doc_id", "source", "text"),
+        "doc_id", "source", graft.functions.TextFunctions.tokenCount(col("text")),
+        budgets = Map("src0" -> 800L, "src1" -> 100L, "src2" -> 1000000L),
+        defaultBudget = 300L)
+        .orderBy("doc_id")
     }),
 
     // IVF-PQ: coarse cells + product-quantized ADC shortlist + exact
@@ -1084,12 +1136,37 @@ object DataQueries {
       StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
     }
 
-  /** Pre-builds the staged stream inputs this battery owns (q83, q108) —
-    * called by Bench outside the timed window, the same ingest-scaffolding
-    * rule as RelQueries.ensureStreamFixtures. */
+  /** The q109/q111 shared TODAY fixture: fresh vectors (vec_id % 3 ≠ 0)
+    * plus exact re-embedded re-crawls of prior docs under offset ids —
+    * the embedding analogue of q103's text fixture. The oracle's `today`
+    * CTE mirrors this construction. */
+  private def todayEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val maxId = e.agg(max(col("vec_id")).as("id_off"))
+    val recrawls = e.filter(col("vec_id") % 3 === 0 && col("vec_id") % 5 === 0)
+      .crossJoin(broadcast(maxId))
+      .select((col("vec_id") + col("id_off") + 1L).as("vec_id"), col("embedding"))
+    e.filter(col("vec_id") % 3 =!= 0).select("vec_id", "embedding").unionAll(recrawls)
+  }
+
+  /** q111's staged TODAY stream: [[todayEmbeddings]] as 8 range-
+    * partitioned part files arriving 1 s apart (maxFilesPerTrigger=2 →
+    * 4 micro-batches). */
+  private def q111Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q111", dir) { in =>
+      todayEmbeddings(s, dir)
+        .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(in)
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
+  /** Pre-builds the staged stream inputs this battery owns (q83, q108,
+    * q111) — called by Bench outside the timed window, the same
+    * ingest-scaffolding rule as RelQueries.ensureStreamFixtures. */
   private[graft] def ensureStreamFixtures(s: SparkSession, dir: String): Unit = {
     q83Stage(s, dir)
     q108Stage(s, dir)
+    q111Stage(s, dir)
     ()
   }
 
@@ -1614,6 +1691,25 @@ object DataQueries {
       trainWhere = "WHERE vec_id % 3 = 0"),
     "q109_semantic_screen" ->
       semanticScreenOracleSql(ncells = 8, iters = 1, nprobe = 2, minSim = 0.9),
+    // q111 is q109's execution dual (streaming foreachBatch over the same
+    // stored index) — SAME closed form, the q103/q108 pairing rule
+    "q111_stream_semantic_screen" ->
+      semanticScreenOracleSql(ncells = 8, iters = 1, nprobe = 2, minSim = 0.9),
+
+    "q112_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 8) % 2147483647) AS hh
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c
+        |WHERE cum - n_tokens < CASE source WHEN 'src0' THEN 800
+        |  WHEN 'src1' THEN 100 WHEN 'src2' THEN 1000000 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
     "q50_pq_topk" -> ivfPqOracleSql(ncells = 8, nprobe = 2, ivfIters = 1,
       m = 8, pqK = 16, pqIters = 2, rescoreFactor = 4, k = 3),
     "q39_cosine_near_dup" -> cosineNearDupOracleSql(ncells = 32, iters = 2, minSim = 0.35),

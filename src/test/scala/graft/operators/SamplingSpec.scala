@@ -87,6 +87,59 @@ class SamplingSpec extends SparkSpec {
       s"mixture must stay a per-row flatMap:\n$plan")
   }
 
+  test("tokenBudgetMixture: two-level bucketed sum ≡ naive window; crossing doc kept; minimal") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    val budgets = Map("src0" -> 800L, "src1" -> 100L, "src2" -> Long.MaxValue)
+    val out = Sampling.tokenBudgetMixture(docs.select("doc_id", "source", "text"),
+      "doc_id", "source", toks, budgets, defaultBudget = 300L)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    // the naive corpus-wide window (what the oracle runs) — bit-identical
+    val wNaive = Window.partitionBy("source")
+      .orderBy(Dedup.portableH31(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def budgetExpr = when(col("source") === "src0", 800L)
+      .when(col("source") === "src1", 100L)
+      .when(col("source") === "src2", Long.MaxValue).otherwise(300L)
+    val naive = docs.select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wNaive).cast("bigint"))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetExpr)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === naive)
+
+    // ... and invariant to the bucket count (range-bucketing preserves the
+    // global hash order, so the two-level sum can't depend on nBuckets)
+    val b4 = Sampling.tokenBudgetMixture(docs.select("doc_id", "source", "text"),
+      "doc_id", "source", toks, budgets, defaultBudget = 300L, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(b4 === got)
+
+    // budget semantics per source: every kept doc starts under the budget,
+    // the crossing doc is kept (kept mass reaches >= budget when the
+    // source has the mass), and kept - last == under budget (minimality)
+    val bySource = got.groupBy(_._2)
+    val mass = docs.select(col("source"), toks.as("n"))
+      .groupBy("source").agg(sum("n").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      val budget = budgets.getOrElse(src, 300L)
+      val keptMass = rows.toSeq.map(_._3).sum
+      rows.foreach { case (id, _, n, cum) =>
+        assert(cum - n < budget, s"$src/$id starts at ${cum - n} >= $budget")
+      }
+      if (budget == Long.MaxValue)
+        assert(keptMass === mass(src), s"$src unbounded must keep everything")
+      else if (mass(src) >= budget) {
+        assert(keptMass >= budget, s"$src kept $keptMass < budget $budget")
+        val last = rows.maxBy(_._4)
+        assert(keptMass - last._3 < budget, s"$src keeps a doc past the crossing")
+      } else assert(keptMass === mass(src), s"$src under-massed must keep everything")
+    }
+    // the starved source actually truncates (the fixture is interesting)
+    assert(bySource("src1").size < docs.filter(col("source") === "src1").count())
+  }
+
   test("epochShards: one shard each, dense positions, repartition-stable, epoch re-permutes") {
     val ids = docs.select("doc_id")
     val n = ids.count()
