@@ -125,4 +125,45 @@ object BucketedOps {
       .filter(col("__last.op") =!= "d")
       .select(col(key) +: payloadCols.map(c => col(s"__last.$c").as(c)): _*)
   }
+
+  /** RETENTION VACUUM — the time-bounded middle ground between keeping the
+    * full changelog forever and [[compactChangelog]]'s latest-state-only
+    * collapse (Kafka compacted-topic / lake-VACUUM semantics): events at
+    * `op_offset >= horizonOffset` survive verbatim (time travel stays
+    * exact inside the horizon), and everything older collapses to ONE
+    * snapshot row per live key — the pre-horizon latest state re-emitted
+    * as a snapshot read (`op='r'`, `row_kind='+I'`, the CDC convention for
+    * "state, not event"), carrying its original op_offset so replay order
+    * is preserved. Keys whose pre-horizon history ends in a delete vanish
+    * entirely (a pre-horizon delete followed by a post-horizon re-insert
+    * replays correctly: the snapshot row is dropped, the insert survives).
+    *
+    * REPLAY EQUIVALENCE is the operator's contract: materializing the
+    * vacuumed changelog at any offset ≥ horizon equals materializing the
+    * full one (VacuumChangelogPropertySpec pins it for arbitrary mutation
+    * scripts and every horizon). At 100 TB this is the lake's retention
+    * job: the same zero-exchange shape as compaction — grouping key IS the
+    * bucket key, each bucket rewrites independently (snapshot agg + recent
+    * filter are both bucket-local), per-task memory = one bucket's keys —
+    * and the output is again a valid changelog, re-landable into the same
+    * bucketed layout. */
+  def vacuumChangelog(s: org.apache.spark.sql.SparkSession, changelogTable: String,
+      key: String, payloadCols: Seq[String], horizonOffset: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cl = s.table(changelogTable)
+    val seq = struct(col("op_offset"),
+      when(col("row_kind") === "-U", 0).otherwise(1))
+    val snap = cl.filter(col("op_offset") < horizonOffset)
+      .groupBy(col(key))
+      .agg(max_by(struct((payloadCols ++ Seq("op", "op_offset")).map(col): _*), seq)
+        .as("__last"))
+      .filter(col("__last.op") =!= "d")
+      .select(col(key) +: (payloadCols.map(c => col(s"__last.$c").as(c)) ++ Seq(
+        lit("r").as("op"), col("__last.op_offset").as("op_offset"),
+        lit("+I").as("row_kind"))): _*)
+    val recent = cl.filter(col("op_offset") >= horizonOffset)
+      .select(col(key) +: (payloadCols.map(col) ++
+        Seq(col("op"), col("op_offset"), col("row_kind"))): _*)
+    snap.unionAll(recent)
+  }
 }

@@ -100,6 +100,36 @@ object Sampling {
       .drop("__h")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: membership is decided by the
+    * document's near-dup CLUSTER, not the document itself. A per-doc hash
+    * split ([[split]]) routinely puts two near-duplicates on opposite
+    * sides of the train/test fence — the classic eval-leakage bug: the
+    * model "generalizes" to test docs it effectively saw in training.
+    * Here every doc's bucket comes from its cluster representative (the
+    * connected-component label over the near-dup pair graph; singletons
+    * represent themselves), so a whole near-dup cluster moves as one unit
+    * and no pair ever straddles a split boundary.
+    *
+    * `pairs` is any near-dup pair set — n-gram Jaccard
+    * ([[Dedup.ngramJaccardPairs]]), MinHash-LSH, SemDeDup cosine pairs —
+    * the split composes with whichever similarity the pipeline already
+    * computes. Scale shape: components is the O(log n) star-contraction
+    * ([[ConnectedComponents]]); the label join is one keyed shuffle of
+    * (id, rep) pairs; membership stays a pure function of (pair graph,
+    * id) — reproducible and oracle-checkable. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100 && trainPct > 0 && valPct >= 0)
+    val comp = ConnectedComponents.components(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("component").as("rep"))
+    df.select(col(idCol)).join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
+      .withColumn("bucket", hashBucket(col("rep")))
+      .withColumn("split", when(col("bucket") < trainPct, "train")
+        .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
+  }
+
   /** TOKEN-BUDGET MIXTURE — the composition control a pretraining run
     * actually specifies ("X tokens of web, Y of code"), not row counts:
     * per source, documents are taken in portable-hash order until the

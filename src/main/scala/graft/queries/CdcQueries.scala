@@ -266,6 +266,24 @@ object CdcQueries {
         .orderBy("k")
     }),
 
+    // RETENTION VACUUM of the changelog lake — the maintenance job between
+    // "keep everything" and q101's latest-state collapse: events inside
+    // the horizon survive verbatim, older history collapses to one
+    // snapshot row per live key (op='r', original offset — replay order
+    // preserved; pre-horizon-deleted keys vanish). Replay equivalence for
+    // arbitrary scripts/horizons is property-pinned; here the whole
+    // vacuumed changelog is hash-gated against the windowed closed form.
+    // Same zero-exchange bucket-local shape as q101 (PlanAuditSpec).
+    "q113_changelog_vacuum" -> ((s, dir) => {
+      val clT = graft.operators.BucketedOps.ensureBucketed(
+        changelog(s, dir), s"$dir/changelog_q101", "k", 8)
+      val maxK = t(s, dir, "orders")
+        .agg(max(col("o_orderkey")).cast("long")).head().getLong(0)
+      graft.operators.BucketedOps.vacuumChangelog(
+        s, clT, "k", Seq("price", "st"), horizonOffset = 3L * (maxK / 2L))
+        .orderBy("k", "op_offset", "row_kind")
+    }),
+
     // STREAMING RETRACT AGGREGATION: the aggregate consumed STRAIGHT off
     // the changelog with signed contributions (+after for c/+U, −before
     // for d/-U — Flink's retract-stream aggregate, which the reference's
@@ -681,6 +699,22 @@ object CdcQueries {
          |  COUNT(*) AS n_items
          |FROM state JOIN lineitem ON l_orderkey = k
          |GROUP BY k, price, st ORDER BY k""".stripMargin,
+
+    "q113_changelog_vacuum" ->
+      s"""WITH cl AS ($derivedChangelogSql),
+         |h AS (SELECT 3*(MAX(o_orderkey)//2) AS h FROM orders),
+         |pre AS (SELECT cl.* FROM cl, h WHERE op_offset < h.h),
+         |last AS (SELECT k, price, st, op, op_offset FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY k
+         |    ORDER BY op_offset DESC,
+         |             CASE WHEN row_kind = '-U' THEN 0 ELSE 1 END DESC) AS rn
+         |  FROM pre) WHERE rn = 1),
+         |snap AS (SELECT k, price, st, 'r' AS op, op_offset, '+I' AS row_kind
+         |         FROM last WHERE op <> 'd'),
+         |recent AS (SELECT cl.* FROM cl, h WHERE op_offset >= h.h)
+         |SELECT k, price, st, op, op_offset, row_kind
+         |FROM (SELECT * FROM snap UNION ALL SELECT * FROM recent)
+         |ORDER BY k, op_offset, row_kind""".stripMargin,
 
     // the same closed form as q25 — reached by signed event contributions
     // (decimal cancellation) instead of materialize-then-aggregate

@@ -625,6 +625,19 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE SPLIT — q56's split decided by the near-dup CLUSTER
+    // instead of the doc: the whole cluster hashes on its representative,
+    // so no near-dup pair can straddle train/test (the eval-leakage bug a
+    // per-doc split has by construction). Composes q57's components with
+    // q56's portable bucket arithmetic; fully closed-form in the oracle.
+    "q114_leakage_safe_split" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // PII scrub: regex redaction (emails/SSNs/phones/IPv4) — the corpus
     // has no PII, so the gate derives a PII-bearing column from doc_id
     // deterministically in BOTH engines and checks the scrubbing logic
@@ -870,6 +883,28 @@ object DataQueries {
        |      ORDER BY ${scoreSql("f.vq", "c.s")} DESC, c.cell) AS rk
        |  FROM fq f CROSS JOIN cents$iters c) WHERE rk = 1)""".stripMargin
   }
+
+  /** q57/q114/q115 shared closed form: 3-gram Jaccard ≥ 0.3 pair graph
+    * over `src` (a table name or parenthesized subquery; `extraCtes` lets
+    * a caller prepend its own CTE definitions), then connected components
+    * via a recursive label walk (comp label = MIN reachable id — exactly
+    * the star-contraction's fixpoint). */
+  private def jaccardComponentCtes(src: String, extraCtes: String = ""): String =
+    s"""WITH RECURSIVE
+      |${extraCtes}toks AS (SELECT doc_id, string_split(text, ' ') ts FROM $src),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |np AS (SELECT id_a, id_b FROM pairs
+      |       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |       WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3),
+      |edges AS (SELECT id_a u, id_b v FROM np UNION SELECT id_b, id_a FROM np),
+      |walk(u, lbl) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u)""".stripMargin
 
   private def ivfDotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
@@ -1609,25 +1644,25 @@ object DataQueries {
     // (UNION dedup terminates it), Spark side = star contraction. Same
     // fixpoint, very different algorithms — exactly what an oracle is for.
     "q57_dedup_clusters" ->
-      """WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-        |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |np AS (SELECT id_a, id_b FROM pairs
-        |       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-        |       WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3),
-        |edges AS (SELECT id_a u, id_b v FROM np UNION SELECT id_b, id_a FROM np),
-        |walk(u, lbl) AS (
-        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        |  UNION
-        |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+      s"""${jaccardComponentCtes("documents")},
         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY u)
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // same component walk; the split then hashes the REPRESENTATIVE
+    // (singletons represent themselves), so a cluster moves as one unit
+    "q114_leakage_safe_split" ->
+      s"""${jaccardComponentCtes("documents")},
+        |comp AS (SELECT u AS doc_id, MIN(lbl) AS rep FROM walk GROUP BY u),
+        |r AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, rep,
+        |  CAST(((md5_number_upper(CAST(rep AS VARCHAR)) >> 8) % 2147483647) % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN ((md5_number_upper(CAST(rep AS VARCHAR)) >> 8) % 2147483647) % 100 < 80 THEN 'train'
+        |       WHEN ((md5_number_upper(CAST(rep AS VARCHAR)) >> 8) % 2147483647) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q31_doc_fingerprint" ->
       """SELECT d.doc_id, md5(ANY_VALUE(text)) AS content_hash,

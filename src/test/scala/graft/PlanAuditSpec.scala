@@ -267,4 +267,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
       s"q101 planned a data exchange beyond the presentation sort:\n$p")
   }
+
+  test("q113 retention vacuum: snapshot agg is bucket-local — no hash exchange") {
+    // the pre-horizon snapshot agg groups on the bucket key of the
+    // bucketed changelog scan, and the recent leg is a pure filter of the
+    // same scan, so the ENTIRE vacuum (agg + union) plans without a single
+    // hashpartitioning Exchange — each bucket rewrites independently, the
+    // property that makes this the 100 TB retention job. The one allowed
+    // Exchange is the battery's presentation orderBy.
+    val p = plan("q113_changelog_vacuum")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"q113 planned a data exchange beyond the presentation sort:\n$p")
+    assert(p.contains("Union"), p)
+  }
 }

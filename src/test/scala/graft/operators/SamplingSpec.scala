@@ -87,6 +87,34 @@ class SamplingSpec extends SparkSpec {
       s"mixture must stay a per-row flatMap:\n$plan")
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles a split; the per-doc split demonstrably would") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+    val splitOf = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(splitOf.size === docs.count(), "every doc gets a verdict")
+    val ps = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture must actually have near-dup pairs")
+    ps.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+    // contrast: the per-doc split separates two IDENTICAL docs whose ids
+    // hash apart — the leakage this operator exists to prevent
+    val perDoc = Sampling.split(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val (ia, ib) = (for { a <- ids.view; b <- ids.view
+      if a < b && perDoc(a) != perDoc(b) } yield (a, b)).head
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sess = spark
+    import sess.implicits._
+    val synth = Seq((ia, txt), (ib, txt)).toDF("doc_id", "text")
+    val sp = Dedup.ngramJaccardPairs(synth, "doc_id", "text", n = 3, minJaccard = 0.3)
+    val safe = Sampling.leakageSafeSplit(synth, "doc_id", sp).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(safe(ia) === safe(ib), "identical docs must land in one split")
+    assert(perDoc(ia) !== perDoc(ib), "the per-doc split would have separated them")
+  }
+
   test("tokenBudgetMixture: two-level bucketed sum ≡ naive window; crossing doc kept; minimal") {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.functions.TextFunctions.tokenCount(col("text"))
