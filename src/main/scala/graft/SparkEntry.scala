@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Battery: q01–q114 (no q66) = 113 queries, 111 oracle-checked + 2 rows-only
+  * Battery: q01–q118 (no q66) = 117 queries, 115 oracle-checked + 2 rows-only
   * (q33/q34, the xxhash64 fast-path twins of the oracle-checked q42/q82;
   * q55's estimates are gated as a BOUNDED check — in-band boolean vs the
   * oracle's independent exact count — with its exact side also gated as

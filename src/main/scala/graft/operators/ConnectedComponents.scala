@@ -70,6 +70,65 @@ object ConnectedComponents {
       .select(col("node").as("id"), col("component").as("cluster_id"),
         (col("node") === col("component")).as("keep"))
 
+  /** Incremental cluster maintenance — day N+1's docs join a stored
+    * near-dup graph without recomputing it. Prior state is ONLY the
+    * (doc_id, cluster_id) assignment table (cluster_id = min doc id of the
+    * component, [[components]]' labeling); new edges arrive in two typed
+    * batches: `todayEdges` among today's docs and `crossEdges` from a
+    * today doc into a prior doc (e.g. [[Dedup.ngramJaccardPairsVsIndex]]).
+    *
+    * Algorithm: contract every prior cluster to its LABEL supernode (one
+    * id-keyed left join of the cross edges against the assignment — prior
+    * singletons, absent from the table, stay themselves), then run star
+    * contraction on the contracted graph, whose size is O(|today's edges| +
+    * touched clusters) — NOT O(corpus). Labels compose: a prior label is
+    * the min of its cluster, so the min over a merged component of
+    * supernodes equals the min doc id of the union-graph component —
+    * bit-identical to a from-scratch [[components]] run over
+    * (prior ∪ new) edges. Sound for the same reason q105's manifests are:
+    * adding edges only ever MERGES components, never splits them.
+    *
+    * Output: today's full assignment (`scope='today'`; singletons label
+    * themselves) plus the DELTA of prior docs whose assignment changed
+    * (`scope='prior'`): stored rows whose cluster merged into a smaller
+    * label, and prior singletons newly attached through a cross edge.
+    * Prior docs untouched by any new edge produce no row — the O(|delta|)
+    * output a daily maintenance job appends to its assignment table.
+    *
+    * Precondition: today's and prior ids are disjoint (a crawl's doc ids
+    * are fresh). The merge map is broadcast — it holds one row per node of
+    * the CONTRACTED graph, bounded by the day's edge endpoints, not the
+    * corpus. */
+  def incrementalClusters(todayIds: DataFrame, idCol: String,
+      todayEdges: DataFrame, aCol: String, bCol: String,
+      crossEdges: DataFrame, todayCol: String, priorCol: String,
+      priorAssign: DataFrame): DataFrame = {
+    val pa = priorAssign.select(col("doc_id").cast("bigint").as("pid"),
+      col("cluster_id").cast("bigint").as("plbl"))
+    val e1 = todayEdges.select(col(aCol).cast("bigint").as("cu"),
+      col(bCol).cast("bigint").as("cv"))
+    val ce = crossEdges
+      .join(pa, col(priorCol) === col("pid"), "left")
+      .select(col(todayCol).cast("bigint").as("cu"),
+        coalesce(col("plbl"), col(priorCol).cast("bigint")).as("cv"))
+    val comp = components(e1.unionAll(ce), "cu", "cv")
+    val mm = broadcast(comp.select(col("node").as("lbl"), col("component").as("nlbl")))
+    val today = todayIds.select(col(idCol).cast("bigint").as("doc_id"))
+      .join(mm, col("doc_id") === col("lbl"), "left")
+      .select(col("doc_id"), coalesce(col("nlbl"), col("doc_id")).as("cluster_id"),
+        lit("today").as("scope"))
+    val merged = pa.join(mm, col("plbl") === col("lbl"))
+      .filter(col("nlbl") =!= col("plbl"))
+      .select(col("pid").as("doc_id"), col("nlbl").as("cluster_id"),
+        lit("prior").as("scope"))
+    val attached = crossEdges.select(col(priorCol).cast("bigint").as("doc_id")).distinct()
+      .join(pa, col("doc_id") === col("pid"), "left_anti")
+      .join(mm, col("doc_id") === col("lbl"))
+      .filter(col("nlbl") =!= col("doc_id"))
+      .select(col("doc_id"), col("nlbl").as("cluster_id"), lit("prior").as("scope"))
+    today.unionAll(merged).unionAll(attached)
+  }
+
   /** large-star: every node u links its LARGER neighbors to the minimum of
     * its closed neighborhood. Two shuffles: groupBy(u).min, join on u. */
   private def largeStar(e: DataFrame): DataFrame = {

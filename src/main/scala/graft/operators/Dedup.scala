@@ -67,6 +67,47 @@ object Dedup {
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Shingle inverted index over a corpus: one row (h, doc_id, n_sh) per
+    * DISTINCT word-n-gram shingle hash per document — the stored state
+    * that lets tomorrow's crawl find its near-dup edges INTO this corpus
+    * without re-reading its texts ([[ngramJaccardPairsVsIndex]]). The
+    * per-doc set size rides denormalized on every row so the probe join
+    * needs no second lookup. Persist it bucketed on `h`
+    * ([[BucketedOps.ensureBucketed]]) and the daily probe's index side
+    * plans zero exchanges — the scan's bucketing IS the distribution. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        ShingleExpressions.wordShingleHashes(col(textCol), n).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_sh"),
+        explode(col("hs")).as("h"))
+      .select("h", "doc_id", "n_sh")
+
+  /** Exact n-gram Jaccard pairs between `today` and a PRIOR corpus read
+    * through its stored [[shingleIndex]] — the cross-day leg of
+    * incremental near-dup clustering (q115). today's shingles hash-join
+    * the index on the 64-bit shingle key (the only wide shuffle, and it
+    * carries (id, long) rows); shared counts group by the (today, prior)
+    * pair; Jaccard uses today's array size and the index's denormalized
+    * `n_sh`. Same hashed-shingle convention as [[ngramJaccardPairs]], so
+    * the union of the two pair sets is exactly what a from-scratch run
+    * over (prior ∪ today) would emit for pairs touching today. Returns
+    * (today_id, prior_id, jaccard). */
+  def ngramJaccardPairsVsIndex(today: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, n: Int = 3, minJaccard: Double = 0.3): DataFrame = {
+    val sh = today.select(col(idCol).as("tid"),
+      explode(ShingleExpressions.wordShingleHashes(col(textCol), n)).as("h"))
+    val sizes = today.select(col(idCol).as("tid"),
+      size(ShingleExpressions.wordShingleHashes(col(textCol), n)).cast("bigint").as("n_t"))
+    sh.join(index, "h")
+      .groupBy(col("tid"), col("doc_id").as("pid"))
+      .agg(count(lit(1)).as("shared"), max(col("n_sh")).as("n_p"))
+      .join(sizes, "tid")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_t") + col("n_p") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("tid").as("today_id"), col("pid").as("prior_id"), col("jaccard"))
+  }
+
   // -------------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------------

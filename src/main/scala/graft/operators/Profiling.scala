@@ -38,4 +38,40 @@ object Profiling {
     wide.selectExpr(
       s"stack(${cols.size}, $stackArgs) as (column, n, n_null, n_distinct, min, max)")
   }
+
+  /** Categorical distribution drift of an increment against a maintained
+    * histogram manifest — the daily "did the crawl change shape" monitor
+    * of an ingest pipeline. `manifest` is the prior corpus's per-key
+    * counts ((keys..., n), maintained by append + sum — addition composes
+    * under disjoint doc sets, same soundness as the q105 manifests).
+    *
+    * Per key the output carries both counts, both totals, each side's
+    * share (one IEEE division each — portable), and the EXACT integer
+    * cross-product excess = n_today·total_prior − n_prior·total_today
+    * (sign = over/under-represented today, zero = perfectly
+    * proportional) — integer arithmetic, so the gate hash cannot wobble
+    * on float order.
+    *
+    * Scale shape: one groupBy over TODAY only, a full-outer join of two
+    * O(keys) aggregates, totals as a broadcast scalar. Never reads prior
+    * rows — the manifest IS the prior corpus's shape. */
+  def distributionDrift(today: DataFrame, keys: Seq[String],
+      manifest: DataFrame): DataFrame = {
+    require(keys.nonEmpty)
+    val tc = today.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_today"))
+    val pc = manifest.groupBy(keys.map(col): _*).agg(sum(col("n")).as("n_prior"))
+    val joined = tc.join(pc, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        coalesce(col("n_today"), lit(0L)).as("n_today"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior")): _*)
+    val tot = joined.agg(sum("n_today").as("total_today"),
+      sum("n_prior").as("total_prior"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("share_today",
+        col("n_today").cast("double") / col("total_today").cast("double"))
+      .withColumn("share_prior",
+        col("n_prior").cast("double") / col("total_prior").cast("double"))
+      .withColumn("excess",
+        col("n_today") * col("total_prior") - col("n_prior") * col("total_today"))
+  }
 }

@@ -125,10 +125,37 @@ object Sampling {
       .select(col("node").as(idCol), col("component").as("rep"))
     df.select(col(idCol)).join(comp, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("rep"), col(idCol)).as("rep"))
-      .withColumn("bucket", hashBucket(col("rep")))
+      .transform(splitLabels("rep", trainPct, valPct))
+  }
+
+  /** The split's bucket arithmetic as a reusable projection: appends
+    * (bucket, split) derived from `repCol` — shared by
+    * [[leakageSafeSplit]] and its incremental form
+    * [[incrementalLeakageSafeSplit]] so the two cannot drift. */
+  def splitLabels(repCol: String, trainPct: Int = 80, valPct: Int = 10)
+      (df: DataFrame): DataFrame = {
+    require(trainPct + valPct < 100 && trainPct > 0 && valPct >= 0)
+    df.withColumn("bucket", hashBucket(col(repCol)))
       .withColumn("split", when(col("bucket") < trainPct, "train")
         .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
   }
+
+  /** Incremental leakage-safe split maintenance — the q118 composition:
+    * [[ConnectedComponents.incrementalClusters]]' output (today's
+    * assignments + the changed-prior delta) pushed through the SAME
+    * bucket arithmetic as the static split. Today's docs land where their
+    * (possibly merged) cluster representative hashes; prior docs in the
+    * delta RE-hash on their NEW representative — when an edge merges two
+    * clusters that sat on opposite sides of the train/test fence, the
+    * whole merged cluster re-lands on ONE side (the new rep's), restoring
+    * the no-straddle invariant a frozen split loses as the corpus grows.
+    * Emits (doc_id, rep, scope, bucket, split); O(|today| + |delta|)
+    * rows, never the corpus. */
+  def incrementalLeakageSafeSplit(assignments: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    assignments
+      .select(col("doc_id"), col("cluster_id").as("rep"), col("scope"))
+      .transform(splitLabels("rep", trainPct, valPct))
 
   /** TOKEN-BUDGET MIXTURE — the composition control a pretraining run
     * actually specifies ("X tokens of web, Y of code"), not row counts:

@@ -526,6 +526,66 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL NEAR-DUP CLUSTER MAINTENANCE — day 2 joins the corpus's
+    // near-dup graph without recomputing it. Prior state is two STORED
+    // tables written by the day-1 job (ensureClusterState): the doc →
+    // cluster assignment and the shingle inverted index. Today's edges
+    // come from a today-only self-join plus an index probe that reads the
+    // prior side AS the index (never its texts), and prior clusters enter
+    // the union-find CONTRACTED to one supernode each — star contraction
+    // runs on a graph of O(|today| + touched clusters), not O(corpus).
+    // Output = today's assignments + the delta of prior docs whose
+    // cluster merged (what the daily job appends to the assignment
+    // table). Sound because added edges only ever MERGE components; the
+    // oracle replays from-scratch recursive walks over BOTH the union
+    // corpus and day 1 and must emit the identical today + changed-prior
+    // rows. Day 2 mixes fresh docs with one-token re-crawls of day-1 docs
+    // (high Jaccard to their originals — the cross-day merges that make
+    // the delta non-trivial).
+    "q115_incremental_clusters" -> ((s, dir) =>
+      incrementalClusterAssignments(s, dir).orderBy("doc_id")),
+
+    // INCREMENTAL LEAKAGE-SAFE SPLIT — q115's cluster delta pushed
+    // through q114's bucket arithmetic (one shared splitLabels
+    // projection): today's docs land where their merged cluster's
+    // representative hashes, and prior docs whose cluster merged RE-hash
+    // on the new representative — a cross-fence merge moves the whole
+    // merged cluster to ONE side, restoring the no-straddle invariant a
+    // frozen split loses as the corpus grows. O(|today| + |delta|) rows.
+    "q118_incremental_split" -> ((s, dir) =>
+      graft.operators.Sampling.incrementalLeakageSafeSplit(
+        incrementalClusterAssignments(s, dir))
+        .orderBy("doc_id")),
+
+    // INCREMENTAL TF-IDF — day 2's keyword extraction reads the prior
+    // corpus ONLY as its stored (term, df) manifest + doc count
+    // (ensureDfManifest): today's tf is local, union df = today's df +
+    // manifest df (addition composes under disjoint doc sets), corpus
+    // size is a broadcast scalar. Daily cost O(|today|), independent of
+    // the corpus. Oracle = the q53 from-scratch corpus-wide scoring
+    // restricted to today's docs — the two must agree bit-for-bit.
+    "q116_incremental_tfidf" -> ((s, dir) => {
+      val today = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === 2)
+      val (tbl, n1) = ensureDfManifest(s, dir)
+      graft.operators.TfIdf.incrementalTopTerms(today, "doc_id", "text",
+        s.table(tbl), priorN = n1, k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // DISTRIBUTION DRIFT MONITOR — today's crawl vs the corpus's stored
+    // (source, lang) histogram manifest (ensureHistManifest): counts,
+    // shares, and the exact integer cross-product excess per key. The
+    // "did the mix shift" gate a daily ingest job runs before committing
+    // a day into the training corpus; never reads prior rows.
+    "q117_distribution_drift" -> ((s, dir) => {
+      val today = t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+      graft.operators.Profiling.distributionDrift(
+        today, Seq("source", "lang"), s.table(ensureHistManifest(s, dir)))
+        .orderBy("source", "lang")
+    }),
+
     // epoch-weighted source mixture: "2.5 epochs of src0, half of src1,
     // a quarter of src2, none of src3" materialized as deterministic row
     // multiplicity — copy counts a pure function of the id hash
@@ -891,20 +951,60 @@ object DataQueries {
     * the star-contraction's fixpoint). */
   private def jaccardComponentCtes(src: String, extraCtes: String = ""): String =
     s"""WITH RECURSIVE
-      |${extraCtes}toks AS (SELECT doc_id, string_split(text, ' ') ts FROM $src),
-      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-      |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
-      |sizes AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
-      |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
-      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |np AS (SELECT id_a, id_b FROM pairs
-      |       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |$extraCtes${jaccardWalkCtes("", src)}""".stripMargin
+
+  /** q115/q118 shared oracle head: the from-scratch walks over the union
+    * corpus and day 1, diffed into `delta` (doc_id, cluster_id, scope) —
+    * exactly [[incrementalClusterAssignments]]' contract. MATERIALIZED
+    * pins each fan-out CTE to one evaluation (DuckDB inlines CTEs per
+    * reference — without it the two `fa` consumers would re-run the union
+    * walk). */
+  private def incClusterCtes: String =
+    s"""WITH RECURSIVE
+       |off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |d1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+       |d2 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT d.doc_id + 2 * off.o, 'upd ' || d.text
+       |  FROM documents d, off WHERE d.doc_id % 3 = 0 AND d.doc_id % 4 = 0),
+       |uni AS MATERIALIZED (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+       |${jaccardWalkCtes("f", "uni")},
+       |fcomp AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM fwalk GROUP BY u),
+       |${jaccardWalkCtes("p", "d1")},
+       |pcomp AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM pwalk GROUP BY u),
+       |fa AS MATERIALIZED (SELECT t.doc_id, COALESCE(f.lbl, t.doc_id) AS cluster_id
+       |      FROM uni t LEFT JOIN fcomp f USING (doc_id)),
+       |pasn AS MATERIALIZED (SELECT t.doc_id, COALESCE(p.lbl, t.doc_id) AS cluster_id
+       |      FROM d1 t LEFT JOIN pcomp p USING (doc_id)),
+       |delta AS (
+       |  SELECT doc_id, cluster_id, 'today' AS scope FROM fa
+       |  WHERE doc_id IN (SELECT doc_id FROM d2)
+       |  UNION ALL
+       |  SELECT f.doc_id, f.cluster_id, 'prior' AS scope
+       |  FROM fa f JOIN pasn ON f.doc_id = pasn.doc_id
+       |                 AND f.cluster_id <> pasn.cluster_id)""".stripMargin
+
+  /** Prefix-parameterized body of [[jaccardComponentCtes]] (no WITH
+    * header): every CTE name carries prefix `p`, so one WITH RECURSIVE
+    * clause can hold TWO independent walks — q115's oracle runs the
+    * from-scratch walk over both the union corpus and day 1 and diffs the
+    * labelings. */
+  private def jaccardWalkCtes(p: String, src: String): String =
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') ts FROM $src),
+      |${p}sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |       FROM ${p}toks, UNNEST(generate_series(1, len(ts) - 2)) AS g(i)),
+      |${p}sizes AS (SELECT doc_id, COUNT(*) n_sh FROM ${p}sh GROUP BY 1),
+      |${p}pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+      |          FROM ${p}sh a JOIN ${p}sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |${p}np AS (SELECT id_a, id_b FROM ${p}pairs
+      |       JOIN ${p}sizes sa ON id_a = sa.doc_id JOIN ${p}sizes sb ON id_b = sb.doc_id
       |       WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.3),
-      |edges AS (SELECT id_a u, id_b v FROM np UNION SELECT id_b, id_a FROM np),
-      |walk(u, lbl) AS (
-      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      |${p}edges AS (SELECT id_a u, id_b v FROM ${p}np UNION SELECT id_b, id_a FROM ${p}np),
+      |${p}walk(u, lbl) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM ${p}edges)
       |  UNION
-      |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u)""".stripMargin
+      |  SELECT e.u, w.lbl FROM ${p}edges e JOIN ${p}walk w ON e.v = w.u)""".stripMargin
 
   private def ivfDotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
@@ -1294,6 +1394,88 @@ object DataQueries {
   private val curationManifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
 
+  /** q115's stored prior state — the day-1 job's outputs, written once per
+    * (session, sfDir) and then READ by the gate query like any maintained
+    * lake table: the near-dup cluster assignment (doc_id → min-id label,
+    * bucketed on doc_id so the delta joins co-locate) and the shingle
+    * inverted index (bucketed on the 64-bit shingle hash so the daily
+    * probe's index side plans zero exchanges). Day 1 = doc_id % 3 ≠ 2. */
+  private[graft] def ensureClusterState(s: SparkSession, dir: String): (String, String) =
+    clusterStateCache.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + dir, _ => {
+        val d1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 3 =!= 2)
+        val pairs = Dedup.ngramJaccardPairs(d1, "doc_id", "text",
+          n = 3, minJaccard = 0.3)
+        val assign = graft.operators.ConnectedComponents
+          .components(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        val atbl = graft.operators.BucketedOps.ensureBucketed(
+          assign, s"q115_assign|$dir", "doc_id", buckets = 8)
+        val itbl = graft.operators.BucketedOps.ensureBucketed(
+          Dedup.shingleIndex(d1, "doc_id", "text", n = 3),
+          s"q115_shingles|$dir", "h", buckets = 8)
+        (atbl, itbl)
+      })
+
+  private val clusterStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The q115/q118 shared pipeline: day 2's crawl (fresh docs + one-token
+    * re-crawls of day-1 docs) run through the incremental cluster
+    * maintenance against the STORED day-1 state ([[ensureClusterState]]).
+    * Returns (doc_id, cluster_id, scope) — today's assignments + the
+    * changed-prior delta. ONE body for both gates so the cluster query
+    * and the split query cannot drift. */
+  private def incrementalClusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+    val today = docs.filter(col("doc_id") % 3 === 2)
+      .unionAll(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + (col("id_off") + 1L) * 2L).as("doc_id"),
+          concat(lit("upd "), col("text")).as("text")))
+    val (atbl, itbl) = ensureClusterState(s, dir)
+    val te = Dedup.ngramJaccardPairs(today, "doc_id", "text",
+      n = 3, minJaccard = 0.3)
+    val ce = Dedup.ngramJaccardPairsVsIndex(today, "doc_id", "text",
+      s.table(itbl), n = 3, minJaccard = 0.3)
+    graft.operators.ConnectedComponents.incrementalClusters(
+      today.select("doc_id"), "doc_id", te, "id_a", "id_b",
+      ce, "today_id", "prior_id", s.table(atbl))
+  }
+
+  /** q116's stored prior state: the day-1 corpus's (term, df) manifest
+    * (bucketed on term — the daily scoring join's manifest side plans
+    * zero exchanges) and its doc count. Day 1 = doc_id % 3 ≠ 2. */
+  private[graft] def ensureDfManifest(s: SparkSession, dir: String): (String, Long) =
+    dfManifestCache.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + dir, _ => {
+        val d1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 3 =!= 2)
+        val tbl = graft.operators.BucketedOps.ensureBucketed(
+          graft.operators.TfIdf.dfManifest(d1, "doc_id", "text"),
+          s"q116_df|$dir", "term", buckets = 8)
+        (tbl, d1.count())
+      })
+
+  private val dfManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** q117's stored prior state: the day-1 corpus's (source, lang, n)
+    * histogram manifest. Day 1 = doc_id % 3 ≠ 2. */
+  private[graft] def ensureHistManifest(s: SparkSession, dir: String): String =
+    histManifestCache.computeIfAbsent(
+      System.identityHashCode(s).toString + "|" + dir, _ => {
+        val d1 = t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        graft.operators.BucketedOps.ensureBucketed(
+          d1, s"q117_hist|$dir", "source", buckets = 4)
+      })
+
+  private val histManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
   private val frIn = FrStop.map(w => s"'$w'").mkString(", ")
@@ -1649,6 +1831,65 @@ object DataQueries {
         |SELECT doc_id, cluster_id,
         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // incremental cluster maintenance closed form: the walk runs TWICE
+    // (union corpus + day 1); 'today' rows take the union labels, 'prior'
+    // rows are exactly the day-1 docs whose label changed between the two
+    // walks. MATERIALIZED pins each fan-out CTE to one evaluation (DuckDB
+    // inlines CTEs per reference — without it the two `fa` consumers would
+    // re-run the union walk).
+    "q115_incremental_clusters" ->
+      s"""$incClusterCtes
+         |SELECT doc_id, cluster_id, scope FROM delta
+         |ORDER BY doc_id""".stripMargin,
+
+    // q118 = q115's delta pushed through q114's bucket arithmetic: the
+    // same md5 bucket of the (new) representative decides the side
+    "q118_incremental_split" ->
+      s"""$incClusterCtes
+         |SELECT doc_id, cluster_id AS rep, scope,
+         |  CAST(((md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 8) % 2147483647) % 100 AS BIGINT) AS bucket,
+         |  CASE WHEN ((md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 8) % 2147483647) % 100 < 80 THEN 'train'
+         |       WHEN ((md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 8) % 2147483647) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM delta ORDER BY doc_id""".stripMargin,
+
+    // incremental TF-IDF closed form: from-scratch corpus-wide stats,
+    // output restricted to day 2's docs — additive df maintenance must
+    // land on the identical numbers
+    "q116_incremental_tfidf" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |             FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, n_docs, score, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df, n.n_docs,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC, tf.term) AS BIGINT) AS rank
+        |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+        |WHERE rank <= 5 AND doc_id % 3 = 2 ORDER BY doc_id, rank""".stripMargin,
+
+    // drift monitor closed form: both histograms from scratch; the excess
+    // column is exact integer arithmetic
+    "q117_distribution_drift" ->
+      """WITH tc AS (SELECT source, lang, COUNT(*) AS n_today
+        |            FROM documents WHERE doc_id % 3 = 2 GROUP BY 1, 2),
+        |pc AS (SELECT source, lang, COUNT(*) AS n_prior
+        |       FROM documents WHERE doc_id % 3 <> 2 GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(tc.source, pc.source) AS source,
+        |        COALESCE(tc.lang, pc.lang) AS lang,
+        |        COALESCE(n_today, 0) AS n_today, COALESCE(n_prior, 0) AS n_prior
+        |      FROM tc FULL OUTER JOIN pc
+        |        ON tc.source = pc.source AND tc.lang = pc.lang),
+        |tot AS (SELECT CAST(SUM(n_today) AS BIGINT) AS total_today,
+        |               CAST(SUM(n_prior) AS BIGINT) AS total_prior FROM j)
+        |SELECT source, lang, n_today, n_prior, total_today, total_prior,
+        |  CAST(n_today AS DOUBLE) / CAST(total_today AS DOUBLE) AS share_today,
+        |  CAST(n_prior AS DOUBLE) / CAST(total_prior AS DOUBLE) AS share_prior,
+        |  n_today * total_prior - n_prior * total_today AS excess
+        |FROM j CROSS JOIN tot ORDER BY source, lang""".stripMargin,
 
     // same component walk; the split then hashes the REPRESENTATIVE
     // (singletons represent themselves), so a cluster moves as one unit

@@ -229,6 +229,63 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q115/q116 stored-state joins never shuffle the stored side") {
+    // the incremental operators' whole value is that the prior corpus's
+    // stored state (shingle inverted index bucketed on h; df manifest
+    // bucketed on term) is consumed at its on-disk distribution — an
+    // exchange whose subtree contains the stored-table scan means the
+    // bucketed layout stopped paying. Broadcast off forces the
+    // large-corpus plan; AQE off keeps the executed plan inspectable.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val (_, itbl) = graft.queries.DataQueries.ensureClusterState(s, dir)
+    val (dtbl, n1) = graft.queries.DataQueries.ensureDfManifest(s, dir)
+    val today = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 2).select("doc_id", "text")
+    val oldBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val targets = Seq(
+        ("q115 shingle index", itbl,
+          graft.operators.Dedup.ngramJaccardPairsVsIndex(
+            today, "doc_id", "text", s.table(itbl))),
+        ("q116 df manifest", dtbl,
+          graft.operators.TfIdf.incrementalTopTerms(
+            today, "doc_id", "text", s.table(dtbl), n1, 5)))
+      for ((label, tbl, df) <- targets) {
+        val p = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        def storedScans(q: org.apache.spark.sql.execution.SparkPlan) =
+          q.collect { case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == tbl) => f }
+        val scans = storedScans(p)
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          s"$label: stored table not read as a bucketed scan:\n$p")
+        // an exchange BETWEEN the stored scan and its consuming join (its
+        // subtree holds the scan but no join yet) means the bucketed
+        // distribution was thrown away; exchanges above the join are the
+        // probe pipeline's own and fine
+        val offending = p.collect {
+          case e: ShuffleExchangeExec if storedScans(e.child).nonEmpty &&
+            e.child.collect {
+              case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+            }.isEmpty => e }
+        assert(offending.isEmpty,
+          s"$label: stored side shuffled despite bucketing:\n$p")
+      }
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+      s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("q107 partitioned lake: the date filter prunes partitions at planning") {
     // the point of a date-partitioned event lake is that a date-bounded
     // query opens 3 of 30 day directories instead of filtering rows after

@@ -61,4 +61,33 @@ class ConnectedComponentsSpec extends SparkSpec {
       .map(n => n -> find(n)).toMap
     assert(comps(edges) == expected)
   }
+
+  test("incrementalClusters ≡ from-scratch labels + exact delta (random splits)") {
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      // prior nodes 0..59, today nodes 100..139 (disjoint id spaces)
+      val priorEdges = Seq.fill(50)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+      val todayNodes = (100L until 140L)
+      val todayEdges = Seq.fill(25)(
+        (100L + rnd.nextInt(40), 100L + rnd.nextInt(40))).filter(p => p._1 != p._2)
+      val crossEdges = Seq.fill(20)((100L + rnd.nextInt(40), rnd.nextInt(60).toLong))
+      // ground truth: from-scratch over ALL edges
+      val full = comps(priorEdges ++ todayEdges ++ crossEdges)
+      val prior = comps(priorEdges)
+      def lbl(m: Map[Long, Long])(n: Long) = m.getOrElse(n, n)
+      val expToday = todayNodes.map(n => (n, lbl(full)(n), "today")).toSet
+      val priorNodes = (priorEdges ++ crossEdges.map(e => (e._2, e._2)))
+        .flatMap(e => Seq(e._1, e._2)).filter(_ < 100).distinct
+      val expDelta = priorNodes.filter(n => lbl(full)(n) != lbl(prior)(n))
+        .map(n => (n, lbl(full)(n), "prior")).toSet
+      val out = ConnectedComponents.incrementalClusters(
+          todayNodes.toDF("doc_id"), "doc_id",
+          todayEdges.toDF("id_a", "id_b"), "id_a", "id_b",
+          crossEdges.toDF("today_id", "prior_id"), "today_id", "prior_id",
+          prior.toSeq.toDF("doc_id", "cluster_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(out == expToday ++ expDelta, s"seed=$seed")
+    }
+  }
 }

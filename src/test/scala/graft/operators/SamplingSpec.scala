@@ -115,6 +115,48 @@ class SamplingSpec extends SparkSpec {
     assert(perDoc(ia) !== perDoc(ib), "the per-doc split would have separated them")
   }
 
+  test("incrementalLeakageSafeSplit: a cross-fence merge re-lands the whole cluster on one side") {
+    val sess = spark
+    import sess.implicits._
+    // two prior clusters engineered onto OPPOSITE sides of the fence:
+    // reps are the cluster minima, so scan for two ids whose hash buckets
+    // split train/test, then give each a near-dup partner
+    val bucketOf = (id: Long) => Sampling.splitLabels("rep")(
+      Seq(id).toDF("rep")).collect().head.getString(2)
+    val candidates = (1L to 60L).map(i => i -> bucketOf(i))
+    val trainRep = candidates.find(_._2 == "train").get._1
+    val testRep = candidates.collect { case (i, s) if s == "test" && i > trainRep => i }.head
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val txtB = "one two three four five six seven eight nine ten"
+    val prior = Seq((trainRep, txtA), (trainRep + 1000, txtA),
+      (testRep, txtB), (testRep + 1000, txtB)).toDF("doc_id", "text")
+    val priorPairs = Dedup.ngramJaccardPairs(prior, "doc_id", "text", 3, 0.3)
+    val priorAssign = ConnectedComponents.components(priorPairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    // today: one bridge doc near-dup to BOTH clusters (merges them)
+    val bridge = 5000L
+    val today = Seq((bridge, txtA + " " + txtB)).toDF("doc_id", "text")
+    val cross = Dedup.ngramJaccardPairsVsIndex(today, "doc_id", "text",
+      Dedup.shingleIndex(prior, "doc_id", "text"), 3, 0.3)
+    assert(cross.count() === 4, "bridge must reach all four prior docs")
+    val out = Sampling.incrementalLeakageSafeSplit(
+      ConnectedComponents.incrementalClusters(
+        today.select("doc_id"), "doc_id",
+        Dedup.ngramJaccardPairs(today, "doc_id", "text", 3, 0.3), "id_a", "id_b",
+        cross, "today_id", "prior_id", priorAssign))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getString(4)))
+      .toMap
+    // merged rep = min over both clusters = trainRep ⇒ EVERY member of the
+    // merged cluster (bridge + the test-side docs) re-lands on train
+    assert(out(bridge) === ((trainRep, "today", "train")))
+    assert(out(testRep) === ((trainRep, "prior", "train")),
+      "old test-side rep must move to the merged side")
+    assert(out(testRep + 1000) === ((trainRep, "prior", "train")))
+    // train-side docs' assignment did not change ⇒ no delta rows for them
+    assert(!out.contains(trainRep) && !out.contains(trainRep + 1000),
+      "unchanged prior docs must not appear in the delta")
+  }
+
   test("tokenBudgetMixture: two-level bucketed sum ≡ naive window; crossing doc kept; minimal") {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.functions.TextFunctions.tokenCount(col("text"))
