@@ -133,6 +133,27 @@ object TrainingPipeline {
       day2, manifest, "doc_id", "text")
     println("day-2 incremental curation verdicts:")
     ledger2.groupBy("verdict").count().orderBy("verdict").show(false)
+
+    // 8. DAY 2's near-dup GRAPH maintenance: yesterday's clusters are a
+    //    stored assignment, yesterday's shingles a stored inverted index
+    //    — today's crawl (fresh ids) finds its edges INTO the corpus via
+    //    the index probe, prior clusters contract to supernodes, star
+    //    contraction runs on the delta graph only; the split then
+    //    re-lands any cross-fence merge on one side (q115/q118's flow).
+    val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val crawl = day2.select((col("doc_id") + off).as("doc_id"), col("text"))
+    val priorAssign = ConnectedComponents.components(verified, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val delta = ConnectedComponents.incrementalClusters(
+      crawl.select("doc_id"), "doc_id",
+      Dedup.ngramJaccardPairs(crawl, "doc_id", "text", n = 3, minJaccard = 0.5),
+      "id_a", "id_b",
+      Dedup.ngramJaccardPairsVsIndex(crawl, "doc_id", "text",
+        Dedup.shingleIndex(docs, "doc_id", "text"), n = 3, minJaccard = 0.5),
+      "today_id", "prior_id", priorAssign)
+    val resplit = Sampling.incrementalLeakageSafeSplit(delta)
+    println("day-2 cluster delta by scope / split:")
+    resplit.groupBy("scope", "split").count().orderBy("scope", "split").show(false)
     spark.stop()
   }
 }
