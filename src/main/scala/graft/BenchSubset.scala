@@ -38,6 +38,14 @@ object BenchSubset {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // MUST match Bench's static conf: with the default 100-entry codegen
+      // cache a single large query (q102's funnel compiles dozens of
+      // whole-stage/aggregate classes) thrashes the cache ACROSS ITS OWN
+      // REPS, and the "isolated floor" measures Janino recompiles instead
+      // of engine cost (measured: q102 16.7s min-of-4 without this conf
+      // vs its 7.15s in-battery artifact time — the subset harness was
+      // stricter-looking but actually noisier than the battery).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
