@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Battery: q01–q118 (no q66) = 117 queries, 115 oracle-checked + 2 rows-only
-  * (q33/q34, the xxhash64 fast-path twins of the oracle-checked q42/q82;
-  * q55's estimates are gated as a BOUNDED check — in-band boolean vs the
-  * oracle's independent exact count — with its exact side also gated as
-  * q84). */
+  * Battery: q01–q123 (no q66, and no q33/q34 — the xxhash64 fast paths
+  * were folded into their oracle-checked md5 twins q42/q82 in round 11:
+  * identical band/vote pipelines, portable base hash, so the twins ARE
+  * the check; the xxhash64 family stays quality-pinned in
+  * DedupSimilaritySpec). EVERY battery entry is oracle-checked — q55's
+  * estimates as a BOUNDED check (in-band boolean vs the oracle's
+  * independent exact count, exact side also gated as q84). */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -15,11 +15,13 @@ import graft.operators.{Dedup, Similarity}
   * integer-quantized vector arithmetic (brute force q32, IVF q35, cosine
   * near-dup q39, IVF-PQ q50, SemDeDup q81 — the oracle re-derives the
   * full index pipelines from generated SQL), rational/decimal-exact
-  * aggregates everywhere else. The xxhash64 fast paths (q33/q34) and the
-  * HLL/CMS/Bloom sketches (q55) are the only rows-only entries — each
-  * quality-asserted in DedupSimilaritySpec/SketchesSpec against its exact
-  * or portable counterpart; q84 puts q55's exact-side columns under the
-  * hash gate, so the unverified surface is the pure estimates.
+  * aggregates everywhere else. Every battery entry is oracle-checked:
+  * the xxhash64 fast paths were folded into their md5 twins q42/q82
+  * (round 11 — see the note at the fold site), and q55's HLL estimates
+  * gate as a BOUNDED in-band check with the exact side also gated as
+  * q84, so the battery's unverified surface is zero; the engine-local
+  * hash families stay quality-asserted in DedupSimilaritySpec/
+  * SketchesSpec against their exact or portable counterparts.
   */
 object DataQueries {
   import TextFunctions._
@@ -81,16 +83,18 @@ object DataQueries {
       Dedup.md5MinHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 16, bands = 8).orderBy("id_a", "id_b")),
 
-    // engine-local hashing below → rows-only driver check + spec coverage
-    "q33_minhash_lsh_candidates" -> ((s, dir) =>
-      Dedup.minHashLshCandidates(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 64, bands = 32).orderBy("id_a", "id_b")),
+    // NOTE (round-11, closing the battery's last no_oracle rows): the
+    // xxhash64 fast paths formerly gated rows-only as q33/q34
+    // (Dedup.minHashLshCandidates / Dedup.simHashSignatures) are FOLDED
+    // into their oracle-checked md5 twins — q42/q82 run the identical
+    // band/vote pipelines with a portable base hash, so the twins ARE the
+    // check for everything but the base hash itself (a Spark builtin).
+    // The xxhash64 family stays quality-pinned in DedupSimilaritySpec
+    // (recall >= 0.8 vs exact Jaccard, estimate tracking, Hamming
+    // separation) and in production use in examples/TrainingPipeline.
 
-    "q34_simhash_signatures" -> ((s, dir) =>
-      Dedup.simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("id")),
-
-    // md5-keyed SimHash — the cross-engine-deterministic twin of q34,
+    // md5-keyed SimHash — the cross-engine-deterministic twin of the
+    // xxhash64 simHashSignatures (see fold note above),
     // fully under the DuckDB hash gate (56-bit signatures, integer votes)
     "q82_simhash_md5" -> ((s, dir) =>
       Dedup.md5SimHashSignatures(t(s, dir, "documents"), "doc_id", "text")
@@ -586,6 +590,216 @@ object DataQueries {
         .orderBy("source", "lang")
     }),
 
+    // DAY-3 CLUSTER MAINTENANCE ON APPEND-MAINTAINED STATE — the q105
+    // pattern applied to q115's state (round-10 verdict #3): the stored
+    // assignment + shingle-index tables that day 3 reads were WRITTEN by
+    // day 2's gated maintenance job (ensureDay2ClusterState appends q115's
+    // own delta and day-2's shingles into the day-1 buckets). The current
+    // assignment of the grow-only table is min(cluster_id) per doc —
+    // labels only ever decrease under merges — resolved by a zero-exchange
+    // aggregate on the bucket key. Day 3's crawl re-crawls day-2 docs, so
+    // its cross edges resolve through the APPENDED rows; the oracle
+    // replays from-scratch walks over all three days and over days 1-2 and
+    // diffs — any error in the append choreography corrupts the stored
+    // labeling and shows up here.
+    "q119_cluster_maintenance" -> ((s, dir) => {
+      val (atbl2, itbl2) = ensureDay2ClusterState(s, dir)
+      val d3 = day3Docs(s, dir).select("doc_id", "text")
+      val assign = s.table(atbl2).groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"))
+      val te = Dedup.ngramJaccardPairs(d3, "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      val ce = Dedup.ngramJaccardPairsVsIndex(d3, "doc_id", "text",
+        s.table(itbl2), n = 3, minJaccard = 0.3)
+      graft.operators.ConnectedComponents.incrementalClusters(
+        d3.select("doc_id"), "doc_id", te, "id_a", "id_b",
+        ce, "today_id", "prior_id", assign).orderBy("doc_id")
+    }),
+
+    // STREAMING INCREMENTAL CLUSTER MAINTENANCE — q115's execution dual
+    // (the q111/q83 pairing): the day's crawl arrives as a REAL
+    // multi-batch stream and each micro-batch runs incrementalClusters
+    // against the CURRENT state = the stored day-1 assignment plus the
+    // spooled deltas of earlier batches. Cross-batch near-dup edges
+    // resolve through a spooled shingle index of arrived docs (a batch
+    // appends its shingles, then probes prior ∪ arrived ∪ itself — batch-
+    // internal pairs fall out of the same probe). Sequential application
+    // is sound because added edges only ever MERGE components and labels
+    // only ever DECREASE: the current label of any doc is min(cluster_id)
+    // over its spooled rows, so the drained state must hash-match the
+    // one-shot batch q115 — same oracle, two execution shapes.
+    "q123_stream_cluster_maintenance" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (atbl, itbl) = ensureClusterState(s, dir)
+      // static sides read once and persisted (the q108 lesson: an inline
+      // static side re-executes per micro-batch)
+      val priorIdx = s.table(itbl).persist()
+      val priorAssign = s.table(atbl).persist()
+      priorIdx.count(); priorAssign.count()
+      val st = StreamFixtures.arm(q123Stage(s, dir))
+      val schema = s.read.parquet(st.in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q123_")
+      tmp.toFile.deleteOnExit()
+      val spoolIdx = tmp.resolve("idx").toString
+      val spoolDelta = tmp.resolve("delta").toString
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // the per-batch graphs are tiny — 32-partition shuffles would be
+        // pure task overhead across the star-contraction rounds
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val b = batch.persist(); b.count()
+              Dedup.shingleIndex(b, "doc_id", "text", n = 3)
+                .write.mode("append").parquet(spoolIdx)
+              val idx = priorIdx.unionByName(s.read.parquet(spoolIdx))
+              val ce = Dedup.ngramJaccardPairsVsIndex(b, "doc_id", "text",
+                  idx, n = 3, minJaccard = 0.3)
+                .filter(col("today_id") =!= col("prior_id"))
+              val assign =
+                (if (new java.io.File(spoolDelta).exists)
+                   priorAssign.unionByName(s.read.parquet(spoolDelta))
+                 else priorAssign)
+                  .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+              graft.operators.ConnectedComponents.incrementalClusters(
+                  b.select("doc_id"), "doc_id",
+                  ce.limit(0).select(col("today_id").as("id_a"),
+                    col("prior_id").as("id_b")), "id_a", "id_b",
+                  ce, "today_id", "prior_id", assign)
+                .select("doc_id", "cluster_id")
+                .write.mode("append").parquet(spoolDelta)
+              b.unpersist(); ()
+            }
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      priorIdx.unpersist()
+      val resolved = priorAssign.unionByName(s.read.parquet(spoolDelta))
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      val todayIds = s.read.parquet(st.in).select("doc_id")
+      val todayRows = resolved.join(todayIds, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), lit("today").as("scope"))
+      val priorRows = resolved.join(todayIds, Seq("doc_id"), "left_anti")
+        .join(priorAssign.withColumnRenamed("cluster_id", "orig"),
+          Seq("doc_id"), "left")
+        .filter(col("cluster_id") =!= coalesce(col("orig"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"), lit("prior").as("scope"))
+      priorAssign.unpersist()
+      todayRows.unionAll(priorRows).orderBy("doc_id")
+    }),
+
+    // DAY-3 TF-IDF ON THE APPEND-MAINTAINED DF MANIFEST — day 2's job
+    // appended its per-term df rows into the manifest buckets
+    // (ensureDay2DfManifest); the current df is sum(df) per term, a
+    // zero-exchange aggregate on the bucket key. Day 3 scores against the
+    // summed view + the day-1+2 doc count; the oracle replays from-scratch
+    // corpus-wide TF-IDF over all three days restricted to day 3.
+    "q120_tfidf_maintenance" -> ((s, dir) => {
+      val (tbl2, n12) = ensureDay2DfManifest(s, dir)
+      val d3 = day3Docs(s, dir).select("doc_id", "text")
+      val dfm = s.table(tbl2).groupBy("term").agg(sum("df").as("df"))
+      graft.operators.TfIdf.incrementalTopTerms(d3, "doc_id", "text",
+        dfm, priorN = n12, k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // THE COMPOSED DAILY JOB — every daily leg the battery gates
+    // individually, run as ONE query over ONE crawl against ONE shared
+    // set of stored tables (round-10 verdict #4: "the composition is
+    // where production bugs live"): q105's incremental curation ledger +
+    // band screen against the maintained hash/band manifests, q109's
+    // semantic screen through q104's stored IVF index (a re-crawl
+    // re-embeds to its original's vector; docs without an embedding ride
+    // NULL sem columns), and q115/q118's cluster maintenance + split
+    // repair against the stored assignment + shingle index. Emits one
+    // audit row per crawled doc (verdict, pack, band screen, semantic
+    // screen, cluster rep, split side) plus the changed-prior delta rows
+    // the job appends to its assignment table. The oracle replays ALL
+    // legs in one WITH RECURSIVE chain — three funnels, two band
+    // manifests, the IVF derivation, and two component walks.
+    "q122_daily_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val offD = docs.agg((max(col("doc_id")) + 1L).as("o"))
+      // q105's day-2 crawl, with each doc's BASE id kept for the
+      // embedding lookup: fresh docs embed as themselves, re-crawls
+      // re-embed to their original's vector
+      val fresh = docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"), col("doc_id").as("base_id"))
+      val exactRe = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
+        .crossJoin(broadcast(offD))
+        .select((col("doc_id") + col("o") * 2L).as("doc_id"), col("text"),
+          col("doc_id").as("base_id"))
+      val updRe = docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+        .crossJoin(broadcast(offD))
+        .select((col("doc_id") + col("o") * 3L).as("doc_id"),
+          concat(lit("upd "), col("text")).as("text"), col("doc_id").as("base_id"))
+      val d2b = fresh.unionAll(exactRe).unionAll(updRe)
+      val d2 = d2b.select("doc_id", "text")
+      // leg 1+2: curation + band screen vs the maintained manifests
+      val (htbl, btbl, p2) = ensureCurationManifests(s, dir)
+      val led = graft.operators.Curation.incrementalCurationLedger(
+        d2, s.table(htbl), "doc_id", "text", packIdStart = p2)
+      val screen = Dedup.nearDupVsPrior(d2, s.table(btbl), "doc_id", "text")
+      // leg 3: semantic screen through the stored IVF index
+      val (centTbl, idxTbl) = ensureAnnIndex(s, dir)
+      val e = t(s, dir, "embeddings")
+      val d2e = d2b.join(e.select(col("vec_id"), col("embedding")),
+          col("base_id") === col("vec_id"))
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val sem = Similarity.semanticScreenVsPriorStored(
+          s.table(centTbl), s.table(idxTbl), d2e, "vec_id", "embedding",
+          minSim = 0.9, nprobe = 2)
+        .withColumnRenamed("vec_id", "doc_id")
+      // leg 4+5: cluster maintenance + leakage-safe split repair
+      val (atbl, itbl) = ensureClusterState(s, dir)
+      val te = Dedup.ngramJaccardPairs(d2, "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      val ce = Dedup.ngramJaccardPairsVsIndex(d2, "doc_id", "text",
+        s.table(itbl), n = 3, minJaccard = 0.3)
+      val split = graft.operators.Sampling.incrementalLeakageSafeSplit(
+        graft.operators.ConnectedComponents.incrementalClusters(
+          d2.select("doc_id"), "doc_id", te, "id_a", "id_b",
+          ce, "today_id", "prior_id", s.table(atbl)))
+      val today = led.join(screen, Seq("doc_id"))
+        .join(sem, Seq("doc_id"), "left")
+        .join(split.filter(col("scope") === "today").drop("scope"), Seq("doc_id"))
+        .select(col("doc_id"), lit("today").as("scope"), col("verdict"),
+          col("n_tokens"), col("pack_id"), col("n_bands"), col("n_hit"),
+          col("near_dup_prior"), col("n_cand"), col("nn_prior"),
+          col("nn_sim"), col("sem_dup"), col("rep"), col("bucket"), col("split"))
+      val prior = split.filter(col("scope") === "prior")
+        .select(col("doc_id"), lit("prior").as("scope"),
+          lit(null).cast("string").as("verdict"),
+          lit(null).cast("bigint").as("n_tokens"),
+          lit(null).cast("bigint").as("pack_id"),
+          lit(null).cast("bigint").as("n_bands"),
+          lit(null).cast("bigint").as("n_hit"),
+          lit(null).cast("boolean").as("near_dup_prior"),
+          lit(null).cast("bigint").as("n_cand"),
+          lit(null).cast("bigint").as("nn_prior"),
+          lit(null).cast("double").as("nn_sim"),
+          lit(null).cast("boolean").as("sem_dup"),
+          col("rep"), col("bucket"), col("split"))
+      today.unionAll(prior).orderBy("doc_id", "scope")
+    }),
+
+    // DAY-3 DRIFT ON THE APPEND-MAINTAINED HISTOGRAM — day 2's counts were
+    // appended into the manifest buckets (ensureDay2HistManifest);
+    // distributionDrift's reader already sums per key, so the append IS
+    // the maintenance. Day 3's crawl keeps each re-crawl's source/lang.
+    "q121_drift_maintenance" -> ((s, dir) => {
+      val today = day3Docs(s, dir)
+      graft.operators.Profiling.distributionDrift(
+        today, Seq("source", "lang"), s.table(ensureDay2HistManifest(s, dir)))
+        .orderBy("source", "lang")
+    }),
+
     // epoch-weighted source mixture: "2.5 epochs of src0, half of src1,
     // a quarter of src2, none of src3" materialized as deterministic row
     // multiplicity — copy counts a pure function of the id hash
@@ -985,6 +1199,44 @@ object DataQueries {
        |  FROM fa f JOIN pasn ON f.doc_id = pasn.doc_id
        |                 AND f.cluster_id <> pasn.cluster_id)""".stripMargin
 
+  /** q119's oracle head — [[incClusterCtes]] extended one day: the
+    * from-scratch walks over all THREE days and over days 1–2, diffed
+    * into `delta` restricted to day 3 + changed prior. Day 2 here is
+    * exactly `day2Docs` (the state the maintenance job appended) and day
+    * 3 exactly `day3Docs`. */
+  private def incClusterCtes3: String =
+    s"""WITH RECURSIVE
+       |off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+       |d1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+       |d2 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT d.doc_id + 2 * off.o, 'upd ' || d.text
+       |  FROM documents d, off WHERE d.doc_id % 3 = 0 AND d.doc_id % 4 = 0),
+       |d3 AS MATERIALIZED (
+       |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
+       |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
+       |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+       |uni2 AS MATERIALIZED (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+       |uni3 AS MATERIALIZED (SELECT * FROM uni2 UNION ALL SELECT * FROM d3),
+       |${jaccardWalkCtes("f", "uni3")},
+       |fcomp AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM fwalk GROUP BY u),
+       |${jaccardWalkCtes("p", "uni2")},
+       |pcomp AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM pwalk GROUP BY u),
+       |fa AS MATERIALIZED (SELECT t.doc_id, COALESCE(f.lbl, t.doc_id) AS cluster_id
+       |      FROM uni3 t LEFT JOIN fcomp f USING (doc_id)),
+       |pasn AS MATERIALIZED (SELECT t.doc_id, COALESCE(p.lbl, t.doc_id) AS cluster_id
+       |      FROM uni2 t LEFT JOIN pcomp p USING (doc_id)),
+       |delta AS (
+       |  SELECT doc_id, cluster_id, 'today' AS scope FROM fa
+       |  WHERE doc_id IN (SELECT doc_id FROM d3)
+       |  UNION ALL
+       |  SELECT f.doc_id, f.cluster_id, 'prior' AS scope
+       |  FROM fa f JOIN pasn ON f.doc_id = pasn.doc_id
+       |                 AND f.cluster_id <> pasn.cluster_id)""".stripMargin
+
   /** Prefix-parameterized body of [[jaccardComponentCtes]] (no WITH
     * header): every CTE name carries prefix `p`, so one WITH RECURSIVE
     * clause can hold TWO independent walks — q115's oracle runs the
@@ -1295,13 +1547,26 @@ object DataQueries {
       StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
     }
 
+  /** q123's staged TODAY stream: [[day2Docs]] (q115's crawl) as 8 range-
+    * partitioned part files arriving 1 s apart (maxFilesPerTrigger=2 →
+    * 4 micro-batches, so cross-batch merges genuinely exercise the
+    * spooled state). */
+  private def q123Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q123", dir) { in =>
+      day2Docs(s, dir)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
   /** Pre-builds the staged stream inputs this battery owns (q83, q108,
-    * q111) — called by Bench outside the timed window, the same
+    * q111, q123) — called by Bench outside the timed window, the same
     * ingest-scaffolding rule as RelQueries.ensureStreamFixtures. */
   private[graft] def ensureStreamFixtures(s: SparkSession, dir: String): Unit = {
     q83Stage(s, dir)
     q108Stage(s, dir)
     q111Stage(s, dir)
+    q123Stage(s, dir)
     ()
   }
 
@@ -1316,8 +1581,7 @@ object DataQueries {
     * write) is cached: centroid training samples the prior corpus eagerly,
     * and a repeated invocation must not re-pay that O(|prior|) scan. */
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): (String, String) =
-    annIndexCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    Fixtures.oncePerSession(s, s"q104_index|$dir") {
         val e = t(s, dir, "embeddings")
         val prior = e.filter(col("vec_id") % 3 === 0)
         val centroids = Similarity.ivfCentroidsPortable(prior, "vec_id", "embedding",
@@ -1328,10 +1592,7 @@ object DataQueries {
         val idxTbl = graft.operators.BucketedOps.ensureBucketed(
           cells, s"q104_index|$dir", "cell", buckets = 8)
         (centTbl, idxTbl)
-      })
-
-  private val annIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+      }
 
   /** q105's maintained manifest tables: the 3-day lake choreography's PAST
     * steps (day-0 generation + day-1 increment), run once per
@@ -1343,8 +1604,7 @@ object DataQueries {
     * `saveAsTable(Append)` against a bucketed table routes each row to its
     * bucket file). Returns (hashTable, bandTable, day2PackStart). */
   private[graft] def ensureCurationManifests(s: SparkSession, dir: String): (String, String, Long) =
-    curationManifestCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    Fixtures.oncePerSession(s, s"q105_manifests|$dir") {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
         val d0 = docs.filter(col("doc_id") % 3 === 0)
@@ -1369,30 +1629,20 @@ object DataQueries {
           d1, s.table(htbl), "doc_id", "text", packIdStart = p1)
         val p2 = l1.agg((coalesce(max("pack_id"), lit(p1 - 1L)) + lit(1L)).as("p"))
           .head().getLong(0)
-        // SNAPSHOT day-1's kept docs BEFORE touching the manifest tables:
-        // appending to htbl cascade-invalidates every cached plan that
-        // references it — including the (persisted) l1 ledger itself — and
-        // a recompute would re-screen day-1 against a manifest that now
-        // contains day-1's own hashes: Bloom-false-positive docs
-        // self-match in the exact lane and silently vanish from whatever
-        // derives from the recomputed ledger (observed: 46 docs' bands
-        // missing at sf0.1). A day's kept set is a persisted output in
-        // production anyway; deriving both manifest appends from the
-        // snapshot file makes them immune to invalidation order.
-        val snap = java.nio.file.Files.createTempDirectory("graft_q105_kept_")
-        snap.toFile.deleteOnExit()
-        keptDocs(l1, d1).write.parquet(s"$snap/kept")
+        // SNAPSHOT day-1's kept docs BEFORE touching the manifest tables
+        // (Fixtures.snapshot — the round-10 q105 cache-invalidation bug
+        // lives in that scaladoc): appending to htbl cascade-invalidates
+        // every cached plan that references it, including the (persisted)
+        // l1 ledger itself, and the recompute re-screens day-1 against a
+        // manifest that now contains day-1's own hashes.
+        val kd = Fixtures.snapshot(s, keptDocs(l1, d1), "q105_kept")
         l1.unpersist()
-        val kd = s.read.parquet(s"$snap/kept")
         kd.select(md5(col("text")).as("h")).write.mode("append")
           .bucketBy(8, "h").sortBy("h").format("parquet").saveAsTable(htbl)
         Dedup.bandManifest(kd, "doc_id", "text").write.mode("append")
           .bucketBy(8, "bhv").sortBy("bhv").format("parquet").saveAsTable(btbl)
         (htbl, btbl, p2)
-      })
-
-  private val curationManifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
+      }
 
   /** q115's stored prior state — the day-1 job's outputs, written once per
     * (session, sfDir) and then READ by the gate query like any maintained
@@ -1401,8 +1651,7 @@ object DataQueries {
     * inverted index (bucketed on the 64-bit shingle hash so the daily
     * probe's index side plans zero exchanges). Day 1 = doc_id % 3 ≠ 2. */
   private[graft] def ensureClusterState(s: SparkSession, dir: String): (String, String) =
-    clusterStateCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    Fixtures.oncePerSession(s, s"q115_state|$dir") {
         val d1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 3 =!= 2)
         val pairs = Dedup.ngramJaccardPairs(d1, "doc_id", "text",
@@ -1416,10 +1665,7 @@ object DataQueries {
           Dedup.shingleIndex(d1, "doc_id", "text", n = 3),
           s"q115_shingles|$dir", "h", buckets = 8)
         (atbl, itbl)
-      })
-
-  private val clusterStateCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+      }
 
   /** The q115/q118 shared pipeline: day 2's crawl (fresh docs + one-token
     * re-crawls of day-1 docs) run through the incremental cluster
@@ -1428,13 +1674,7 @@ object DataQueries {
     * changed-prior delta. ONE body for both gates so the cluster query
     * and the split query cannot drift. */
   private def incrementalClusterAssignments(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val maxId = docs.agg(max(col("doc_id")).as("id_off"))
-    val today = docs.filter(col("doc_id") % 3 === 2)
-      .unionAll(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
-        .crossJoin(broadcast(maxId))
-        .select((col("doc_id") + (col("id_off") + 1L) * 2L).as("doc_id"),
-          concat(lit("upd "), col("text")).as("text")))
+    val today = day2Docs(s, dir)
     val (atbl, itbl) = ensureClusterState(s, dir)
     val te = Dedup.ngramJaccardPairs(today, "doc_id", "text",
       n = 3, minJaccard = 0.3)
@@ -1445,36 +1685,150 @@ object DataQueries {
       ce, "today_id", "prior_id", s.table(atbl))
   }
 
+  /** Day 2's crawl for the cluster-maintenance family (q115/q118 and the
+    * day-2 maintenance job inside [[ensureDay2ClusterState]]): fresh docs
+    * (doc_id % 3 = 2) plus one-token re-crawls of day-1 docs under fresh
+    * ids — high Jaccard to their originals, the cross-day merges that make
+    * the delta non-trivial. */
+  private def day2Docs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+    docs.filter(col("doc_id") % 3 === 2)
+      .unionAll(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + (col("id_off") + 1L) * 2L).as("doc_id"),
+          concat(lit("upd "), col("text")).as("text")))
+  }
+
+  /** Day 3's crawl — the input of the APPEND-loop gates (q119/q120/q121):
+    * one-token re-crawls of day-2 docs (their near-dup edges resolve
+    * through rows the day-2 maintenance job APPENDED — the part a stale
+    * manifest would get wrong) and of day-1 docs, each under fresh ids
+    * (id offsets 4·(max+1) and 5·(max+1) — disjoint from day 2's 2·/3·
+    * offsets). Carries source/lang so the drift gate can reuse the same
+    * crawl: a re-crawl keeps its original's source and language. */
+  private def day3Docs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+    val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+    docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 5 === 0)
+      .crossJoin(broadcast(maxId))
+      .select((col("doc_id") + (col("id_off") + 1L) * 4L).as("doc_id"),
+        concat(lit("upd "), col("text")).as("text"), col("source"), col("lang"))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 7 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + (col("id_off") + 1L) * 5L).as("doc_id"),
+          concat(lit("upd "), col("text")).as("text"), col("source"), col("lang")))
+  }
+
+  /** q119's stored state — [[ensureClusterState]]'s day-1 tables COPIED
+    * (q115 keeps reading pristine day-1 state) and then maintained by the
+    * DAY-2 JOB: q115's own gate output (the today assignments + changed-
+    * prior delta, snapshotted to files BEFORE any append — the q105
+    * cache-invalidation rule) appended into the assignment buckets, and
+    * day 2's shingle rows appended into the inverted-index buckets. The
+    * append needs no read-modify-write: cluster labels only ever DECREASE
+    * under merges (a label is the min of its component and components only
+    * grow), so the CURRENT assignment of the grow-only table is
+    * min(cluster_id) per doc — a zero-exchange aggregate on the bucket
+    * key. Day-3 readers resolve exactly that way. */
+  private[graft] def ensureDay2ClusterState(s: SparkSession, dir: String): (String, String) =
+    Fixtures.oncePerSession(s, s"q119_state|$dir") {
+      // the day-2 delta computes AGAINST the pristine day-1 tables; the
+      // snapshot must happen before the copies exist so no append can
+      // invalidate it
+      val delta = Fixtures.snapshot(s,
+        incrementalClusterAssignments(s, dir).select("doc_id", "cluster_id"),
+        "q119_delta")
+      val (atbl, itbl) = ensureClusterState(s, dir)
+      val atbl2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(atbl), s"q119_assign|$dir", "doc_id", buckets = 8)
+      val itbl2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(itbl), s"q119_shingles|$dir", "h", buckets = 8)
+      delta.write.mode("append")
+        .bucketBy(8, "doc_id").sortBy("doc_id").format("parquet").saveAsTable(atbl2)
+      // day-2 shingles derive from the source parquet (no table reads) —
+      // append-safe without a snapshot
+      Dedup.shingleIndex(day2Docs(s, dir), "doc_id", "text", n = 3)
+        .write.mode("append")
+        .bucketBy(8, "h").sortBy("h").format("parquet").saveAsTable(itbl2)
+      (atbl2, itbl2)
+    }
+
+  /** q120's stored state — [[ensureDfManifest]]'s (term, df) table COPIED
+    * and maintained by the day-2 job: day 2's own per-term df rows are
+    * APPENDED (never merged in place — df composes by ADDITION under
+    * disjoint doc sets, so the current df is sum(df) per term, a
+    * zero-exchange aggregate on the bucket key). Returns the table and
+    * the day-1+2 doc count. */
+  private[graft] def ensureDay2DfManifest(s: SparkSession, dir: String): (String, Long) =
+    Fixtures.oncePerSession(s, s"q120_df|$dir") {
+      val (tbl, n1) = ensureDfManifest(s, dir)
+      val tbl2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(tbl), s"q120_df|$dir", "term", buckets = 8)
+      val d2 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === 2)
+      graft.operators.TfIdf.dfManifest(d2, "doc_id", "text")
+        .write.mode("append")
+        .bucketBy(8, "term").sortBy("term").format("parquet").saveAsTable(tbl2)
+      (tbl2, n1 + d2.count())
+    }
+
+  /** q121's stored state — [[ensureHistManifest]]'s (source, lang, n)
+    * histogram COPIED and maintained by the day-2 job: day 2's histogram
+    * rows APPENDED (counts compose by addition; the drift reader already
+    * sums per key). */
+  private[graft] def ensureDay2HistManifest(s: SparkSession, dir: String): String =
+    Fixtures.oncePerSession(s, s"q121_hist|$dir") {
+      val tbl = ensureHistManifest(s, dir)
+      val tbl2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(tbl), s"q121_hist|$dir", "source", buckets = 4)
+      t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .write.mode("append")
+        .bucketBy(4, "source").sortBy("source").format("parquet").saveAsTable(tbl2)
+      tbl2
+    }
+
+  /** Every stored-state fixture this file maintains, built in one call —
+    * what Bench pre-materializes outside the timed window (the amortized-
+    * ingest rule) so the gate queries time the daily job, never the
+    * generation build. A new stored-state query adds its builder HERE and
+    * inherits the choreography. */
+  private[graft] def ensureStoredState(s: SparkSession, dir: String): Unit = {
+    ensureAnnIndex(s, dir)
+    ensureCurationManifests(s, dir)
+    ensureClusterState(s, dir)
+    ensureDay2ClusterState(s, dir)
+    ensureDfManifest(s, dir)
+    ensureDay2DfManifest(s, dir)
+    ensureHistManifest(s, dir)
+    ensureDay2HistManifest(s, dir)
+    ()
+  }
+
   /** q116's stored prior state: the day-1 corpus's (term, df) manifest
     * (bucketed on term — the daily scoring join's manifest side plans
     * zero exchanges) and its doc count. Day 1 = doc_id % 3 ≠ 2. */
   private[graft] def ensureDfManifest(s: SparkSession, dir: String): (String, Long) =
-    dfManifestCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    Fixtures.oncePerSession(s, s"q116_df|$dir") {
         val d1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 3 =!= 2)
         val tbl = graft.operators.BucketedOps.ensureBucketed(
           graft.operators.TfIdf.dfManifest(d1, "doc_id", "text"),
           s"q116_df|$dir", "term", buckets = 8)
         (tbl, d1.count())
-      })
-
-  private val dfManifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+      }
 
   /** q117's stored prior state: the day-1 corpus's (source, lang, n)
     * histogram manifest. Day 1 = doc_id % 3 ≠ 2. */
   private[graft] def ensureHistManifest(s: SparkSession, dir: String): String =
-    histManifestCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir, _ => {
+    Fixtures.oncePerSession(s, s"q117_hist|$dir") {
         val d1 = t(s, dir, "documents").filter(col("doc_id") % 3 =!= 2)
           .groupBy("source", "lang").agg(count(lit(1)).as("n"))
         graft.operators.BucketedOps.ensureBucketed(
           d1, s"q117_hist|$dir", "source", buckets = 4)
-      })
-
-  private val histManifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+      }
 
   private val stopIn = EnStop.map(w => s"'$w'").mkString(", ")
   private val deIn = DeStop.map(w => s"'$w'").mkString(", ")
@@ -1530,6 +1884,80 @@ object DataQueries {
        |  CAST(($packOffset) + COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS pack_id
        |  FROM ${p}kept)""".stripMargin
+
+  /** q105's oracle CTE chain — the whole 3-day maintenance loop
+    * closed-form: three funnels (day-0 full, day-1 vs day-0's kept
+    * hashes, day-2 vs their UNION = the appended manifest table), both
+    * days' kept-doc band manifests, and day-2's screen against their
+    * union. Shared verbatim by q105 and the composed q122, so the two
+    * entries' funnel replay cannot drift. The fan-out CTEs carry
+    * MATERIALIZED: DuckDB inlines CTEs per reference, and the funnel
+    * chains are referenced multiplicatively — without the hints the
+    * OPTIMIZER itself runs for minutes on 500 docs; with them the whole
+    * chain is ~3 s at the gate SF. */
+  private def day2FunnelCtes: String =
+    s"""dasrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |${funnelHeadSql("da", "dasrc")},
+       |${funnelTailSql("da", "das2", "0")},
+       |daprior AS MATERIALIZED (SELECT DISTINCT md5(s.text) AS h
+       |            FROM dakept k JOIN dasrc s ON k.doc_id = s.doc_id),
+       |dbsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |          UNION ALL
+       |          SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+       |          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+       |${funnelHeadSql("db", "dbsrc")},
+       |dbs2b AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM dbs2
+       |          WHERE NOT EXISTS (SELECT 1 FROM daprior p WHERE p.h = md5(dbs2.text))),
+       |${funnelTailSql("db", "dbs2b", "(SELECT COALESCE(MAX(pack_id), -1) + 1 FROM dapacks)")},
+       |dbprior AS MATERIALIZED (SELECT DISTINCT md5(s.text) AS h
+       |            FROM dbkept k JOIN dbsrc s ON k.doc_id = s.doc_id),
+       |mprior AS MATERIALIZED (SELECT h FROM daprior UNION SELECT h FROM dbprior),
+       |d0k AS MATERIALIZED (SELECT s.doc_id, s.text FROM dakept k JOIN dasrc s ON k.doc_id = s.doc_id),
+       |d1k AS MATERIALIZED (SELECT s.doc_id, s.text FROM dbkept k JOIN dbsrc s ON k.doc_id = s.doc_id),
+       |dcsrc AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+       |          UNION ALL
+       |          SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents), text
+       |          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
+       |          UNION ALL
+       |          SELECT doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM documents), 'upd ' || text
+       |          FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0),
+       |${funnelHeadSql("dc", "dcsrc")},
+       |dcpd AS MATERIALIZED (SELECT doc_id FROM dcs2
+       |         WHERE EXISTS (SELECT 1 FROM mprior p WHERE p.h = md5(dcs2.text))),
+       |dcs2b AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM dcs2
+       |          WHERE NOT EXISTS (SELECT 1 FROM mprior p WHERE p.h = md5(dcs2.text))),
+       |${funnelTailSql("dc", "dcs2b",
+           "(SELECT COALESCE(MAX(pack_id), (SELECT COALESCE(MAX(pack_id), -1) FROM dapacks)) + 1 FROM dbpacks)")},
+       |${md5SigBandCtes(16, 8, "d0k", "ma")},
+       |${md5SigBandCtes(16, 8, "d1k", "mb")},
+       |${md5SigBandCtes(16, 8, "dcsrc", "tc")},
+       |mbk AS MATERIALIZED (SELECT DISTINCT band, bhv FROM
+       |        (SELECT band, bhv FROM mabands UNION ALL SELECT band, bhv FROM mbbands)),
+       |scr AS (SELECT b.doc_id, COUNT(*) AS n_bands,
+       |          SUM(CASE WHEN y.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |        FROM tcbands b LEFT JOIN mbk y ON b.band = y.band AND b.bhv = y.bhv
+       |        GROUP BY 1)""".stripMargin
+
+  /** q105's day-2 audit projection over [[day2FunnelCtes]] (no ORDER BY —
+    * callers append their own tail). */
+  private def day2AuditSelect: String =
+    s"""SELECT l.doc_id,
+       |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
+       |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
+       |       WHEN pd.doc_id IS NOT NULL THEN 'drop_prior_dup'
+       |       WHEN e.doc_id IS NOT NULL THEN 'drop_exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+       |       ELSE 'kept' END AS verdict,
+       |  l.n_tokens, p.pack_id,
+       |  CAST(COALESCE(s.n_bands, 0) AS BIGINT) AS n_bands,
+       |  CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+       |  (COALESCE(s.n_hit, 0) > 0) AS near_dup_prior
+       |FROM dclp l
+       |LEFT JOIN dcpd pd ON l.doc_id = pd.doc_id
+       |LEFT JOIN (SELECT doc_id FROM dcex WHERE doc_id <> keeper) e ON l.doc_id = e.doc_id
+       |LEFT JOIN dcnd n ON l.doc_id = n.doc_id
+       |LEFT JOIN dcpacks p ON l.doc_id = p.doc_id
+       |LEFT JOIN scr s ON l.doc_id = s.doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q84_sketch_exact_side" ->
@@ -1635,48 +2063,81 @@ object DataQueries {
     // whole oracle is ~3 s at the gate SF.
     "q105_manifest_maintenance" ->
       s"""WITH RECURSIVE
-         |dasrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-         |${funnelHeadSql("da", "dasrc")},
-         |${funnelTailSql("da", "das2", "0")},
-         |daprior AS MATERIALIZED (SELECT DISTINCT md5(s.text) AS h
-         |            FROM dakept k JOIN dasrc s ON k.doc_id = s.doc_id),
-         |dbsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
-         |          UNION ALL
-         |          SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
-         |          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
-         |${funnelHeadSql("db", "dbsrc")},
-         |dbs2b AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM dbs2
-         |          WHERE NOT EXISTS (SELECT 1 FROM daprior p WHERE p.h = md5(dbs2.text))),
-         |${funnelTailSql("db", "dbs2b", "(SELECT COALESCE(MAX(pack_id), -1) + 1 FROM dapacks)")},
-         |dbprior AS MATERIALIZED (SELECT DISTINCT md5(s.text) AS h
-         |            FROM dbkept k JOIN dbsrc s ON k.doc_id = s.doc_id),
-         |mprior AS MATERIALIZED (SELECT h FROM daprior UNION SELECT h FROM dbprior),
-         |d0k AS MATERIALIZED (SELECT s.doc_id, s.text FROM dakept k JOIN dasrc s ON k.doc_id = s.doc_id),
-         |d1k AS MATERIALIZED (SELECT s.doc_id, s.text FROM dbkept k JOIN dbsrc s ON k.doc_id = s.doc_id),
-         |dcsrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
-         |          UNION ALL
-         |          SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents), text
-         |          FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 0
-         |          UNION ALL
-         |          SELECT doc_id + 3 * (SELECT MAX(doc_id) + 1 FROM documents), 'upd ' || text
-         |          FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0),
-         |${funnelHeadSql("dc", "dcsrc")},
-         |dcpd AS MATERIALIZED (SELECT doc_id FROM dcs2
-         |         WHERE EXISTS (SELECT 1 FROM mprior p WHERE p.h = md5(dcs2.text))),
-         |dcs2b AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM dcs2
-         |          WHERE NOT EXISTS (SELECT 1 FROM mprior p WHERE p.h = md5(dcs2.text))),
-         |${funnelTailSql("dc", "dcs2b",
-             "(SELECT COALESCE(MAX(pack_id), (SELECT COALESCE(MAX(pack_id), -1) FROM dapacks)) + 1 FROM dbpacks)")},
-         |${md5SigBandCtes(16, 8, "d0k", "ma")},
-         |${md5SigBandCtes(16, 8, "d1k", "mb")},
-         |${md5SigBandCtes(16, 8, "dcsrc", "tc")},
-         |mbk AS MATERIALIZED (SELECT DISTINCT band, bhv FROM
-         |        (SELECT band, bhv FROM mabands UNION ALL SELECT band, bhv FROM mbbands)),
-         |scr AS (SELECT b.doc_id, COUNT(*) AS n_bands,
-         |          SUM(CASE WHEN y.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-         |        FROM tcbands b LEFT JOIN mbk y ON b.band = y.band AND b.bhv = y.bhv
-         |        GROUP BY 1)
-         |SELECT l.doc_id,
+         |$day2FunnelCtes
+         |$day2AuditSelect
+         |ORDER BY l.doc_id""".stripMargin,
+
+    // THE COMPOSED DAILY JOB replayed in ONE chain: q105's three funnels +
+    // band manifests + screen, the IVF index derivation + the semantic
+    // screen over base-id-mapped today vectors, and the two component
+    // walks + split arithmetic of q115/q118 — every leg closed-form, so a
+    // composition bug in ANY leg (or in how the legs share the crawl)
+    // breaks the hash
+    "q122_daily_audit" -> {
+      val dot = ivfDotSql _
+      s"""WITH RECURSIVE
+         |$day2FunnelCtes,
+         |doff AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+         |cbase AS MATERIALIZED (
+         |  SELECT doc_id, doc_id AS base_id FROM documents WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT d.doc_id + 2 * doff.o, d.doc_id FROM documents d, doff
+         |  WHERE d.doc_id % 3 = 0 AND d.doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT d.doc_id + 3 * doff.o, d.doc_id FROM documents d, doff
+         |  WHERE d.doc_id % 3 = 1 AND d.doc_id % 5 = 0),
+         |${ivfPortableCtes(8, 1, trainWhere = "WHERE vec_id % 3 = 0")},
+         |stoday AS MATERIALIZED (SELECT c.doc_id AS vec_id, e.embedding
+         |  FROM cbase c JOIN embeddings e ON c.base_id = e.vec_id),
+         |stfq AS (SELECT vec_id, list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS vq
+         |        FROM stoday),
+         |stv AS (SELECT vec_id, list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS a
+         |        FROM stoday),
+         |sprior AS (SELECT vec_id, cell FROM cellsf WHERE vec_id % 3 = 0),
+         |sqc AS (SELECT vec_id AS qid, cell FROM (
+         |  SELECT f.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY f.vec_id
+         |      ORDER BY CAST(${dot("f.vq", "c.s")} AS DOUBLE)
+         |        / sqrt(CAST(${dot("c.s", "c.s")} AS DOUBLE)) DESC, c.cell) AS rk
+         |  FROM stfq f CROSS JOIN cents1 c) WHERE rk <= 2),
+         |ssims AS (SELECT sqc.qid, p.vec_id AS cid,
+         |    CAST(${dot("qa.a", "ca.a")} AS DOUBLE)
+         |      / (sqrt(CAST(${dot("qa.a", "qa.a")} AS DOUBLE))
+         |         * sqrt(CAST(${dot("ca.a", "ca.a")} AS DOUBLE))) AS sim
+         |  FROM sqc JOIN sprior p USING (cell)
+         |  JOIN stv qa ON sqc.qid = qa.vec_id
+         |  JOIN v24 ca ON p.vec_id = ca.vec_id),
+         |sbest AS (SELECT qid, cid, sim,
+         |    COUNT(*) OVER (PARTITION BY qid) AS n_cand,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+         |  FROM ssims),
+         |cd1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+         |cuni AS MATERIALIZED (SELECT doc_id, text FROM cd1
+         |        UNION ALL SELECT doc_id, text FROM dcsrc),
+         |${jaccardWalkCtes("cf", "cuni")},
+         |cfc AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM cfwalk GROUP BY u),
+         |${jaccardWalkCtes("cp", "cd1")},
+         |cpc AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM cpwalk GROUP BY u),
+         |cfa AS MATERIALIZED (SELECT t.doc_id, COALESCE(f.lbl, t.doc_id) AS cluster_id
+         |      FROM cuni t LEFT JOIN cfc f USING (doc_id)),
+         |cpa AS MATERIALIZED (SELECT t.doc_id, COALESCE(p.lbl, t.doc_id) AS cluster_id
+         |      FROM cd1 t LEFT JOIN cpc p USING (doc_id)),
+         |cdelta AS (
+         |  SELECT doc_id, cluster_id, 'today' AS scope FROM cfa
+         |  WHERE doc_id IN (SELECT doc_id FROM dcsrc)
+         |  UNION ALL
+         |  SELECT f.doc_id, f.cluster_id, 'prior' AS scope
+         |  FROM cfa f JOIN cpa ON f.doc_id = cpa.doc_id
+         |                 AND f.cluster_id <> cpa.cluster_id),
+         |cspl AS (SELECT doc_id, cluster_id AS rep, scope,
+         |  CAST(((md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 8) % 2147483647) % 100 AS BIGINT) AS bucket,
+         |  CASE WHEN ((md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 8) % 2147483647) % 100 < 80 THEN 'train'
+         |       WHEN ((md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 8) % 2147483647) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM cdelta)
+         |SELECT l.doc_id, 'today' AS scope,
          |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
          |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
          |       WHEN pd.doc_id IS NOT NULL THEN 'drop_prior_dup'
@@ -1686,14 +2147,34 @@ object DataQueries {
          |  l.n_tokens, p.pack_id,
          |  CAST(COALESCE(s.n_bands, 0) AS BIGINT) AS n_bands,
          |  CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
-         |  (COALESCE(s.n_hit, 0) > 0) AS near_dup_prior
+         |  (COALESCE(s.n_hit, 0) > 0) AS near_dup_prior,
+         |  CASE WHEN sv.vec_id IS NOT NULL
+         |       THEN CAST(COALESCE(sb.n_cand, 0) AS BIGINT) END AS n_cand,
+         |  CASE WHEN sv.vec_id IS NOT NULL
+         |       THEN CAST(COALESCE(sb.cid, -1) AS BIGINT) END AS nn_prior,
+         |  CASE WHEN sv.vec_id IS NOT NULL
+         |       THEN COALESCE(sb.sim, -1.0) END AS nn_sim,
+         |  CASE WHEN sv.vec_id IS NOT NULL
+         |       THEN COALESCE(sb.sim >= 0.9, FALSE) END AS sem_dup,
+         |  spl.rep, spl.bucket, spl.split
          |FROM dclp l
          |LEFT JOIN dcpd pd ON l.doc_id = pd.doc_id
          |LEFT JOIN (SELECT doc_id FROM dcex WHERE doc_id <> keeper) e ON l.doc_id = e.doc_id
          |LEFT JOIN dcnd n ON l.doc_id = n.doc_id
          |LEFT JOIN dcpacks p ON l.doc_id = p.doc_id
          |LEFT JOIN scr s ON l.doc_id = s.doc_id
-         |ORDER BY l.doc_id""".stripMargin,
+         |LEFT JOIN stoday sv ON l.doc_id = sv.vec_id
+         |LEFT JOIN (SELECT * FROM sbest WHERE rk = 1) sb ON l.doc_id = sb.qid
+         |JOIN (SELECT * FROM cspl WHERE scope = 'today') spl ON l.doc_id = spl.doc_id
+         |UNION ALL
+         |SELECT doc_id, 'prior' AS scope,
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS BOOLEAN), rep, bucket, split
+         |FROM cspl WHERE scope = 'prior'
+         |ORDER BY doc_id, scope""".stripMargin
+    },
 
     "q28_doc_quality" ->
       s"""SELECT doc_id,
@@ -1843,6 +2324,14 @@ object DataQueries {
          |SELECT doc_id, cluster_id, scope FROM delta
          |ORDER BY doc_id""".stripMargin,
 
+    // q123 runs the SAME maintenance through a multi-batch stream
+    // (per-batch incrementalClusters against stored + spooled state) —
+    // one oracle, two execution shapes, so the two entries cannot drift
+    "q123_stream_cluster_maintenance" ->
+      s"""$incClusterCtes
+         |SELECT doc_id, cluster_id, scope FROM delta
+         |ORDER BY doc_id""".stripMargin,
+
     // q118 = q115's delta pushed through q114's bucket arithmetic: the
     // same md5 bucket of the (new) representative decides the side
     "q118_incremental_split" ->
@@ -1853,6 +2342,66 @@ object DataQueries {
          |       WHEN ((md5_number_upper(CAST(cluster_id AS VARCHAR)) >> 8) % 2147483647) % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM delta ORDER BY doc_id""".stripMargin,
+
+    // day 3 vs the APPEND-maintained cluster state: from-scratch walks
+    // over three days and over days 1-2, diffed — the stored labeling
+    // (day-1 rows + day-2's appended delta, min-resolved) must behave
+    // exactly like from-scratch(days 1-2)
+    "q119_cluster_maintenance" ->
+      s"""$incClusterCtes3
+         |SELECT doc_id, cluster_id, scope FROM delta
+         |ORDER BY doc_id""".stripMargin,
+
+    // day 3 vs the APPEND-maintained df manifest: from-scratch corpus-wide
+    // TF-IDF over all three days, restricted to day 3 — the summed
+    // manifest (day-1 rows + day-2's appended rows) must land on the
+    // identical numbers
+    "q120_tfidf_maintenance" ->
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |d3 AS MATERIALIZED (
+        |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
+        |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
+        |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+        |uni AS MATERIALIZED (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id, text FROM d3),
+        |tok AS (SELECT doc_id, u.t AS term
+        |        FROM uni, UNNEST(string_split(text, ' ')) AS u(t)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM uni)
+        |SELECT doc_id, term, tf, df, n_docs, score, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df, n.n_docs,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC, tf.term) AS BIGINT) AS rank
+        |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+        |WHERE rank <= 5 AND doc_id IN (SELECT doc_id FROM d3)
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // day 3 vs the APPEND-maintained histogram: the prior side is the
+    // whole corpus (days 1-2 = the summed manifest), today is day 3's
+    // crawl with each re-crawl keeping its original's source/lang
+    "q121_drift_maintenance" ->
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |d3 AS (SELECT source, lang FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+        |       UNION ALL
+        |       SELECT source, lang FROM documents WHERE doc_id % 3 = 1 AND doc_id % 7 = 0),
+        |tc AS (SELECT source, lang, COUNT(*) AS n_today FROM d3 GROUP BY 1, 2),
+        |pc AS (SELECT source, lang, COUNT(*) AS n_prior FROM documents GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(tc.source, pc.source) AS source,
+        |        COALESCE(tc.lang, pc.lang) AS lang,
+        |        COALESCE(n_today, 0) AS n_today, COALESCE(n_prior, 0) AS n_prior
+        |      FROM tc FULL OUTER JOIN pc
+        |        ON tc.source = pc.source AND tc.lang = pc.lang),
+        |tot AS (SELECT CAST(SUM(n_today) AS BIGINT) AS total_today,
+        |               CAST(SUM(n_prior) AS BIGINT) AS total_prior FROM j)
+        |SELECT source, lang, n_today, n_prior, total_today, total_prior,
+        |  CAST(n_today AS DOUBLE) / CAST(total_today AS DOUBLE) AS share_today,
+        |  CAST(n_prior AS DOUBLE) / CAST(total_prior AS DOUBLE) AS share_prior,
+        |  n_today * total_prior - n_prior * total_today AS excess
+        |FROM j CROSS JOIN tot ORDER BY source, lang""".stripMargin,
 
     // incremental TF-IDF closed form: from-scratch corpus-wide stats,
     // output restricted to day 2's docs — additive df maintenance must

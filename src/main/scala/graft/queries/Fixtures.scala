@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The memoize-and-prematerialize discipline every stored-state fixture
+  * builder shares (round-10 verdict #8): a gated query that READS
+  * maintained lake tables gets those tables from a builder that runs the
+  * PAST days' jobs once per (SparkSession, sf dir) — the amortized-ingest
+  * rule. Bench calls [[DataQueries.ensureStoredState]] (which fans out to
+  * every builder) outside the timed window, so the gate queries time the
+  * steady-state daily job, never the one-off generation build.
+  *
+  * Centralizing the pattern here exists to make the cache-invalidation
+  * choreography impossible to get wrong per-builder: the round-10 q105 bug
+  * (`792b08f`) was exactly a builder APPENDING to a table while a cached
+  * plan still referenced it — Spark cascade-invalidates every plan
+  * touching the table, the recompute re-screened day-1 against a manifest
+  * that now contained day-1's own hashes, and 46 docs' bands silently
+  * vanished at sf0.1. The rule, enforced by shape here: derive everything
+  * you will append FROM A [[snapshot]] taken BEFORE the first append.
+  */
+private[graft] object Fixtures {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Run `build` once per (SparkSession, key) and memoize its result —
+    * the once-per-(session, dir) contract of an ingest fixture. The WHOLE
+    * build is inside the memo (not just the table write): builders that
+    * sample/probe eagerly must not re-pay that scan on a repeated call. */
+  def oncePerSession[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
+    cache.computeIfAbsent(System.identityHashCode(s).toString + "|" + key,
+      _ => build).asInstanceOf[T]
+
+  /** Materialize a derivation to a temp parquet dir and hand back a frame
+    * that reads the FILES — immune to the cascade invalidation an append
+    * to any catalog table triggers (the q105 lesson; in production a
+    * day's outputs are persisted files anyway, never live plans). Call
+    * this on anything derived from a table you are ABOUT to append to,
+    * before the append. */
+  def snapshot(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_snap_${tag}_")
+    dir.toFile.deleteOnExit()
+    val p = dir.resolve("d").toString
+    df.write.parquet(p)
+    s.read.parquet(p)
+  }
+}

@@ -286,6 +286,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q119/q120 append-maintained state: min/sum resolution is bucket-local") {
+    // the day-2 job APPENDS into the stored buckets (assignment delta
+    // rows; per-term df rows), and the day-3 reader resolves the current
+    // state with min(cluster_id) per doc / sum(df) per term — aggregates
+    // ON THE BUCKET KEY, which must execute inside the bucketed scan's
+    // distribution: a hash exchange under either resolve means the append
+    // maintenance re-shuffles the whole stored state every day
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val (atbl2, _) = graft.queries.DataQueries.ensureDay2ClusterState(s, dir)
+    val (dtbl2, _) = graft.queries.DataQueries.ensureDay2DfManifest(s, dir)
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val targets = Seq(
+        ("q119 assignment resolve", atbl2,
+          s.table(atbl2).groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))),
+        ("q120 df resolve", dtbl2,
+          s.table(dtbl2).groupBy("term").agg(sum("df").as("df"))))
+      for ((label, tbl, df) <- targets) {
+        val p = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        val scans = p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == tbl) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          s"$label: appended table not read as a bucketed scan:\n$p")
+        assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"$label: resolve aggregate shuffled the stored state:\n$p")
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("q107 partitioned lake: the date filter prunes partitions at planning") {
     // the point of a date-partitioned event lake is that a date-bounded
     // query opens 3 of 30 day directories instead of filtering rows after

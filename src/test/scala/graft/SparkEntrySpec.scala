@@ -15,16 +15,18 @@ class SparkEntrySpec extends SparkSpec {
       "duplicate query keys across RelQueries/CdcQueries/DataQueries")
   }
 
-  test("every oracle key has a query; rows-only set is exactly the hash-free ops") {
+  test("every oracle key has a query; every battery query is oracle-checked") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // round 6: q35/q39/q50/q81 flipped to the oracle via the portable
     // IVF/PQ family; round 10: q55 flipped to a BOUNDED oracle check
-    // (in-band boolean vs the exact count) — the remaining two are the
-    // engine-local xxhash64 LSH/SimHash fast paths, each with a portable
-    // oracle-checked twin (q42/q82)
-    assert(noOracle === Set("q33_minhash_lsh_candidates", "q34_simhash_signatures"),
-      s"rows-only queries changed: $noOracle — update this spec deliberately")
+    // (in-band boolean vs the exact count); round 11: the last two
+    // rows-only entries (xxhash64 LSH/SimHash fast paths q33/q34) were
+    // FOLDED into their oracle-checked md5 twins q42/q82 — identical
+    // band/vote pipelines, portable base hash — so the battery's
+    // unverified surface is now zero by construction.
+    assert(noOracle === Set.empty[String],
+      s"rows-only queries appeared: $noOracle — every battery entry needs an oracle")
   }
 
   test("entry (driver smoke) returns rows on sf0.001") {
