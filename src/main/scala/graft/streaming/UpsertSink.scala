@@ -39,7 +39,25 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * For petabyte state, swap the parquet rewrite for a MERGE INTO on a
   * table format with deletion vectors; the streaming contract here
-  * (foreachBatch + deterministic bucketed merge) stays identical. */
+  * (foreachBatch + deterministic bucketed merge) stays identical.
+  *
+  * ==Concurrency contract: SINGLE WRITER PER PATH==
+  * [[mergeBatch]] and [[compact]] assume they are the only writer of the
+  * target directory. Two concurrent writers (e.g. a compaction job racing
+  * the streaming merge, or two streams pointed at one path) would
+  * interleave bucket swaps and `_tmp`/`_old` cleanup and tear the
+  * snapshot — each writer's [[recover]] deletes the OTHER's staging.
+  * The contract is enforced by an advisory writer LEASE
+  * (`_graft_writer.lock`, created atomically, held across each merge or
+  * compaction, released at the end): a second writer arriving while the
+  * lease is fresh fails fast with `ConcurrentModificationException`
+  * instead of corrupting state. A writer that crashed mid-merge leaves a
+  * stale lease; it self-heals after [[LeaseTtlMs]] (a merge holds the
+  * lease for seconds, so a fresh-looking lease really is a live writer).
+  * Run compaction from the stream's own foreachBatch
+  * (`compactEveryBatches`) — never as a side job against a live stream.
+  * Readers ([[readState]]) never take the lease: they see only committed
+  * bucket directories. */
 object UpsertSink {
 
   private val BucketCol = "__gb"
@@ -121,6 +139,7 @@ object UpsertSink {
     val spark = batch.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, target) {
     // A previous merge may have died mid-swap (bucket gone, _old/ holding
     // its last complete copy). Restore BEFORE reading prev state, or the
     // merge below would silently drop that bucket's rows.
@@ -132,7 +151,7 @@ object UpsertSink {
     // `buckets` small ints, independent of batch or state size.
     val touched = batch.select(bucketOf.cast("int").as(BucketCol))
       .distinct().collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
+    if (touched.nonEmpty) {
 
     val existing = touched.toSeq.sorted
       .map(i => new Path(target, s"$BucketCol=$i")).filter(fs.exists(_))
@@ -175,6 +194,8 @@ object UpsertSink {
       fs.delete(aside, true)
     }
     fs.delete(tmp, true)
+    }
+    }
   }
 
   /** Purge tombstone rows from every bucket — run when the caller knows no
@@ -185,11 +206,12 @@ object UpsertSink {
   def compact(spark: SparkSession, path: String): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withWriterLease(fs, target) {
     recover(spark, path)
     val bucketDirs = if (fs.exists(target))
       fs.listStatus(target).map(_.getPath).filter(_.getName.startsWith(s"$BucketCol="))
     else Array.empty[Path]
-    if (bucketDirs.isEmpty) return
+    if (bucketDirs.nonEmpty) {
     val tmp = new Path(target, "_tmp")
     // partition discovery supplies __gb; live rows rewrite, tombstones drop
     spark.read.parquet(path).filter(col("op") =!= "d")
@@ -205,6 +227,54 @@ object UpsertSink {
       fs.delete(aside, true)
     }
     fs.delete(tmp, true)
+    }
+    }
+  }
+
+  /** How long a writer lease stays authoritative after its holder stops
+    * refreshing it (i.e. crashed mid-merge, since a lease is created at
+    * merge start and deleted at merge end). A merge holds the lease for
+    * seconds, so 15 minutes cleanly separates "live writer" from "crash
+    * debris" without an operator in the loop. */
+  val LeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Advisory single-writer lease (see the object scaladoc's concurrency
+    * contract): `_graft_writer.lock` is created atomically
+    * (`create(overwrite = false)` — one winner per filesystem semantics),
+    * held for the duration of `body`, deleted at the end. A fresh foreign
+    * lease fails fast; a stale one (older than [[LeaseTtlMs]]) is broken
+    * and re-acquired atomically, so a crashed writer never wedges the
+    * path. */
+  private def withWriterLease[T](fs: FileSystem, target: Path)(body: => T): T = {
+    fs.mkdirs(target)
+    val lock = new Path(target, "_graft_writer.lock")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(java.util.UUID.randomUUID.toString.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val acquired = tryAcquire() || {
+      val status =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      // no status = the other writer just finished; any status older than
+      // the TTL is crash debris — break it and race for the re-create
+      // (create(overwrite=false) keeps the race single-winner)
+      val stale = status.forall(s =>
+        System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs)
+      stale && { fs.delete(lock, false); tryAcquire() }
+    }
+    if (!acquired)
+      throw new java.util.ConcurrentModificationException(
+        s"$target is being written by another UpsertSink writer " +
+          "(_graft_writer.lock is fresh). The sink's on-disk contract is " +
+          "SINGLE WRITER PER PATH: a compaction racing a streaming merge " +
+          "would interleave bucket swaps and tear the snapshot. Run " +
+          "compact() from the stream's own foreachBatch " +
+          "(compactEveryBatches), or wait for the lease to expire.")
+    try body finally fs.delete(lock, false)
   }
 
   /** Crash recovery: restore any bucket a previous merge left mid-swap

@@ -185,4 +185,36 @@ class UpsertSinkSpec extends SparkSpec {
     assert(s.count() == 200)
     assert(s.filter($"k" === 42L).head().getDouble(1) == 99.0)
   }
+
+  test("single-writer lease: a fresh foreign lease fails fast, a stale one self-heals") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert5_")
+    val out = tmp.resolve("state").toString
+    val b = Seq(row(1L, 1.0, "c", 1, "+I")).toDF(cols: _*)
+    UpsertSink.mergeBatch(b, Seq("k"), out) // creates state, releases lease
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(out, "_graft_writer.lock")
+    assert(!fs.exists(lock), "lease must be released after a merge")
+
+    // another writer holds a FRESH lease → this writer must fail fast,
+    // not interleave (its recover() would delete the other's _tmp staging)
+    val o = fs.create(lock, false); o.write("other".getBytes); o.close()
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      UpsertSink.mergeBatch(
+        Seq(row(2L, 2.0, "c", 2, "+I")).toDF(cols: _*), Seq("k"), out)
+    }
+    assert(ex.getMessage.contains("SINGLE WRITER PER PATH"))
+    assert(UpsertSink.readState(spark, out).count() == 1, "failed merge must not touch state")
+    // compact() honors the same lease
+    intercept[java.util.ConcurrentModificationException] {
+      UpsertSink.compact(spark, out)
+    }
+
+    // the same lease aged past the TTL = crash debris → broken and
+    // re-acquired; the merge proceeds and releases
+    fs.setTimes(lock, System.currentTimeMillis() - UpsertSink.LeaseTtlMs - 1000, -1)
+    UpsertSink.mergeBatch(
+      Seq(row(2L, 2.0, "c", 2, "+I")).toDF(cols: _*), Seq("k"), out)
+    assert(!fs.exists(lock))
+    assert(UpsertSink.readState(spark, out).count() == 2)
+  }
 }
