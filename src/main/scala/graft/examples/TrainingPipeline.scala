@@ -154,6 +154,28 @@ object TrainingPipeline {
     val resplit = Sampling.incrementalLeakageSafeSplit(delta)
     println("day-2 cluster delta by scope / split:")
     resplit.groupBy("scope", "split").count().orderBy("scope", "split").show(false)
+
+    // 9. DAY 3: the APPEND loop (q119's gated shape). The day-2 job
+    //    appends its delta to the assignment table and day-2's shingles
+    //    to the inverted index — no read-modify-write: labels only ever
+    //    DECREASE under merges, so the current assignment of the
+    //    grow-only table is min(cluster_id) per doc (bucket-local when
+    //    the table is bucketed on doc_id, as the gated fixture is).
+    val assign2 = priorAssign.unionByName(delta.select("doc_id", "cluster_id"))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    val index2 = Dedup.shingleIndex(docs, "doc_id", "text")
+      .unionByName(Dedup.shingleIndex(crawl, "doc_id", "text"))
+    val day3 = crawl.select((col("doc_id") + off).as("doc_id"),
+      concat(lit("upd "), col("text")).as("text"))
+    val delta3 = ConnectedComponents.incrementalClusters(
+      day3.select("doc_id"), "doc_id",
+      Dedup.ngramJaccardPairs(day3, "doc_id", "text", n = 3, minJaccard = 0.5),
+      "id_a", "id_b",
+      Dedup.ngramJaccardPairsVsIndex(day3, "doc_id", "text", index2,
+        n = 3, minJaccard = 0.5),
+      "today_id", "prior_id", assign2)
+    println("day-3 delta against the APPEND-maintained state:")
+    delta3.groupBy("scope").count().orderBy("scope").show(false)
     spark.stop()
   }
 }
