@@ -90,4 +90,48 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(out == expToday ++ expDelta, s"seed=$seed")
     }
   }
+
+  test("append + min-resolve storage algebra composes across days (q119/q123)") {
+    // the maintained-assignment-table contract: each day's delta is
+    // APPENDED (never merged in place), and the current label is
+    // min(cluster_id) per doc — sound because labels only ever DECREASE
+    // under merges. Pin the composition over THREE days of random edges:
+    // resolve(day1 ∪ delta2 ∪ delta3) must equal from-scratch components
+    // over all edges, for every doc any day touched.
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      def edges(n: Int, lo: Long, hi: Long) = Seq.fill(n)(
+        (lo + rnd.nextInt((hi - lo).toInt), lo + rnd.nextInt((hi - lo).toInt)))
+        .filter(p => p._1 != p._2)
+      val e1 = edges(40, 0, 50)
+      val d2nodes = (100L until 130L)
+      val e2 = edges(20, 100, 130) ++ Seq.fill(15)(
+        (100L + rnd.nextInt(30), rnd.nextInt(50).toLong))
+      val d3nodes = (200L until 225L)
+      val e3 = edges(12, 200, 225) ++ Seq.fill(12)(
+        (200L + rnd.nextInt(25), rnd.nextInt(50).toLong)) ++ Seq.fill(8)(
+        (200L + rnd.nextInt(25), 100L + rnd.nextInt(30).toLong))
+      def resolve(rows: Seq[(Long, Long)]): Map[Long, Long] =
+        rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      def inc(today: Seq[Long], te: Seq[(Long, Long)], ce: Seq[(Long, Long)],
+          assign: Map[Long, Long]): Seq[(Long, Long)] =
+        ConnectedComponents.incrementalClusters(
+            today.toDF("doc_id"), "doc_id",
+            te.filter(e => e._1 >= today.head && e._2 >= today.head)
+              .toDF("id_a", "id_b"), "id_a", "id_b",
+            te.filter(e => e._2 < today.head).toDF("today_id", "prior_id"),
+            "today_id", "prior_id", assign.toSeq.toDF("doc_id", "cluster_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val day1 = comps(e1).toSeq
+      val store2 = day1 ++ inc(d2nodes, e2, e2, resolve(day1))
+      val store3 = store2 ++ inc(d3nodes, e3, e3, resolve(store2))
+      val resolved = resolve(store3)
+      val truth = comps(e1 ++ e2 ++ e3)
+      for ((n, lbl) <- resolved)
+        assert(lbl == truth.getOrElse(n, n), s"seed=$seed node=$n")
+      // and every doc the truth labels non-trivially is in the store
+      for ((n, lbl) <- truth if lbl != n)
+        assert(resolved.getOrElse(n, n) == lbl, s"seed=$seed node=$n missing")
+    }
+  }
 }
