@@ -160,4 +160,53 @@ object TextStats {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
       .limit(topK)
   }
+
+  /** The (bigram, count) manifest [[bigramFluency]] consumes: multiset
+    * word-bigram counts over a corpus slice. Counts compose by ADDITION
+    * under disjoint doc sets, so maintenance is append + sum on `bg` —
+    * the same grow-only algebra as the TF-IDF df manifest. Persist it
+    * bucketed on `bg` and both the daily sum-resolve and the scoring
+    * join consume it at its on-disk distribution. */
+  def bigramManifest(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(wordShinglesMulti(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+
+  /** Bigram-LM fluency signals — the language-model quality-filter tier
+    * of a corpus pipeline (cf. the CCNet/KenLM-style perplexity filters):
+    * a doc whose word bigrams rarely appear in the reference corpus is
+    * boilerplate, gibberish, or the wrong register. The score here is the
+    * hash-gateable integer core of that idea: per doc, the bigram count,
+    * how many are OUT-OF-VOCABULARY vs the manifest, the total reference
+    * mass its bigrams hit, and the two exact-division rates (oov_rate
+    * high = unseen text; mean_hit low = rare constructions). The log-space
+    * perplexity is a monotone transform of per-bigram hit probabilities —
+    * engine-local floats, deliberately left out of the gate (same split
+    * as TfIdf.score vs logScore).
+    *
+    * Scale shape: one explode over TODAY only, one join keyed on the
+    * bigram against the O(bigram-vocab) manifest (bucketed on `bg` →
+    * zero manifest-side exchanges), one groupBy(doc). Never reads prior
+    * texts — the manifest IS the reference corpus. At petabyte vocab,
+    * hash `bg` to a 64-bit key before the exchange (the q80 trick); the
+    * string form is kept here for cross-engine oracle checkability. */
+  def bigramFluency(today: DataFrame, idCol: String, textCol: String,
+      manifest: DataFrame): DataFrame = {
+    val bgs = today.select(col(idCol).as("doc_id"),
+      explode(wordShinglesMulti(col(textCol), 2)).as("bg"))
+    val per = bgs.join(manifest.select(col("bg"), col("n")), Seq("bg"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("n"), lit(0L))).as("hit_mass"))
+    today.select(col(idCol).as("doc_id")).distinct()
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("hit_mass"), lit(0L)).as("hit_mass"))
+      .withColumn("oov_rate", col("n_oov").cast("double") /
+        greatest(col("n_bigrams"), lit(1L)).cast("double"))
+      .withColumn("mean_hit", col("hit_mass").cast("double") /
+        greatest(col("n_bigrams"), lit(1L)).cast("double"))
+  }
 }

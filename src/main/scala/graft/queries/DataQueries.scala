@@ -789,6 +789,21 @@ object DataQueries {
       today.unionAll(prior).orderBy("doc_id", "scope")
     }),
 
+    // BIGRAM-LM FLUENCY FILTER — the language-model quality tier
+    // (CCNet/KenLM-style) reduced to its hash-gateable integer core:
+    // day 3's crawl scored against the corpus's APPEND-maintained
+    // (bigram, count) manifest — OOV bigram rate and mean reference hit
+    // mass per doc, exact integers + two IEEE divisions. Never reads
+    // prior texts; the stored manifest (day-1 build + day-2 append,
+    // summed per bucket key) IS the reference corpus.
+    "q124_bigram_fluency" -> ((s, dir) => {
+      val mf = s.table(ensureBigramManifest(s, dir))
+        .groupBy("bg").agg(sum("n").as("n"))
+      graft.operators.TextStats.bigramFluency(
+        day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text", mf)
+        .orderBy("doc_id")
+    }),
+
     // DAY-3 DRIFT ON THE APPEND-MAINTAINED HISTOGRAM — day 2's counts were
     // appended into the manifest buckets (ensureDay2HistManifest);
     // distributionDrift's reader already sums per key, so the append IS
@@ -1790,6 +1805,25 @@ object DataQueries {
       tbl2
     }
 
+  /** q124's stored state: the day-1 corpus's multiset (bigram, n) counts
+    * — the reference corpus of the LM fluency filter — bucketed on `bg`,
+    * then maintained by the day-2 job: day-2's counts APPENDED (addition
+    * composes under disjoint doc sets; the reader sums per bg, a
+    * zero-exchange aggregate on the bucket key). */
+  private[graft] def ensureBigramManifest(s: SparkSession, dir: String): String =
+    Fixtures.oncePerSession(s, s"q124_bg|$dir") {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tbl = graft.operators.BucketedOps.ensureBucketed(
+        graft.operators.TextStats.bigramManifest(
+          docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text"),
+        s"q124_bg|$dir", "bg", buckets = 8)
+      graft.operators.TextStats.bigramManifest(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
+        .write.mode("append")
+        .bucketBy(8, "bg").sortBy("bg").format("parquet").saveAsTable(tbl)
+      tbl
+    }
+
   /** Every stored-state fixture this file maintains, built in one call —
     * what Bench pre-materializes outside the timed window (the amortized-
     * ingest rule) so the gate queries time the daily job, never the
@@ -1804,6 +1838,7 @@ object DataQueries {
     ensureDay2DfManifest(s, dir)
     ensureHistManifest(s, dir)
     ensureDay2HistManifest(s, dir)
+    ensureBigramManifest(s, dir)
     ()
   }
 
@@ -2379,6 +2414,40 @@ object DataQueries {
         |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
         |WHERE rank <= 5 AND doc_id IN (SELECT doc_id FROM d3)
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // the fluency filter closed-form: multiset bigram counts over the
+    // whole corpus (= the summed day-1+2 manifest), day 3's bigrams
+    // left-joined, per-doc integer aggregates + exact divisions
+    "q124_bigram_fluency" ->
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |d3 AS MATERIALIZED (
+        |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
+        |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
+        |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+        |mb AS MATERIALIZED (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS bg, COUNT(*) AS n
+        |  FROM (SELECT string_split(text, ' ') ts FROM documents),
+        |       UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+        |  GROUP BY 1),
+        |tb AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+        |       FROM (SELECT doc_id, string_split(text, ' ') ts FROM d3),
+        |            UNNEST(generate_series(1, len(ts) - 1)) AS g(i)),
+        |per AS (SELECT t.doc_id, COUNT(*) AS n_bigrams,
+        |          SUM(CASE WHEN m.bg IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |          SUM(COALESCE(m.n, 0)) AS hit_mass
+        |        FROM tb t LEFT JOIN mb m USING (bg) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(p.hit_mass, 0) AS BIGINT) AS hit_mass,
+        |  CAST(COALESCE(p.n_oov, 0) AS DOUBLE)
+        |    / CAST(GREATEST(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS oov_rate,
+        |  CAST(COALESCE(p.hit_mass, 0) AS DOUBLE)
+        |    / CAST(GREATEST(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS mean_hit
+        |FROM (SELECT DISTINCT doc_id FROM d3) d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // day 3 vs the APPEND-maintained histogram: the prior side is the
     // whole corpus (days 1-2 = the summed manifest), today is day 3's

@@ -300,6 +300,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val s = spark
     val (atbl2, _) = graft.queries.DataQueries.ensureDay2ClusterState(s, dir)
     val (dtbl2, _) = graft.queries.DataQueries.ensureDay2DfManifest(s, dir)
+    val btbl = graft.queries.DataQueries.ensureBigramManifest(s, dir)
     val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
     try {
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -307,7 +308,9 @@ class PlanAuditSpec extends AnyFunSuite {
         ("q119 assignment resolve", atbl2,
           s.table(atbl2).groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))),
         ("q120 df resolve", dtbl2,
-          s.table(dtbl2).groupBy("term").agg(sum("df").as("df"))))
+          s.table(dtbl2).groupBy("term").agg(sum("df").as("df"))),
+        ("q124 bigram resolve", btbl,
+          s.table(btbl).groupBy("bg").agg(sum("n").as("n"))))
       for ((label, tbl, df) <- targets) {
         val p = df.queryExecution.executedPlan match {
           case a: AdaptiveSparkPlanExec => a.executedPlan
