@@ -732,7 +732,11 @@ object DataQueries {
     // screen, cluster rep, split side) plus the changed-prior delta rows
     // the job appends to its assignment table. The oracle replays ALL
     // legs in one WITH RECURSIVE chain — three funnels, two band
-    // manifests, the IVF derivation, and two component walks.
+    // manifests, the IVF derivation, and two component walks. The df /
+    // histogram / bigram manifest UPDATE legs are gated separately
+    // (q116/q117 write-side, q120/q121/q124 read-after-append) because
+    // their outputs are per-term / per-key rows, not per-doc audit
+    // columns — the daily job runs them from the same crawl.
     "q122_daily_audit" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val offD = docs.agg((max(col("doc_id")) + 1L).as("o"))

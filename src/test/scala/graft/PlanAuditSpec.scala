@@ -326,6 +326,65 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("q122 composition: no cartesian blowup, stored tables stay bucketed scans") {
+    // the composed daily job unions five individually-pinned legs; the
+    // composition must not degrade them — the only nested-loop joins
+    // allowed are the documented x-broadcast-scalar crossJoins (1-row
+    // aggregates riding as literals), and every stored table the legs
+    // read must still arrive as a bucketed scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = SparkEntry.queries("q122_daily_audit")(spark, dir)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "q122 planned a cartesian product")
+    // every BNLJ must be one of the two documented classes: a broadcast
+    // 1-row/scalar aggregate (the offset/count-literal pattern), or the
+    // pre-repartitioned ×ncells probe blowup (streamed side carries a
+    // REPARTITION_BY_NUM exchange BEFORE the cross — the
+    // exchange-before-blowup rule). Anything else would be the
+    // composition destroying a leg's keyed join.
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
+    val badBnlj = p.collect { case j: BroadcastNestedLoopJoinExec =>
+      val (build, streamed) = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => (j.left, j.right)
+        case _ => (j.right, j.left)
+      }
+      (j, build, streamed)
+    }.filter { case (_, b, st) =>
+      b.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isEmpty &&
+      st.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == REPARTITION_BY_NUM => e
+      }.isEmpty
+    }
+    assert(badBnlj.isEmpty,
+      "q122 has a nested-loop join that is neither x-scalar-aggregate nor " +
+        s"pre-repartitioned x-ncells:\n${badBnlj.map(_._1)}")
+    // stored tables must be consumed at their on-disk distribution: a
+    // hash exchange BETWEEN a stored-table scan and its consuming join
+    // means the composition threw a leg's bucketed layout away (a scan
+    // with bucketing planner-disabled is fine when its consumer is a
+    // broadcast join — no distribution needed at all)
+    def storedScans(q: org.apache.spark.sql.execution.SparkPlan) =
+      q.collect { case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("graft_bkt_")) => f }
+    assert(storedScans(p).nonEmpty, "q122 lost its stored-table scans")
+    val offending = p.collect {
+      case e: ShuffleExchangeExec if storedScans(e.child).nonEmpty &&
+        e.child.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty => e }
+    assert(offending.isEmpty,
+      s"q122 shuffled a stored table before its join:\n$offending")
+  }
+
   test("q107 partitioned lake: the date filter prunes partitions at planning") {
     // the point of a date-partitioned event lake is that a date-bounded
     // query opens 3 of 30 day directories instead of filtering rows after
