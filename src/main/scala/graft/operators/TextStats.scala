@@ -161,6 +161,61 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Substring-level dedup — the "remove the duplicated text itself"
+    * cleaning pass (cf. Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): doc-level dedup keeps one of two
+    * near-identical PAGES, but corpora are full of repeated SPANS inside
+    * otherwise-distinct pages (boilerplate, license headers, quoted
+    * chunks) that doc-level ops never touch. This is the practical
+    * fixed-length variant of the paper's suffix-array pass: every
+    * `spanLen`-token window occurring ≥ `minCount` times CORPUS-WIDE
+    * marks its token positions as duplicated, and each doc is rewritten
+    * with the covered tokens removed.
+    *
+    * Fully relational — no per-row quadratic HOF: one windowed explode
+    * (doc, pos, span), one hash aggregation on the span (map-side
+    * combined), a keyed join back, an interval explode to covered
+    * positions, a LEFT ANTI join of the token stream against them, and a
+    * per-doc ordered reassembly (sort_array over (pos, token) structs —
+    * deterministic, oracle-matchable). Everything shuffles on doc_id or
+    * the span key, never broadcast-scale state. At petabyte scale hash
+    * the span to 64-bit before the exchange (the q80 trick); the string
+    * key is kept so DuckDB groups bit-identically.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text); a fully-covered
+    * doc keeps an empty clean_text rather than vanishing — the caller
+    * decides the drop policy. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+    require(spanLen >= 2 && minCount >= 2)
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val spans = base.select(col("doc_id"),
+        explode(when(size(col("ts")) >= spanLen,
+          transform(sequence(lit(1), size(col("ts")) - (spanLen - 1)),
+            i => struct(i.as("i"),
+              concat_ws(" ", slice(col("ts"), i, lit(spanLen))).as("s"))))
+          .otherwise(array().cast("array<struct<i:int,s:string>>"))).as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.s").as("s"))
+    val dup = spans.groupBy("s").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("s")
+    val covered = spans.join(dup, "s")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (spanLen - 1))).as("p"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    base.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** The (bigram, count) manifest [[bigramFluency]] consumes: multiset
     * word-bigram counts over a corpus slice. Counts compose by ADDITION
     * under disjoint doc sets, so maintenance is append + sum on `bg` —

@@ -803,6 +803,19 @@ object DataQueries {
       today.unionAll(prior).orderBy("doc_id", "scope")
     }),
 
+    // SUBSTRING-LEVEL DEDUP — the Lee-et-al cleaning pass doc-level ops
+    // can't do: repeated SPANS inside otherwise-distinct pages
+    // (boilerplate, quoted chunks — the corpus's planted near-dups leave
+    // ~1k naturally repeated 8-grams) are removed from the text itself.
+    // Every 8-token window occurring >= 2 times corpus-wide marks its
+    // positions; docs are rewritten without the covered tokens. The
+    // whole rewrite — spans, counts, coverage, reassembly — is
+    // hash-gated including the cleaned text.
+    "q125_substring_dedup" -> ((s, dir) =>
+      graft.operators.TextStats.removeRepeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", spanLen = 8, minCount = 2)
+        .orderBy("doc_id")),
+
     // BIGRAM-LM FLUENCY FILTER — the language-model quality tier
     // (CCNet/KenLM-style) reduced to its hash-gateable integer core:
     // day 3's crawl scored against the corpus's APPEND-maintained
@@ -2428,6 +2441,31 @@ object DataQueries {
         |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
         |WHERE rank <= 5 AND doc_id IN (SELECT doc_id FROM d3)
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // the substring-dedup rewrite closed-form: windows, corpus counts,
+    // covered positions, and the per-doc ordered reassembly of the
+    // surviving tokens — the cleaned text itself is under the hash gate
+    "q125_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sp AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 7), ' ') AS s
+        |       FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)),
+        |dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2),
+        |covered AS (SELECT DISTINCT sp.doc_id, u.p
+        |            FROM sp JOIN dup USING (s),
+        |                 UNNEST(generate_series(sp.i, sp.i + 7)) AS u(p)),
+        |tok AS (SELECT doc_id, g.i AS p, ts[g.i] AS tok
+        |        FROM toks, UNNEST(generate_series(1, len(ts))) AS g(i)),
+        |kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
+        |           string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+        |         FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                           WHERE c.doc_id = t.doc_id AND c.p = t.p)
+        |         GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM toks d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the fluency filter closed-form: multiset bigram counts over the
     // whole corpus (= the summed day-1+2 manifest), day 3's bigrams

@@ -41,4 +41,53 @@ class TextStatsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(dedup.toSet == Set("a b", "b a"))
   }
+
+  test("removeRepeatedSpans: covered tokens cut, order kept, edge docs survive") {
+    // spanLen=3, minCount=2: "p q r" appears in docs 1 and 2 (cross-doc
+    // boilerplate); "m m m" appears twice WITHIN doc 3 (self-repeat);
+    // doc 4 is unique text; doc 5 is shorter than the span length;
+    // doc 6 is NOTHING BUT the repeated span (fully covered).
+    val docs = Seq(
+      (1L, "a p q r b"),
+      (2L, "c d p q r"),
+      (3L, "m m m x m m m"),
+      (4L, "u v w y z"),
+      (5L, "s t"),
+      (6L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = TextStats.removeRepeatedSpans(docs, "doc_id", "text",
+        spanLen = 3, minCount = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 5L, 3L, "a b")), s"got ${out(0)}")
+    assert(out(1) == ((2L, 5L, 3L, "c d")), s"got ${out(1)}")
+    // doc 3: "m m m" occurs at positions 1 and 5 (and "m m m" count=2
+    // plus windows "m m x","m x m","x m m" are unique) → covered 1-3,5-7;
+    // "x" at 4 survives
+    assert(out(2) == ((3L, 7L, 6L, "x")), s"got ${out(2)}")
+    assert(out(3) == ((4L, 5L, 0L, "u v w y z")), s"got ${out(3)}")
+    assert(out(4) == ((5L, 2L, 0L, "s t")), s"got ${out(4)}")
+    // fully covered: empty clean_text, not a vanished row
+    assert(out(5) == ((6L, 3L, 3L, "")), s"got ${out(5)}")
+  }
+
+  test("bigramFluency: OOV rate and hit mass against a reference manifest") {
+    val ref = Seq((10L, "the cat sat"), (11L, "the cat ran")).toDF("doc_id", "text")
+    val manifest = TextStats.bigramManifest(ref, "doc_id", "text")
+    // manifest: "the cat"→2, "cat sat"→1, "cat ran"→1
+    val today = Seq(
+      (1L, "the cat sat"),   // bigrams: the-cat(2), cat-sat(1) → 0 oov, mass 3
+      (2L, "a cat sat"),     // a-cat oov, cat-sat(1) → 1 oov, mass 1
+      (3L, "zz qq"),         // zz-qq oov → 1 oov, mass 0
+      (4L, "solo")           // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextStats.bigramFluency(today, "doc_id", "text", manifest)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == ((1L, 2L, 0L, 3L, 0.0, 1.5)))
+    assert(out(1) == ((2L, 2L, 1L, 1L, 0.5, 0.5)))
+    assert(out(2) == ((3L, 1L, 1L, 0L, 1.0, 0.0)))
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
 }
