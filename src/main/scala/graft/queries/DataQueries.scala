@@ -651,56 +651,18 @@ object DataQueries {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            if (!batch.isEmpty) {
-              val b = batch.persist(); b.count()
-              // per-batch OVERWRITE directories (batch=<id>), not appends:
-              // foreachBatch re-runs a batch after a failure, and a
-              // replayed APPEND would double the batch's index rows —
-              // doubling `shared` counts in the probe join and corrupting
-              // Jaccard. Overwriting the batch's own directory makes the
-              // replay a no-op; the delta append is idempotent by the min
-              // algebra either way, but gets the same treatment for shape.
-              Dedup.shingleIndex(b, "doc_id", "text", n = 3)
-                .write.mode("overwrite").parquet(s"$spoolIdx/batch=$batchId")
-              val idx = priorIdx.unionByName(
-                s.read.parquet(spoolIdx).select("h", "doc_id", "n_sh"))
-              val ce = Dedup.ngramJaccardPairsVsIndex(b, "doc_id", "text",
-                  idx, n = 3, minJaccard = 0.3)
-                .filter(col("today_id") =!= col("prior_id"))
-              val assign =
-                (if (new java.io.File(spoolDelta).exists)
-                   priorAssign.unionByName(
-                     s.read.parquet(spoolDelta).select("doc_id", "cluster_id"))
-                 else priorAssign)
-                  .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-              graft.operators.ConnectedComponents.incrementalClusters(
-                  b.select("doc_id"), "doc_id",
-                  ce.limit(0).select(col("today_id").as("id_a"),
-                    col("prior_id").as("id_b")), "id_a", "id_b",
-                  ce, "today_id", "prior_id", assign)
-                .select("doc_id", "cluster_id")
-                .write.mode("overwrite").parquet(s"$spoolDelta/batch=$batchId")
-              b.unpersist(); ()
-            }
+            graft.streaming.ClusterMaintenanceStream.processBatch(
+              batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
           }
           .option("checkpointLocation", tmp.resolve("ckpt").toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       priorIdx.unpersist()
-      val resolved = priorAssign.unionByName(
-          s.read.parquet(spoolDelta).select("doc_id", "cluster_id"))
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-      val todayIds = s.read.parquet(st.in).select("doc_id")
-      val todayRows = resolved.join(todayIds, Seq("doc_id"))
-        .select(col("doc_id"), col("cluster_id"), lit("today").as("scope"))
-      val priorRows = resolved.join(todayIds, Seq("doc_id"), "left_anti")
-        .join(priorAssign.withColumnRenamed("cluster_id", "orig"),
-          Seq("doc_id"), "left")
-        .filter(col("cluster_id") =!= coalesce(col("orig"), col("doc_id")))
-        .select(col("doc_id"), col("cluster_id"), lit("prior").as("scope"))
+      val out = graft.streaming.ClusterMaintenanceStream.finalDelta(
+        s, priorAssign, spoolDelta, s.read.parquet(st.in))
       priorAssign.unpersist()
-      todayRows.unionAll(priorRows).orderBy("doc_id")
+      out.orderBy("doc_id")
     }),
 
     // DAY-3 TF-IDF ON THE APPEND-MAINTAINED DF MANIFEST — day 2's job

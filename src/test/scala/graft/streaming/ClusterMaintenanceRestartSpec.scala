@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{ConnectedComponents, Dedup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The q123 deployment's failure story, exercised for real: the crawl
+  * stream is KILLED mid-run and restarted against the same checkpoint
+  * and spools; Structured Streaming re-runs the last uncommitted batch,
+  * so the spool writes must be replay-idempotent (per-batch OVERWRITE
+  * directories — an append would double the batch's index rows and
+  * corrupt the probe join's shared counts). The drained final delta must
+  * equal the one-shot from-scratch labeling regardless of where the kill
+  * landed. A direct double-invocation of [[ClusterMaintenanceStream
+  * .processBatch]] with the same batchId pins the no-op replay property
+  * without relying on where the engine happens to cut batches. */
+class ClusterMaintenanceRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  // prior corpus: two near-dup pairs + a singleton; today: docs that
+  // bridge INTO the prior clusters and EACH OTHER across batches
+  private val priorDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta zeta"),
+    (10L, "one two three four five"),
+    (11L, "one two three four six"),
+    (20L, "lonely unique text nothing shared")).toDF("doc_id", "text")
+  private val todayDocs = Seq(
+    (101L, "alpha beta gamma delta seven"),   // joins cluster {1,2}
+    (102L, "one two three four seven"),       // joins {10,11}; bridges via 101? no — distinct
+    (103L, "alpha beta gamma delta seven"),   // near-dup of 101 (cross-batch)
+    (104L, "totally fresh words here now"),   // singleton
+    (105L, "one two three four seven"),       // near-dup of 102 (cross-batch)
+    (106L, "lonely unique text nothing else")) // attaches singleton 20
+    .toDF("doc_id", "text")
+
+  private def groundTruth: Map[Long, (Long, String)] = {
+    val all = priorDocs.unionAll(todayDocs)
+    val full = ConnectedComponents.components(
+      Dedup.ngramJaccardPairs(all, "doc_id", "text", n = 3, minJaccard = 0.3),
+      "id_a", "id_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prior = ConnectedComponents.components(
+      Dedup.ngramJaccardPairs(priorDocs, "doc_id", "text", n = 3, minJaccard = 0.3),
+      "id_a", "id_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val todayIds = todayDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val priorIds = priorDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val t = todayIds.map(n => n -> (full.getOrElse(n, n), "today"))
+    val p = priorIds.flatMap { n =>
+      val now = full.getOrElse(n, n); val was = prior.getOrElse(n, n)
+      if (now != was) Some(n -> (now, "prior")) else None
+    }
+    (t ++ p).toMap
+  }
+
+  test("kill mid-stream, restart on the same checkpoint: delta matches one-shot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_restart_")
+    tmp.toFile.deleteOnExit()
+    val in = tmp.resolve("in").toString
+    // 6 docs as 6 part files, 1 per micro-batch under maxFilesPerTrigger=1
+    todayDocs.repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.parquet(in)
+    val priorIdx = Dedup.shingleIndex(priorDocs, "doc_id", "text", n = 3)
+    val priorAssign = ConnectedComponents.components(
+      Dedup.ngramJaccardPairs(priorDocs, "doc_id", "text", n = 3, minJaccard = 0.3),
+      "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .persist()
+    priorAssign.count()
+    val spoolIdx = tmp.resolve("idx").toString
+    val spoolDelta = tmp.resolve("delta").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val schema = spark.read.parquet(in).schema
+    val batchesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(killAfter: Int): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          ClusterMaintenanceStream.processBatch(
+            b, id, priorIdx, priorAssign, spoolIdx, spoolDelta)
+          if (batchesSeen.incrementAndGet() == killAfter)
+            throw new RuntimeException("injected kill")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case _: Throwable => () } // the injected kill surfaces here
+    }
+    run(killAfter = 3)   // dies after the 3rd batch commits its spools
+    assert(batchesSeen.get() == 3, "the kill must land mid-stream")
+    run(killAfter = Int.MaxValue) // restart: replays/continues to the end
+
+    val got = ClusterMaintenanceStream.finalDelta(
+        spark, priorAssign, spoolDelta, spark.read.parquet(in))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == groundTruth,
+      s"restarted run diverged from one-shot:\n got=$got\n exp=$groundTruth")
+    priorAssign.unpersist()
+  }
+
+  test("replaying a batch with the same batchId is a spool no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_replay_")
+    tmp.toFile.deleteOnExit()
+    val spoolIdx = tmp.resolve("idx").toString
+    val spoolDelta = tmp.resolve("delta").toString
+    val priorIdx = Dedup.shingleIndex(priorDocs, "doc_id", "text", n = 3)
+    val priorAssign = ConnectedComponents.components(
+      Dedup.ngramJaccardPairs(priorDocs, "doc_id", "text", n = 3, minJaccard = 0.3),
+      "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val batch = todayDocs.filter(col("doc_id") <= 103L)
+    ClusterMaintenanceStream.processBatch(batch, 0L, priorIdx, priorAssign,
+      spoolIdx, spoolDelta)
+    val once = ClusterMaintenanceStream.resolvedAssignment(
+      spark, priorAssign, spoolDelta).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idxOnce = spark.read.parquet(spoolIdx).count()
+    // the failure-mode replay: same batch, same id, spools already written
+    ClusterMaintenanceStream.processBatch(batch, 0L, priorIdx, priorAssign,
+      spoolIdx, spoolDelta)
+    val twice = ClusterMaintenanceStream.resolvedAssignment(
+      spark, priorAssign, spoolDelta).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twice == once, "replay changed the resolved assignment")
+    assert(spark.read.parquet(spoolIdx).count() == idxOnce,
+      "replay duplicated the batch's spooled index rows")
+  }
+}
