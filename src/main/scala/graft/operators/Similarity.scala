@@ -562,6 +562,23 @@ object Similarity {
     * read from storage is bit-identical to one re-derived — which is why
     * q104's oracle can keep re-deriving the whole union index closed-form
     * while the engine side reads the stored tables. */
+  /** Pure retrieval from a MAINTAINED stored index — the steady-state
+    * form once the daily assignments are appended back into the index
+    * table (q126's gate; [[ivfAppendTopKPortableStored]] is the same
+    * search with the day's increment still inline). Assignment is a pure
+    * function of (vector, frozen centroids), so append IS the index
+    * maintenance — no rebuild, no read-modify-write; the index stays
+    * bucketed on `cell` and the probe join consumes it at its on-disk
+    * distribution. */
+  def ivfTopKPortableStored(centroids: DataFrame, index: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 8): DataFrame = {
+    val dim = probeDim(queries, vecCol)
+    ivfSearchPortable(centroids,
+      index.select(col(idCol), col(vecCol), col("cell")),
+      queries, idCol, vecCol, dim, k, nprobe)
+  }
+
   def ivfAppendTopKPortableStored(centroids: DataFrame, priorIndex: DataFrame,
       today: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int = 8): DataFrame = {

@@ -765,6 +765,24 @@ object DataQueries {
       today.unionAll(prior).orderBy("doc_id", "scope")
     }),
 
+    // ANN INDEX APPEND MAINTENANCE — the last stored-state family gets
+    // its day-3 gate (hash/band/shingle/df/hist/bigram all have one):
+    // the day-2 job appended its vectors' cell assignments into q104's
+    // index table (assignment is a pure function of the vector under the
+    // frozen centroids, so append IS the maintenance), and day 3's
+    // queries retrieve purely from the stored, maintained index — no
+    // inline increment, no rebuild. The oracle re-derives the whole
+    // index (centroids trained on prior only, assignment over prior ∪
+    // day 2) and replays every probe and exact integer dot.
+    "q126_ann_maintenance" -> ((s, dir) => {
+      val (centTbl, idx2) = ensureDay2AnnIndex(s, dir)
+      val queries = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 3 === 2 && col("vec_id") < 50)
+      Similarity.ivfTopKPortableStored(s.table(centTbl), s.table(idx2),
+        queries, "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
+
     // SUBSTRING-LEVEL DEDUP — the Lee-et-al cleaning pass doc-level ops
     // can't do: repeated SPANS inside otherwise-distinct pages
     // (boilerplate, quoted chunks — the corpus's planted near-dups leave
@@ -1813,6 +1831,24 @@ object DataQueries {
       tbl
     }
 
+  /** q126's stored state: q104's IVF index table COPIED and maintained
+    * by the day-2 job — day-2 vectors' (id, vec, cell) assignments
+    * APPENDED into the cell buckets (assignment is a pure function of
+    * the vector under the FROZEN prior-trained centroids, so append IS
+    * the maintenance; no rebuild, no resolve step — every appended row
+    * is already final). Returns (centroidsTable, indexTable). */
+  private[graft] def ensureDay2AnnIndex(s: SparkSession, dir: String): (String, String) =
+    Fixtures.oncePerSession(s, s"q126_index|$dir") {
+      val (centTbl, idxTbl) = ensureAnnIndex(s, dir)
+      val idx2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(idxTbl), s"q126_index|$dir", "cell", buckets = 8)
+      val day2 = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
+      Similarity.assignCellsPortable(day2, "vec_id", "embedding", s.table(centTbl))
+        .write.mode("append")
+        .bucketBy(8, "cell").sortBy("cell").format("parquet").saveAsTable(idx2)
+      (centTbl, idx2)
+    }
+
   /** Every stored-state fixture this file maintains, built in one call —
     * what Bench pre-materializes outside the timed window (the amortized-
     * ingest rule) so the gate queries time the daily job, never the
@@ -1828,6 +1864,7 @@ object DataQueries {
     ensureHistManifest(s, dir)
     ensureDay2HistManifest(s, dir)
     ensureBigramManifest(s, dir)
+    ensureDay2AnnIndex(s, dir)
     ()
   }
 
@@ -2403,6 +2440,34 @@ object DataQueries {
         |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
         |WHERE rank <= 5 AND doc_id IN (SELECT doc_id FROM d3)
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // the maintained-index retrieval closed-form: centroids trained on
+    // the prior slice only, assignment over prior ∪ day 2 (the appended
+    // table's exact content — assignment is a pure function), day-3
+    // probes and exact integer dots replayed
+    "q126_ann_maintenance" -> {
+      val dot = ivfDotSql _
+      s"""WITH ${ivfPortableCtes(8, 1, trainWhere = "WHERE vec_id % 3 = 0")},
+         |qc AS (SELECT vec_id AS qid, cell FROM (
+         |  SELECT f.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY f.vec_id
+         |      ORDER BY CAST(${dot("f.vq", "c.s")} AS DOUBLE)
+         |        / sqrt(CAST(${dot("c.s", "c.s")} AS DOUBLE)) DESC, c.cell) AS rk
+         |  FROM fq f CROSS JOIN cents1 c
+         |  WHERE f.vec_id < 50 AND f.vec_id % 3 = 2) WHERE rk <= 2),
+         |cand AS (SELECT qc.qid, cc.vec_id AS cid
+         |         FROM qc JOIN cellsf cc USING (cell)
+         |         WHERE cc.vec_id % 3 <> 2 AND qc.qid <> cc.vec_id),
+         |dots AS (SELECT cand.qid, cand.cid,
+         |           CAST(${dot("qa.a", "ca.a")} AS BIGINT) AS score_q
+         |         FROM cand JOIN v24 qa ON cand.qid = qa.vec_id
+         |                   JOIN v24 ca ON cand.cid = ca.vec_id)
+         |SELECT qid, cid, rank, score_q FROM (
+         |  SELECT qid, cid, score_q,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, cid) AS BIGINT) AS rank
+         |  FROM dots)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
 
     // the substring-dedup rewrite closed-form: windows, corpus counts,
     // covered positions, and the per-doc ordered reassembly of the
