@@ -53,9 +53,19 @@ object BucketedOps {
       val name = "graft_bkt_" +
         java.lang.Long.toUnsignedString(
           org.apache.spark.unsafe.types.UTF8String.fromString(cacheKey).hashCode().toLong & 0xFFFFFFFFL, 16)
-      val existing = location.map(new java.io.File(_)).exists(d =>
-        d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
-          .exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      // Hadoop FileSystem, not java.io.File: a durable location is an
+      // object-store URI in production — a local-FS check would silently
+      // take the "fresh location" branch and RE-INGEST over a layout this
+      // method promises never to clobber
+      val hconf = session.sparkContext.hadoopConfiguration
+      val existing = location.exists { loc =>
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(hconf)
+        fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+          fs.listStatus(p).exists(st =>
+            st.getPath.getName.startsWith("part-") &&
+              st.getPath.getName.endsWith(".parquet"))
+      }
       // the on-disk bucket placement is invisible in the files themselves
       // (bucket metadata lives in the catalog), so a durable layout carries
       // a spec manifest and registration REQUIRES an exact match — a
@@ -65,12 +75,19 @@ object BucketedOps {
       val specShape = df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
       val manifest = s"""{"key":"$key","buckets":$buckets,"shape":"$specShape"}"""
       if (existing) {
-        val mf = java.nio.file.Paths.get(location.get, ManifestName)
-        require(java.nio.file.Files.isRegularFile(mf),
+        val mf = new org.apache.hadoop.fs.Path(location.get, ManifestName)
+        val fs = mf.getFileSystem(hconf)
+        require(fs.exists(mf) && fs.getFileStatus(mf).isFile,
           s"${location.get} holds parquet files but no $ManifestName — refusing to " +
             "register unknown files as a bucketed layout (their placement is unverifiable); " +
             "point ensureBucketed at a fresh location to ingest")
-        val found = java.nio.file.Files.readString(mf)
+        val found = {
+          val in = fs.open(mf)
+          val buf = new java.io.ByteArrayOutputStream()
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          finally in.close()
+          new String(buf.toByteArray, "UTF-8")
+        }
         require(found == manifest,
           s"bucket-spec mismatch at ${location.get}: layout was ingested as $found, " +
             s"caller declared $manifest — registering would silently mis-join")
@@ -87,9 +104,11 @@ object BucketedOps {
         df.write.mode("overwrite").option("path", path)
           .bucketBy(buckets, key).sortBy(key)
           .format("parquet").saveAsTable(name)
-        if (location.isDefined)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(path, ManifestName), manifest)
+        if (location.isDefined) {
+          val mf = new org.apache.hadoop.fs.Path(path, ManifestName)
+          val out = mf.getFileSystem(hconf).create(mf, true)
+          try out.write(manifest.getBytes("UTF-8")) finally out.close()
+        }
       }
       name
     })

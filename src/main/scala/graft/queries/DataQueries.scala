@@ -641,7 +641,6 @@ object DataQueries {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q123_")
-      tmp.toFile.deleteOnExit()
       val spoolIdx = tmp.resolve("idx").toString
       val spoolDelta = tmp.resolve("delta").toString
       val oldParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -659,9 +658,16 @@ object DataQueries {
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       priorIdx.unpersist()
-      val out = graft.streaming.ClusterMaintenanceStream.finalDelta(
-        s, priorAssign, spoolDelta, s.read.parquet(st.in))
+      // materialize the drained delta to a SMALL result dir so the big
+      // per-invocation tree (spools + checkpoint + every micro-batch's
+      // parquet) can be deleted NOW — a settled battery re-runs this gate
+      // dozens of times and deleteOnExit would hoard it all JVM-long
+      val out = Fixtures.snapshot(s,
+        graft.streaming.ClusterMaintenanceStream.finalDelta(
+          s, priorAssign, spoolDelta, s.read.parquet(st.in)),
+        "q123_out")
       priorAssign.unpersist()
+      deleteRecursively(tmp)
       out.orderBy("doc_id")
     }),
 
@@ -1705,6 +1711,21 @@ object DataQueries {
     graft.operators.ConnectedComponents.incrementalClusters(
       today.select("doc_id"), "doc_id", te, "id_a", "id_b",
       ce, "today_id", "prior_id", s.table(atbl))
+  }
+
+  /** Recursive local-temp-tree delete for per-invocation scaffolding the
+    * streaming gates create (spools, checkpoints) — test/bench plumbing,
+    * not a production path, hence java.nio is fine here. */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val all = java.nio.file.Files.walk(root)
+      try all.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+      finally all.close()
+    }
   }
 
   /** Day 2's crawl for the cluster-maintenance family (q115/q118 and the

@@ -21,15 +21,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Fixtures {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
+
+  /** Lazy holder so a build runs OUTSIDE the map's bin lock: builders
+    * nest (every ensureDay2* calls its day-1 builder), and running the
+    * inner build inside computeIfAbsent's mapping function throws
+    * IllegalStateException("Recursive update") on JDK 9+ whenever the two
+    * keys collide into one hash bin — nondeterministic per JVM because
+    * keys embed identityHashCode(session). putIfAbsent publishes the
+    * holder first; the lazy val's own monitor serializes duplicate
+    * callers of the SAME key while nested DIFFERENT keys proceed freely. */
+  private final class Memo(build: () => AnyRef) { lazy val value: AnyRef = build() }
 
   /** Run `build` once per (SparkSession, key) and memoize its result —
     * the once-per-(session, dir) contract of an ingest fixture. The WHOLE
     * build is inside the memo (not just the table write): builders that
     * sample/probe eagerly must not re-pay that scan on a repeated call. */
-  def oncePerSession[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
-    cache.computeIfAbsent(System.identityHashCode(s).toString + "|" + key,
-      _ => build).asInstanceOf[T]
+  def oncePerSession[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
+    val k = System.identityHashCode(s).toString + "|" + key
+    val memo = new Memo(() => build)
+    val prior = cache.putIfAbsent(k, memo)
+    (if (prior == null) memo else prior).value.asInstanceOf[T]
+  }
 
   /** Materialize a derivation to a temp parquet dir and hand back a frame
     * that reads the FILES — immune to the cascade invalidation an append

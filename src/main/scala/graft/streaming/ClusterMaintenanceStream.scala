@@ -27,9 +27,17 @@ import graft.operators.{ConnectedComponents, Dedup}
   *       OVERWRITE its own batch=<id> directories (an append would
   *       double the batch's index rows and double the probe join's
   *       `shared` counts — wrong Jaccard), and its delta rows re-derive
-  *       identically, collapsing under the min resolve.
+  *       identically, collapsing under the min resolve. Crucially, a
+  *       replaying batch must treat its OWN prior attempt's spool output
+  *       as non-state: both spool reads EXCLUDE the `batch=<id>`
+  *       partitions (partition-pruned, never opened), and the batch's
+  *       own shingles re-enter from the freshly overwritten directory.
+  *       Reading the pre-overwrite listing of one's own partition is the
+  *       q105 read-while-overwriting race — the final delta overwrite
+  *       deletes part files the very plan computing it still reads.
   * (1)+(2) are property-pinned in ConnectedComponentsSpec; (3) under a
-  * real kill-and-restart in ClusterMaintenanceRestartSpec.
+  * real kill-and-restart in ClusterMaintenanceRestartSpec (which asserts
+  * the restarted run itself terminates WITHOUT exception).
   *
   * Scale shape per batch: the probe joins the batch's shingles against
   * (prior index ∪ spooled index) on the 64-bit shingle key; star
@@ -39,7 +47,9 @@ import graft.operators.{ConnectedComponents, Dedup}
 object ClusterMaintenanceStream {
 
   /** One micro-batch step — call from foreachBatch. Idempotent per
-    * (batchId): replays overwrite their own spool directories. */
+    * (batchId): replays overwrite their own spool directories and read
+    * every OTHER batch's spool plus their own fresh output (never the
+    * prior attempt's files — see the object contract, point 3). */
   def processBatch(batch: DataFrame, batchId: Long,
       priorIdx: DataFrame, priorAssign: DataFrame,
       spoolIdx: String, spoolDelta: String,
@@ -50,8 +60,15 @@ object ClusterMaintenanceStream {
     try {
       Dedup.shingleIndex(b, "doc_id", "text", n = n)
         .write.mode("overwrite").parquet(s"$spoolIdx/batch=$batchId")
-      val idx = priorIdx.unionByName(
-        s.read.parquet(spoolIdx).select("h", "doc_id", "n_sh"))
+      // own shingles from the directory just (re)written; other batches
+      // through a partition filter that prunes batch=<id> at planning
+      val mine = s.read.parquet(s"$spoolIdx/batch=$batchId")
+        .select("h", "doc_id", "n_sh")
+      val idx = priorIdx
+        .unionByName(spoolExcept(s, spoolIdx, Some(batchId))
+          .map(_.select("h", "doc_id", "n_sh"))
+          .getOrElse(mine.limit(0)))
+        .unionByName(mine)
       val ce = Dedup.ngramJaccardPairsVsIndex(b, "doc_id", "text",
           idx, n = n, minJaccard = minJaccard)
         .filter(col("today_id") =!= col("prior_id"))
@@ -60,21 +77,38 @@ object ClusterMaintenanceStream {
           ce.limit(0).select(col("today_id").as("id_a"),
             col("prior_id").as("id_b")), "id_a", "id_b",
           ce, "today_id", "prior_id",
-          resolvedAssignment(s, priorAssign, spoolDelta))
+          resolvedAssignment(s, priorAssign, spoolDelta,
+            excludeBatch = Some(batchId)))
         .select("doc_id", "cluster_id")
         .write.mode("overwrite").parquet(s"$spoolDelta/batch=$batchId")
     } finally { b.unpersist(); () }
   }
 
   /** The CURRENT assignment: min(cluster_id) per doc over the stored
-    * table ∪ every spooled delta (labels only decrease, so min = latest). */
+    * table ∪ every spooled delta (labels only decrease, so min = latest).
+    * `excludeBatch`: a REPLAYING batch passes its own id so its prior
+    * attempt's delta — which its own overwrite is about to delete — never
+    * enters the plan (partition-pruned; see the object contract). */
   def resolvedAssignment(s: SparkSession, priorAssign: DataFrame,
-      spoolDelta: String): DataFrame =
-    (if (new java.io.File(spoolDelta).exists)
-       priorAssign.unionByName(
-         s.read.parquet(spoolDelta).select("doc_id", "cluster_id"))
-     else priorAssign)
+      spoolDelta: String, excludeBatch: Option[Long] = None): DataFrame =
+    spoolExcept(s, spoolDelta, excludeBatch)
+      .map(d => priorAssign.unionByName(d.select("doc_id", "cluster_id")))
+      .getOrElse(priorAssign)
       .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+
+  private def spoolExcept(s: SparkSession, root: String,
+      excludeBatch: Option[Long]): Option[DataFrame] = {
+    // Hadoop FileSystem, not java.io.File: on an object store a local-FS
+    // existence check is always false and would silently resolve against
+    // stale state
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val all = s.read.parquet(root) // partition column `batch` discovered
+      Some(excludeBatch.fold(all)(id => all.filter(col("batch") =!= id)))
+    }
+  }
 
   /** The drained run's output in q115's contract: every today doc's final
     * assignment (`scope='today'`) plus prior docs whose assignment

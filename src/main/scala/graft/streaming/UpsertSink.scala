@@ -242,10 +242,15 @@ object UpsertSink {
     * contract): `_graft_writer.lock` is created atomically
     * (`create(overwrite = false)` — one winner per filesystem semantics),
     * held for the duration of `body`, deleted at the end. A fresh foreign
-    * lease fails fast; a stale one (older than [[LeaseTtlMs]]) is broken
-    * and re-acquired atomically, so a crashed writer never wedges the
-    * path. */
-  private def withWriterLease[T](fs: FileSystem, target: Path)(body: => T): T = {
+    * lease fails fast. A stale one (older than [[LeaseTtlMs]]) is broken
+    * by RENAMING it aside — rename is the single-winner primitive, so two
+    * breakers can never each believe they cleared the way (a delete here
+    * could remove ANOTHER breaker's freshly re-created lock and seat two
+    * writers). While `body` runs, a daemon thread refreshes the lock's
+    * mtime every TTL/3, so a merge legitimately slower than the TTL is
+    * never mistaken for crash debris. Shared by the sink's merges and
+    * [[graft.operators.BucketedOps.idempotentAppend]]. */
+  private[graft] def withWriterLease[T](fs: FileSystem, target: Path)(body: => T): T = {
     fs.mkdirs(target)
     val lock = new Path(target, "_graft_writer.lock")
     def tryAcquire(): Boolean =
@@ -259,12 +264,19 @@ object UpsertSink {
       val status =
         try Some(fs.getFileStatus(lock))
         catch { case _: java.io.FileNotFoundException => None }
-      // no status = the other writer just finished; any status older than
-      // the TTL is crash debris — break it and race for the re-create
-      // (create(overwrite=false) keeps the race single-winner)
+      // no status = the other writer just finished: race the re-create
+      // directly. A status older than the TTL is crash debris — break it
+      // via atomic rename; ONLY the winning renamer proceeds to re-create,
+      // every loser sees rename=false and fails the acquire.
       val stale = status.forall(s =>
         System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs)
-      stale && { fs.delete(lock, false); tryAcquire() }
+      val broken = stale && status.forall { _ =>
+        val aside = new Path(target,
+          s"_graft_writer.lock.broken.${java.util.UUID.randomUUID}")
+        try { val won = fs.rename(lock, aside); if (won) fs.delete(aside, false); won }
+        catch { case _: java.io.IOException => false }
+      }
+      broken && tryAcquire()
     }
     if (!acquired)
       throw new java.util.ConcurrentModificationException(
@@ -274,7 +286,16 @@ object UpsertSink {
           "would interleave bucket swaps and tear the snapshot. Run " +
           "compact() from the stream's own foreachBatch " +
           "(compactEveryBatches), or wait for the lease to expire.")
-    try body finally fs.delete(lock, false)
+    val refresher = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(LeaseTtlMs / 3)
+          fs.setTimes(lock, System.currentTimeMillis(), -1)
+        }
+      } catch { case _: InterruptedException | _: java.io.IOException => () }
+    }, s"graft-lease-refresh-$target")
+    refresher.setDaemon(true); refresher.start()
+    try body finally { refresher.interrupt(); fs.delete(lock, false) }
   }
 
   /** Crash recovery: restore any bucket a previous merge left mid-swap

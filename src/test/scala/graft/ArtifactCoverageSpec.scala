@@ -25,11 +25,25 @@ class ArtifactCoverageSpec extends AnyFunSuite {
     val f = new java.io.File("BENCH_PARSED.json")
     assert(f.isFile, "BENCH_PARSED.json missing — the bench artifact of record must be committed")
     val body = scala.io.Source.fromFile(f).mkString
-    // first "queries" map only (errors/reruns maps follow in the same line)
+    // first "queries" map only (errors/reruns maps follow): match the
+    // BALANCED object after the key, not the first '}' — a pretty-printed
+    // or reordered artifact must not silently truncate the parsed set
     val start = body.indexOf("\"queries\":")
-    val end = body.indexOf('}', start)
+    assert(start >= 0, "BENCH_PARSED.json has no \"queries\" map")
+    val open = body.indexOf('{', start)
+    assert(open >= 0, "BENCH_PARSED.json \"queries\" key has no object value")
+    var depth = 0; var i = open; var end = -1
+    while (end < 0 && i < body.length) {
+      body.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    assert(end > open, "BENCH_PARSED.json \"queries\" object never closes")
     """"(q[0-9]+[A-Za-z0-9_]*)"\s*:\s*(-?[0-9.]+)""".r
-      .findAllMatchIn(body.substring(start, end + 1))
+      .findAllMatchIn(body.substring(open, end + 1))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 

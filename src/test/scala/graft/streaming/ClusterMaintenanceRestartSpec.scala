@@ -72,7 +72,7 @@ class ClusterMaintenanceRestartSpec extends SparkSpec {
     val ckpt = tmp.resolve("ckpt").toString
     val schema = spark.read.parquet(in).schema
     val batchesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
-    def run(killAfter: Int): Unit = {
+    def run(killAfter: Int): Option[Throwable] = {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
         .writeStream
@@ -84,12 +84,22 @@ class ClusterMaintenanceRestartSpec extends SparkSpec {
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination()
-      catch { case _: Throwable => () } // the injected kill surfaces here
+      try { q.awaitTermination(); None }
+      catch { case t: Throwable => Some(t) }
     }
-    run(killAfter = 3)   // dies after the 3rd batch commits its spools
+    // deterministic kill point: maxFilesPerTrigger=1 over 6 single-row
+    // part files = 6 batches; the kill fires after batch id=2's spools
+    // are written but BEFORE its checkpoint commit, so the restart
+    // REPLAYS batch 2 against its own prior spool output
+    val killed = run(killAfter = 3)
+    assert(killed.isDefined, "the injected kill must surface from the first run")
     assert(batchesSeen.get() == 3, "the kill must land mid-stream")
-    run(killAfter = Int.MaxValue) // restart: replays/continues to the end
+    // the restart run itself must terminate WITHOUT exception — a replay
+    // that crashes (e.g. overwriting spool files its own plan reads,
+    // the q105 race) must fail the spec here, not just via a diverged map
+    val restart = run(killAfter = Int.MaxValue)
+    assert(restart.isEmpty,
+      s"the restarted run must replay cleanly, but threw: ${restart.mkString}")
 
     val got = ClusterMaintenanceStream.finalDelta(
         spark, priorAssign, spoolDelta, spark.read.parquet(in))
