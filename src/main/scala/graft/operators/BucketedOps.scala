@@ -117,6 +117,88 @@ object BucketedOps {
   /** Layout-spec manifest written next to a durable bucketed layout. */
   private[operators] val ManifestName = "_graft_bucket_spec.json"
 
+  /** Crash-safe, replay-idempotent APPEND of a delta into an existing
+    * bucketed table — the write side of every grow-only manifest the
+    * daily jobs maintain (df / histogram / bigram counts, cluster
+    * assignments, ANN cell rows). A plain `mode("append")` has no
+    * failure story: a job crashing mid-write leaves a torn day, and the
+    * re-run APPENDS AGAIN — min-resolve protects cluster labels, but the
+    * ADDITIVE families (df/hist/bigram) have no such algebra and
+    * double-count forever. This writer gives the append the same
+    * guarantee the reference gets from checkpointed exactly-once state
+    * (`mysql/source/DebeziumSourceFunction.java:307-366` snapshotState):
+    * one logical day lands exactly once, no matter how many times the
+    * job crashes and replays.
+    *
+    * Protocol, all under the path's single-writer lease
+    * ([[graft.streaming.UpsertSink.withWriterLease]]):
+    *   1. `_graft_append_<jobId>.commit` present → the day already
+    *      landed; the re-run is a NO-OP.
+    *   2. Undo any partial promote: every data file of this job is named
+    *      `graft-append-<jobId>-<original>`, so a crashed attempt's
+    *      half-promoted files are identifiable and deleted.
+    *   3. Write the delta as a STAGE bucketed table under
+    *      `_graft_append_stage_<jobId>/` inside the location (same key,
+    *      same bucket count → identical hash placement; the `_`-prefixed
+    *      dir is invisible to readers). Spark's bucket id lives in the
+    *      file NAME (`..._00003.c000.parquet`), so a rename into the
+    *      table directory preserves placement.
+    *   4. Promote: rename each stage file to
+    *      `graft-append-<jobId>-<name>` in the table root — per-file
+    *      atomic; a crash mid-loop is undone by step 2 on replay.
+    *   5. Create the commit marker, then refresh the table's file index.
+    *
+    * Readers never see a half-day twice: they may see a torn PREFIX of a
+    * crashed attempt (the manifest families are monotone, a torn day
+    * under-counts like a not-yet-run day), but a completed replay always
+    * converges to exactly one copy. IdempotentAppendSpec kills the
+    * promote loop mid-flight and proves the re-run lands the delta once.
+    *
+    * `onFilePromoted` is a fault-injection point for that spec (called
+    * with the 1-based count after each rename) — production callers
+    * leave the default. */
+  def idempotentAppend(df: DataFrame, table: String, key: String,
+      buckets: Int, jobId: String,
+      onFilePromoted: Int => Unit = _ => ()): Unit = {
+    require(jobId.matches("[A-Za-z0-9.-]+"),
+      s"jobId must be [A-Za-z0-9.-]+ (used in file and marker names): $jobId")
+    val s = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.streaming.UpsertSink.withWriterLease(fs, loc) {
+      val marker = new org.apache.hadoop.fs.Path(loc, s"_graft_append_$jobId.commit")
+      if (!fs.exists(marker)) {
+        fs.globStatus(new org.apache.hadoop.fs.Path(loc, s"graft-append-$jobId-*"))
+          .foreach(st => fs.delete(st.getPath, false))
+        val stageDir = new org.apache.hadoop.fs.Path(loc, s"_graft_append_stage_$jobId")
+        fs.delete(stageDir, true)
+        val stageTbl = (table + "_stage_" + jobId).replaceAll("[^A-Za-z0-9_]", "_")
+        s.sql(s"DROP TABLE IF EXISTS $stageTbl")
+        df.write.mode("overwrite").option("path", stageDir.toString)
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(stageTbl)
+        s.sql(s"DROP TABLE IF EXISTS $stageTbl") // external: files stay
+        var n = 0
+        fs.listStatus(stageDir)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .foreach { st =>
+            val dst = new org.apache.hadoop.fs.Path(loc,
+              s"graft-append-$jobId-${st.getPath.getName}")
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"promote rename ${st.getPath} -> $dst failed; " +
+                  "replay with the same jobId recovers")
+            n += 1; onFilePromoted(n)
+          }
+        fs.delete(stageDir, true)
+        fs.create(marker, true).close()
+      }
+    }
+    s.catalog.refreshTable(table)
+  }
+
   /** Latest-state compaction of an op-column changelog STORED AS A BUCKETED
     * LAYOUT on its primary key — the periodic maintenance job of the
     * changelog lake, planned with ZERO exchanges: the grouping key IS the

@@ -1788,13 +1788,13 @@ object DataQueries {
         s.table(atbl), s"q119_assign|$dir", "doc_id", buckets = 8)
       val itbl2 = graft.operators.BucketedOps.ensureBucketed(
         s.table(itbl), s"q119_shingles|$dir", "h", buckets = 8)
-      delta.write.mode("append")
-        .bucketBy(8, "doc_id").sortBy("doc_id").format("parquet").saveAsTable(atbl2)
+      graft.operators.BucketedOps.idempotentAppend(
+        delta, atbl2, "doc_id", buckets = 8, jobId = "day2")
       // day-2 shingles derive from the source parquet (no table reads) —
       // append-safe without a snapshot
-      Dedup.shingleIndex(day2Docs(s, dir), "doc_id", "text", n = 3)
-        .write.mode("append")
-        .bucketBy(8, "h").sortBy("h").format("parquet").saveAsTable(itbl2)
+      graft.operators.BucketedOps.idempotentAppend(
+        Dedup.shingleIndex(day2Docs(s, dir), "doc_id", "text", n = 3),
+        itbl2, "h", buckets = 8, jobId = "day2")
       (atbl2, itbl2)
     }
 
@@ -1811,9 +1811,9 @@ object DataQueries {
         s.table(tbl), s"q120_df|$dir", "term", buckets = 8)
       val d2 = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 3 === 2)
-      graft.operators.TfIdf.dfManifest(d2, "doc_id", "text")
-        .write.mode("append")
-        .bucketBy(8, "term").sortBy("term").format("parquet").saveAsTable(tbl2)
+      graft.operators.BucketedOps.idempotentAppend(
+        graft.operators.TfIdf.dfManifest(d2, "doc_id", "text"),
+        tbl2, "term", buckets = 8, jobId = "day2")
       (tbl2, n1 + d2.count())
     }
 
@@ -1826,10 +1826,10 @@ object DataQueries {
       val tbl = ensureHistManifest(s, dir)
       val tbl2 = graft.operators.BucketedOps.ensureBucketed(
         s.table(tbl), s"q121_hist|$dir", "source", buckets = 4)
-      t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
-        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
-        .write.mode("append")
-        .bucketBy(4, "source").sortBy("source").format("parquet").saveAsTable(tbl2)
+      graft.operators.BucketedOps.idempotentAppend(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+          .groupBy("source", "lang").agg(count(lit(1)).as("n")),
+        tbl2, "source", buckets = 4, jobId = "day2")
       tbl2
     }
 
@@ -1845,10 +1845,10 @@ object DataQueries {
         graft.operators.TextStats.bigramManifest(
           docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text"),
         s"q124_bg|$dir", "bg", buckets = 8)
-      graft.operators.TextStats.bigramManifest(
-          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text")
-        .write.mode("append")
-        .bucketBy(8, "bg").sortBy("bg").format("parquet").saveAsTable(tbl)
+      graft.operators.BucketedOps.idempotentAppend(
+        graft.operators.TextStats.bigramManifest(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text"),
+        tbl, "bg", buckets = 8, jobId = "day2")
       tbl
     }
 
@@ -1864,9 +1864,9 @@ object DataQueries {
       val idx2 = graft.operators.BucketedOps.ensureBucketed(
         s.table(idxTbl), s"q126_index|$dir", "cell", buckets = 8)
       val day2 = t(s, dir, "embeddings").filter(col("vec_id") % 3 === 1)
-      Similarity.assignCellsPortable(day2, "vec_id", "embedding", s.table(centTbl))
-        .write.mode("append")
-        .bucketBy(8, "cell").sortBy("cell").format("parquet").saveAsTable(idx2)
+      graft.operators.BucketedOps.idempotentAppend(
+        Similarity.assignCellsPortable(day2, "vec_id", "embedding", s.table(centTbl)),
+        idx2, "cell", buckets = 8, jobId = "day2")
       (centTbl, idx2)
     }
 
