@@ -170,7 +170,8 @@ object TextStats {
     * fixed-length variant of the paper's suffix-array pass: every
     * `spanLen`-token window occurring ≥ `minCount` times CORPUS-WIDE
     * marks its token positions as duplicated, and each doc is rewritten
-    * with the covered tokens removed.
+    * with the covered tokens removed ([[removeRepeatedSubstrings]] is the
+    * paper-faithful extension: maximal runs ≥ minRun, first copy kept).
     *
     * Fully relational — no per-row quadratic HOF: one windowed explode
     * (doc, pos, span), one hash aggregation on the span (map-side
@@ -205,6 +206,83 @@ object TextStats {
     val toks = base.select(col("doc_id"), posexplode(col("ts")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
     val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    base.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** The suffix-array-faithful extension of [[removeRepeatedSpans]] (the
+    * gap that method's scaladoc names): Lee et al.'s ExactSubstr pass
+    * removes MAXIMAL repeated substrings of length ≥ k tokens and KEEPS
+    * ONE occurrence — the canonical copy survives, only the echoes go.
+    * The fixed-length variant instead deletes every copy of every
+    * repeated window, first occurrence included.
+    *
+    * Bounded two-pass construction, no suffix array needed:
+    *   1. SEED: every `spanLen`-token window occurring ≥ `minCount` times
+    *      corpus-wide, exactly the [[removeRepeatedSpans]] windows. Per
+    *      span, ONE aggregation also yields the globally-first occurrence
+    *      (min over (doc_id, pos) structs — an agg with map-side combine,
+    *      deliberately NOT a row_number window: a boilerplate span with
+    *      millions of occurrences would make a per-span sort window the
+    *      skew hotspot; min is commutative and combines early).
+    *   2. EXTEND-AND-MERGE: every NON-first occurrence marks its
+    *      interval; overlapping intervals union into per-doc islands
+    *      (gaps-and-islands over the covered positions — the window runs
+    *      per doc, bounded by document length, never corpus-wide), and
+    *      only islands of ≥ `minRun` tokens are removed. A true repeated
+    *      substring of length L ≥ minRun has all its windows repeated, so
+    *      its later occurrences become exactly an L-token island — removed
+    *      in full while its first occurrence survives. (Islands chained
+    *      from DISTINCT overlapping repeats can over-approximate a single
+    *      maximal repeat — the standard seed-and-extend trade; the
+    *      suffix array's exactness is what it buys for its global sort.)
+    *
+    * Same output contract as [[removeRepeatedSpans]]:
+    * (doc_id, n_tokens, n_removed, clean_text). Shuffles on the span key
+    * (hash to 64-bit at petabyte scale — the q80 trick; strings kept for
+    * cross-engine oracle checkability) and on doc_id. */
+  def removeRepeatedSubstrings(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8, minCount: Int = 2, minRun: Int = 12): DataFrame = {
+    require(spanLen >= 2 && minCount >= 2 && minRun >= spanLen,
+      s"need spanLen>=2, minCount>=2, minRun>=spanLen; got ($spanLen,$minCount,$minRun)")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val spans = base.select(col("doc_id"),
+        explode(when(size(col("ts")) >= spanLen,
+          transform(sequence(lit(1), size(col("ts")) - (spanLen - 1)),
+            i => struct(i.as("i"),
+              concat_ws(" ", slice(col("ts"), i, lit(spanLen))).as("s"))))
+          .otherwise(array().cast("array<struct<i:int,s:string>>"))).as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.s").as("s"))
+    val stats = spans.groupBy("s").agg(
+        count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("i"))).as("__first"))
+      .filter(col("__n") >= minCount)
+      .select("s", "__first")
+    val seeds = spans.join(stats, "s")
+      .filter(col("doc_id") =!= col("__first.doc_id") ||
+        col("i") =!= col("__first.i"))
+    val covered = seeds
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (spanLen - 1))).as("p"))
+      .distinct()
+    val isl = covered.withColumn("__grp",
+      col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
+    val removed = isl
+      .withColumn("__len",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("__grp"))))
+      .filter(col("__len") >= minRun)
+      .select("doc_id", "p")
+    val toks = base.select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(removed, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id").agg(
         count(lit(1)).as("__n_kept"),
         concat_ws(" ", transform(sort_array(collect_list(struct(col("p"), col("tok")))),

@@ -687,6 +687,70 @@ object DataQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // STREAMING DF-MANIFEST MAINTENANCE — the manifest-append families
+    // under micro-batch replay (q123's execution dual for the ADDITIVE
+    // algebra, round-11 verdict #6): day 2's crawl arrives as a REAL
+    // multi-batch stream and each batch spools ITS OWN (term, df) delta
+    // under batch=<id>. The delta derives from the batch ALONE — no
+    // spool is ever read while the stream runs, so a replayed batch
+    // simply overwrites its own partition with identical rows (the
+    // additive twin of q123's exclusion rule; nothing to race). The
+    // drained manifest is day-1 table ∪ spooled deltas summed per term
+    // (df composes by ADDITION under disjoint doc sets) and day 3
+    // scores against it — the same oracle as batch-append q120, two
+    // execution shapes, so the streaming append provably lands the
+    // identical manifest.
+    "q127_stream_tfidf_maintenance" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (tbl, n1) = ensureDfManifest(s, dir)
+      val st = StreamFixtures.arm(q127Stage(s, dir))
+      val schema = s.read.parquet(st.in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q127_")
+      val spool = tmp.resolve("df").toString
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // per-batch deltas are small aggregates — 32-partition shuffles
+        // would be pure task overhead
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!batch.isEmpty)
+              graft.operators.TfIdf.dfManifest(batch, "doc_id", "text")
+                .write.mode("overwrite").parquet(s"$spool/batch=$batchId")
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val dfm = s.table(tbl).select("term", "df")
+        .unionByName(s.read.parquet(spool).select("term", "df"))
+        .groupBy("term").agg(sum("df").as("df"))
+      val n2 = s.read.parquet(st.in).select("doc_id").distinct().count()
+      val out = Fixtures.snapshot(s,
+        graft.operators.TfIdf.incrementalTopTerms(
+          day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+          dfm, priorN = n1 + n2, k = 5)
+          .withColumnRenamed("id", "doc_id"),
+        "q127_out")
+      deleteRecursively(tmp)
+      out.orderBy("doc_id", "rank")
+    }),
+
+    // SUFFIX-ARRAY-FAITHFUL SUBSTRING DEDUP — q125's named gap closed
+    // (round-11 verdict #7): Lee et al.'s pass removes MAXIMAL repeated
+    // runs >= minRun tokens and KEEPS the first occurrence; q125's
+    // fixed-length variant deletes every copy of every repeated window.
+    // Seed windows -> per-span (count, argmin-first) aggregate ->
+    // non-first intervals unioned into per-doc islands -> only islands
+    // >= 12 tokens removed. The cleaned text itself is hash-gated.
+    "q128_substring_dedup_keepfirst" -> ((s, dir) =>
+      graft.operators.TextStats.removeRepeatedSubstrings(
+        t(s, dir, "documents"), "doc_id", "text",
+        spanLen = 8, minCount = 2, minRun = 12)
+        .orderBy("doc_id")),
+
     // THE COMPOSED DAILY JOB — every daily leg the battery gates
     // individually, run as ONE query over ONE crawl against ONE shared
     // set of stored tables (round-10 verdict #4: "the composition is
@@ -1587,14 +1651,28 @@ object DataQueries {
       StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
     }
 
+  /** q127's staged day-2 stream: the df-manifest family's day-2 slice
+    * (doc_id % 3 = 2, [[ensureDay2DfManifest]]'s append input) as 8
+    * range-partitioned part files arriving 1 s apart
+    * (maxFilesPerTrigger=2 → 4 micro-batches). */
+  private def q127Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q127", dir) { in =>
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === 2)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
   /** Pre-builds the staged stream inputs this battery owns (q83, q108,
-    * q111, q123) — called by Bench outside the timed window, the same
-    * ingest-scaffolding rule as RelQueries.ensureStreamFixtures. */
+    * q111, q123, q127) — called by Bench outside the timed window, the
+    * same ingest-scaffolding rule as RelQueries.ensureStreamFixtures. */
   private[graft] def ensureStreamFixtures(s: SparkSession, dir: String): Unit = {
     q83Stage(s, dir)
     q108Stage(s, dir)
     q111Stage(s, dir)
     q123Stage(s, dir)
+    q127Stage(s, dir)
     ()
   }
 
@@ -1977,6 +2055,34 @@ object DataQueries {
     * chains are referenced multiplicatively — without the hints the
     * OPTIMIZER itself runs for minutes on 500 docs; with them the whole
     * chain is ~3 s at the gate SF. */
+  /** Day-3 TF-IDF against the day-1+2-maintained df manifest, from
+    * scratch: the closed form BOTH maintenance shapes must land on —
+    * q120's batch append and q127's streamed per-batch spools. One
+    * generator so the two gates cannot drift (the day2FunnelCtes rule). */
+  private def tfidfMaintenanceOracleSql: String =
+    """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+      |d3 AS MATERIALIZED (
+      |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
+      |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
+      |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+      |uni AS MATERIALIZED (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM d3),
+      |tok AS (SELECT doc_id, u.t AS term
+      |        FROM uni, UNNEST(string_split(text, ' ')) AS u(t)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM uni)
+      |SELECT doc_id, term, tf, df, n_docs, score, rank FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df, n.n_docs,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) AS score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC, tf.term) AS BIGINT) AS rank
+      |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+      |WHERE rank <= 5 AND doc_id IN (SELECT doc_id FROM d3)
+      |ORDER BY doc_id, rank""".stripMargin
+
   private def day2FunnelCtes: String =
     s"""dasrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
        |${funnelHeadSql("da", "dasrc")},
@@ -2438,29 +2544,48 @@ object DataQueries {
     // TF-IDF over all three days, restricted to day 3 — the summed
     // manifest (day-1 rows + day-2's appended rows) must land on the
     // identical numbers
-    "q120_tfidf_maintenance" ->
-      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
-        |d3 AS MATERIALIZED (
-        |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
-        |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
-        |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
-        |uni AS MATERIALIZED (SELECT doc_id, text FROM documents
-        |       UNION ALL SELECT doc_id, text FROM d3),
-        |tok AS (SELECT doc_id, u.t AS term
-        |        FROM uni, UNNEST(string_split(text, ' ')) AS u(t)),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
-        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM uni)
-        |SELECT doc_id, term, tf, df, n_docs, score, rank FROM (
-        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df, n.n_docs,
-        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) AS score,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC, tf.term) AS BIGINT) AS rank
-        |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
-        |WHERE rank <= 5 AND doc_id IN (SELECT doc_id FROM d3)
-        |ORDER BY doc_id, rank""".stripMargin,
+    "q120_tfidf_maintenance" -> tfidfMaintenanceOracleSql,
+
+    // the STREAMED day-2 append must land the identical manifest the
+    // batch append does — ONE oracle, two execution shapes (the q115/q123
+    // pairing applied to the additive df family); sharing the generator
+    // prevents the two gates from drifting apart
+    "q127_stream_tfidf_maintenance" -> tfidfMaintenanceOracleSql,
+
+    // keep-first maximal-run substring dedup: per-span first occurrence
+    // via a rank window (the Spark side uses an equivalent argmin
+    // aggregate), non-first intervals unioned per doc, gaps-and-islands
+    // run-length >= 12 filter, then q125's reassembly
+    "q128_substring_dedup_keepfirst" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sp AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 7), ' ') AS s
+        |       FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)),
+        |occ AS (SELECT doc_id, i,
+        |          COUNT(*) OVER (PARTITION BY s) AS n,
+        |          row_number() OVER (PARTITION BY s ORDER BY doc_id, i) AS rk
+        |        FROM sp),
+        |seeds AS (SELECT doc_id, i FROM occ WHERE n >= 2 AND rk >= 2),
+        |covered AS (SELECT DISTINCT seeds.doc_id, u.p
+        |            FROM seeds, UNNEST(generate_series(i, i + 7)) AS u(p)),
+        |isl AS (SELECT doc_id, p,
+        |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |        FROM covered),
+        |removedpos AS (SELECT doc_id, p FROM (
+        |          SELECT doc_id, p, COUNT(*) OVER (PARTITION BY doc_id, grp) AS len
+        |          FROM isl) WHERE len >= 12),
+        |tok AS (SELECT doc_id, g.i AS p, ts[g.i] AS tok
+        |        FROM toks, UNNEST(generate_series(1, len(ts))) AS g(i)),
+        |kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
+        |           string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+        |         FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM removedpos c
+        |                           WHERE c.doc_id = t.doc_id AND c.p = t.p)
+        |         GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM toks d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the maintained-index retrieval closed-form: centroids trained on
     // the prior slice only, assignment over prior ∪ day 2 (the appended

@@ -71,6 +71,31 @@ class TextStatsSpec extends SparkSpec {
     assert(out(5) == ((6L, 3L, 3L, "")), s"got ${out(5)}")
   }
 
+  test("removeRepeatedSubstrings: keeps the first copy, removes only runs >= minRun") {
+    // spanLen=3, minCount=2, minRun=5:
+    // docs 1+2 share the 6-token run "a b c d e f" — doc 1 (globally
+    // first) keeps it, doc 2 loses exactly the run; docs 3+4 share only
+    // a 4-token overlap (below minRun) — BOTH survive untouched; doc 5
+    // is one token repeated — the first window's copy survives, the
+    // 9-token echo island goes.
+    val docs = Seq(
+      (1L, "h1 a b c d e f t1"),
+      (2L, "h2 h3 a b c d e f t2"),
+      (3L, "x y z q r"),
+      (4L, "x y z q s"),
+      (5L, "m m m m m m m m m m")
+    ).toDF("doc_id", "text")
+    val out = TextStats.removeRepeatedSubstrings(docs, "doc_id", "text",
+        spanLen = 3, minCount = 2, minRun = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 8L, 0L, "h1 a b c d e f t1")), s"got ${out(0)}")
+    assert(out(1) == ((2L, 9L, 6L, "h2 h3 t2")), s"got ${out(1)}")
+    assert(out(2) == ((3L, 5L, 0L, "x y z q r")), s"got ${out(2)}")
+    assert(out(3) == ((4L, 5L, 0L, "x y z q s")), s"got ${out(3)}")
+    assert(out(4) == ((5L, 10L, 9L, "m")), s"got ${out(4)}")
+  }
+
   test("bigramFluency: OOV rate and hit mass against a reference manifest") {
     val ref = Seq((10L, "the cat sat"), (11L, "the cat ran")).toDF("doc_id", "text")
     val manifest = TextStats.bigramManifest(ref, "doc_id", "text")
