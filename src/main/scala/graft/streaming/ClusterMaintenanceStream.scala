@@ -42,7 +42,12 @@ import graft.operators.{ConnectedComponents, Dedup}
   * Scale shape per batch: the probe joins the batch's shingles against
   * (prior index ∪ spooled index) on the 64-bit shingle key; star
   * contraction runs on the CONTRACTED delta graph (O(|batch| + touched
-  * clusters)); spool I/O is O(|batch|). Nothing is O(corpus) per batch.
+  * clusters)); spool I/O is O(|batch|); the assignment resolve is a
+  * per-side min combined under a doc_id full-outer join (see
+  * [[resolvedAssignment]]). Nothing EXCHANGES O(corpus) bytes per batch
+  * when the stored assignment/index tables are bucketed on their keys
+  * (the q119 lake layout) — prior state is scanned at its own
+  * distribution, only the day's rows shuffle.
   */
 object ClusterMaintenanceStream {
 
@@ -88,13 +93,35 @@ object ClusterMaintenanceStream {
     * table ∪ every spooled delta (labels only decrease, so min = latest).
     * `excludeBatch`: a REPLAYING batch passes its own id so its prior
     * attempt's delta — which its own overwrite is about to delete — never
-    * enters the plan (partition-pruned; see the object contract). */
+    * enters the plan (partition-pruned; see the object contract).
+    *
+    * Resolution shape matters at scale: this runs PER MICRO-BATCH, so the
+    * min must NOT be an aggregate over (prior ∪ spools) — that shuffles
+    * the whole corpus-sized assignment every batch. min distributes over
+    * the union, so each side resolves independently and combines with a
+    * per-doc `least` under a full outer join on doc_id: the spool side is
+    * O(day) rows (one small exchange), and the prior side's groupBy +
+    * join both run at the stored table's own distribution — ZERO prior
+    * exchanges when the assignment table is bucketed on doc_id (the q119
+    * lake layout). Per-batch cost: O(|spool|) shuffle + O(prior) scan. */
   def resolvedAssignment(s: SparkSession, priorAssign: DataFrame,
-      spoolDelta: String, excludeBatch: Option[Long] = None): DataFrame =
-    spoolExcept(s, spoolDelta, excludeBatch)
-      .map(d => priorAssign.unionByName(d.select("doc_id", "cluster_id")))
-      .getOrElse(priorAssign)
-      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      spoolDelta: String, excludeBatch: Option[Long] = None): DataFrame = {
+    val prior = priorAssign.groupBy("doc_id")
+      .agg(min("cluster_id").as("__p"))
+    spoolExcept(s, spoolDelta, excludeBatch) match {
+      case None => prior.select(col("doc_id"), col("__p").as("cluster_id"))
+      case Some(d) =>
+        val spool = d.select("doc_id", "cluster_id")
+          .groupBy("doc_id").agg(min("cluster_id").as("__s"))
+        // SHUFFLE_HASH on the O(day) side: a sort-merge full outer would
+        // SORT the corpus-sized prior per micro-batch — the hash build of
+        // the small side streams the prior at its stored distribution
+        prior.join(spool.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            least(coalesce(col("__p"), col("__s")),
+              coalesce(col("__s"), col("__p"))).as("cluster_id"))
+    }
+  }
 
   private def spoolExcept(s: SparkSession, root: String,
       excludeBatch: Option[Long]): Option[DataFrame] = {
