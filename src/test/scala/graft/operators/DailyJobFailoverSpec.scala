@@ -131,6 +131,24 @@ class DailyJobFailoverSpec extends SparkSpec {
       "assignment tables diverged")
   }
 
+  test("kill after the cluster leg instead: same convergence (kill-point sweep)") {
+    val (h1, a1, au1) = freshState("ctl2")
+    val stage1 = java.nio.file.Files.createTempDirectory("graft_djf_ctl2_")
+    stage1.toFile.deleteOnExit()
+    runJob(h1, a1, au1, stage1.toString, _ => ())
+    val (h2, a2, au2) = freshState("kill2")
+    val stage2 = java.nio.file.Files.createTempDirectory("graft_djf_kill2_")
+    stage2.toFile.deleteOnExit()
+    intercept[RuntimeException] {
+      runJob(h2, a2, au2, stage2.toString,
+        leg => if (leg == "after-clusters") throw new RuntimeException("injected kill"))
+    }
+    runJob(h2, a2, au2, stage2.toString, _ => ())
+    assert(snap(au2) == snap(au1),
+      "replay after the cluster-leg kill diverged from the uninterrupted run")
+    assert(hashes(h2) == hashes(h1), "kept-hash manifests diverged")
+  }
+
   test("the staged snapshot is load-bearing: a naive recompute after the crash misreads the manifest") {
     val (h3, a3, au3) = freshState("naive")
     val stage3 = java.nio.file.Files.createTempDirectory("graft_djf_naive_")

@@ -46,23 +46,34 @@ class IdempotentAppendSpec extends SparkSpec {
         .toMap.getOrElse(k, 0L)) })
   }
 
-  test("kill mid-promote, replay with the same jobId: delta lands exactly once") {
-    val tbl = freshTable("kill")
-    val killed = intercept[RuntimeException] {
-      BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 4,
-        jobId = "day2", onFilePromoted = n =>
-          if (n == 1) throw new RuntimeException("injected kill mid-promote"))
+  test("kill at EVERY promote index, replay with the same jobId: delta lands exactly once") {
+    // the delta spans >= 2 buckets in one task, so the promote loop moves
+    // several files — kill after each one in turn (kill-point sweep, the
+    // FailoverMatrix rule: a single kill point can miss an ordering bug)
+    val nFiles = {
+      val probe = freshTable("probe")
+      BucketedOps.idempotentAppend(delta, probe, "term", buckets = 4, jobId = "day2")
+      spark.table(probe).inputFiles.count(_.contains("graft-append-day2-"))
     }
-    assert(killed.getMessage.contains("injected kill"))
-    // torn state: some files promoted, no commit marker — a reader sees a
-    // monotone under-count, never a double-count
-    val torn = sums(tbl)
-    assert(torn.forall { case (k, v) => v <= expected(k) },
-      s"torn state must under-count, got $torn")
-    // the replayed job must first UNDO the partial promote, then land clean
-    BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 4, jobId = "day2")
-    assert(sums(tbl) == expected,
-      "replay after mid-promote kill did not converge to the single append")
+    assert(nFiles >= 2, s"need a multi-file promote to sweep, got $nFiles")
+    (1 to nFiles).foreach { killAt =>
+      val tbl = freshTable(s"kill$killAt")
+      val killed = intercept[RuntimeException] {
+        BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 4,
+          jobId = "day2", onFilePromoted = n =>
+            if (n == killAt) throw new RuntimeException("injected kill mid-promote"))
+      }
+      assert(killed.getMessage.contains("injected kill"))
+      // torn state: some files promoted, no commit marker — a reader sees a
+      // monotone under-count, never a double-count
+      val torn = sums(tbl)
+      assert(torn.forall { case (k, v) => v <= expected(k) },
+        s"torn state after kill@$killAt must under-count, got $torn")
+      // the replayed job must first UNDO the partial promote, then land clean
+      BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 4, jobId = "day2")
+      assert(sums(tbl) == expected,
+        s"replay after kill@$killAt did not converge to the single append")
+    }
   }
 
   test("the promoted files keep the bucketed layout: grouping on the key stays exchange-free") {
