@@ -507,19 +507,7 @@ object DataQueries {
     // (property-pinned in DedupSimilaritySpec); the oracle re-derives both
     // manifests from scratch and must agree bit-for-bit.
     "q105_manifest_maintenance" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val maxId = docs.agg(max(col("doc_id")).as("id_off"))
-      // day 2's crawl: fresh docs + exact re-crawls of day-0 docs (the
-      // hash manifest catches these) + one-token-modified re-crawls of
-      // day-1 docs (a different md5 — only the band screen sees them)
-      val d2 = docs.filter(col("doc_id") % 3 === 2)
-        .unionAll(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
-          .crossJoin(broadcast(maxId))
-          .select((col("doc_id") + (col("id_off") + 1L) * 2L).as("doc_id"), col("text")))
-        .unionAll(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
-          .crossJoin(broadcast(maxId))
-          .select((col("doc_id") + (col("id_off") + 1L) * 3L).as("doc_id"),
-            concat(lit("upd "), col("text")).as("text")))
+      val d2 = day2CurationCrawl(s, dir)
       val (htbl, btbl, p2) = ensureCurationManifests(s, dir)
       val led = graft.operators.Curation.incrementalCurationLedger(
         d2, s.table(htbl), "doc_id", "text", packIdStart = p2)
@@ -643,31 +631,36 @@ object DataQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q123_")
       val spoolIdx = tmp.resolve("idx").toString
       val spoolDelta = tmp.resolve("delta").toString
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        // the per-batch graphs are tiny — 32-partition shuffles would be
-        // pure task overhead across the star-contraction rounds
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = stream.writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.streaming.ClusterMaintenanceStream.processBatch(
-              batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
-          }
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-      priorIdx.unpersist()
       // materialize the drained delta to a SMALL result dir so the big
       // per-invocation tree (spools + checkpoint + every micro-batch's
       // parquet) can be deleted NOW — a settled battery re-runs this gate
-      // dozens of times and deleteOnExit would hoard it all JVM-long
-      val out = Fixtures.snapshot(s,
-        graft.streaming.ClusterMaintenanceStream.finalDelta(
-          s, priorAssign, spoolDelta, s.read.parquet(st.in)),
-        "q123_out")
-      priorAssign.unpersist()
-      deleteRecursively(tmp)
+      // dozens of times and deleteOnExit would hoard it all JVM-long.
+      // The delete runs in a finally: an exception mid-stream must not
+      // leak the tree for the JVM's lifetime either (the snapshot below
+      // materializes to its OWN dir before tmp goes).
+      val out = try {
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          // the per-batch graphs are tiny — 32-partition shuffles would be
+          // pure task overhead across the star-contraction rounds
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = stream.writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              graft.streaming.ClusterMaintenanceStream.processBatch(
+                batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
+            }
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        Fixtures.snapshot(s,
+          graft.streaming.ClusterMaintenanceStream.finalDelta(
+            s, priorAssign, spoolDelta, s.read.parquet(st.in)),
+          "q123_out")
+      } finally {
+        priorIdx.unpersist(); priorAssign.unpersist()
+        deleteRecursively(tmp)
+      }
       out.orderBy("doc_id")
     }),
 
@@ -709,32 +702,36 @@ object DataQueries {
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q127_")
       val spool = tmp.resolve("df").toString
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        // per-batch deltas are small aggregates — 32-partition shuffles
-        // would be pure task overhead
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = stream.writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            if (!batch.isEmpty)
-              graft.operators.TfIdf.dfManifest(batch, "doc_id", "text")
-                .write.mode("overwrite").parquet(s"$spool/batch=$batchId")
-          }
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
-      val dfm = s.table(tbl).select("term", "df")
-        .unionByName(s.read.parquet(spool).select("term", "df"))
-        .groupBy("term").agg(sum("df").as("df"))
-      val n2 = s.read.parquet(st.in).select("doc_id").distinct().count()
-      val out = Fixtures.snapshot(s,
-        graft.operators.TfIdf.incrementalTopTerms(
-          day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text",
-          dfm, priorN = n1 + n2, k = 5)
-          .withColumnRenamed("id", "doc_id"),
-        "q127_out")
-      deleteRecursively(tmp)
+      // snapshot-then-delete inside try/finally: an exception mid-stream
+      // must not leak the spool/checkpoint tree JVM-long (the same rule
+      // as q123's cleanup)
+      val out = try {
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          // per-batch deltas are small aggregates — 32-partition shuffles
+          // would be pure task overhead
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = stream.writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              if (!batch.isEmpty)
+                graft.operators.TfIdf.dfManifest(batch, "doc_id", "text")
+                  .write.mode("overwrite").parquet(s"$spool/batch=$batchId")
+            }
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        val dfm = s.table(tbl).select("term", "df")
+          .unionByName(s.read.parquet(spool).select("term", "df"))
+          .groupBy("term").agg(sum("df").as("df"))
+        val n2 = s.read.parquet(st.in).select("doc_id").distinct().count()
+        Fixtures.snapshot(s,
+          graft.operators.TfIdf.incrementalTopTerms(
+            day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+            dfm, priorN = n1 + n2, k = 5)
+            .withColumnRenamed("id", "doc_id"),
+          "q127_out")
+      } finally deleteRecursively(tmp)
       out.orderBy("doc_id", "rank")
     }),
 
@@ -750,6 +747,139 @@ object DataQueries {
         t(s, dir, "documents"), "doc_id", "text",
         spanLen = 8, minCount = 2, minRun = 12)
         .orderBy("doc_id")),
+
+    // STREAM → DAY-CLOSE FOLD → NEXT-DAY STREAM, cluster family (round-12
+    // verdict ask #1): day 2 arrives as a multi-batch stream (q123's
+    // machinery), then ClusterMaintenanceStream.closeDay FOLDS both spools
+    // into the stored bucketed tables via idempotentAppend and CLEARS
+    // them (ensureStreamFoldedClusterState) — bounding the O(batches²)
+    // per-day spool re-reads and small-file accretion to one day. Day 3
+    // then streams against the FOLDED tables with empty spools — the
+    // fold's output IS the next day's prior state, which is what makes it
+    // a lifecycle and not a compaction. The oracle replays from-scratch
+    // walks over all three days vs days 1–2 (q119's generator — one
+    // closed form, now THREE execution shapes: batch append q119,
+    // grow-forever stream q123+q119's day-3, and this fold loop).
+    "q129_stream_fold_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (atbl, itbl) = ensureStreamFoldedClusterState(s, dir)
+      val priorIdx = s.table(itbl).persist()
+      val priorAssign = s.table(atbl).persist()
+      priorIdx.count(); priorAssign.count()
+      val st = StreamFixtures.arm(q129Stage(s, dir))
+      val schema = s.read.parquet(st.in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q129_")
+      val out = try {
+        val spoolIdx = tmp.resolve("idx").toString
+        val spoolDelta = tmp.resolve("delta").toString
+        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val q = stream.writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              graft.streaming.ClusterMaintenanceStream.processBatch(
+                batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
+            }
+            .option("checkpointLocation", tmp.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        Fixtures.snapshot(s,
+          graft.streaming.ClusterMaintenanceStream.finalDelta(
+            s, priorAssign, spoolDelta, s.read.parquet(st.in)),
+          "q129_out")
+      } finally {
+        priorIdx.unpersist(); priorAssign.unpersist()
+        deleteRecursively(tmp)
+      }
+      out.orderBy("doc_id")
+    }),
+
+    // STREAM → FOLD → NEXT-DAY SCORING, df family: day 2's crawl streamed
+    // (q127's machinery), but instead of q127's grow-forever spool the day
+    // CLOSES — foldSpool sums the spooled per-batch (term, df) deltas per
+    // term and appends ONCE into the stored manifest buckets, clearing the
+    // spool (ensureStreamFoldedDfManifest). Day 3 scores against the
+    // STORED TABLE ONLY (no spool union — compare q127's drained-manifest
+    // read), hash-matching the batch-append q120 verbatim: one oracle,
+    // now three execution shapes for the additive family.
+    "q130_stream_fold_tfidf" -> ((s, dir) => {
+      val (tbl2, n12) = ensureStreamFoldedDfManifest(s, dir)
+      val d3 = day3Docs(s, dir).select("doc_id", "text")
+      val dfm = s.table(tbl2).groupBy("term").agg(sum("df").as("df"))
+      graft.operators.TfIdf.incrementalTopTerms(d3, "doc_id", "text",
+        dfm, priorN = n12, k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // STREAMING BIGRAM-MANIFEST MAINTENANCE + FOLD (round-12 verdict ask
+    // #6 — q127 covered df only): day 2's crawl as a multi-batch stream
+    // spooling per-batch (bigram, n) deltas (counts compose by ADDITION
+    // under disjoint doc sets, so a replayed batch overwrites its own
+    // partition with identical rows — nothing to race), folded at day
+    // close into the stored manifest buckets. Day 3's q124 fluency
+    // scoring reads the folded table only and must hash-match the
+    // batch-append q124 verbatim — the same oracle generator, so the two
+    // gates cannot drift.
+    "q131_stream_bigram_maintenance" -> ((s, dir) => {
+      val tbl2 = ensureStreamFoldedBigramManifest(s, dir)
+      val mf = s.table(tbl2).groupBy("bg").agg(sum("n").as("n"))
+      graft.operators.TextStats.bigramFluency(
+        day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text", mf)
+        .orderBy("doc_id")
+    }),
+
+    // THE COMPOSED JOB *WITH ITS APPENDS* (round-12 verdict ask #5):
+    // q122 gates the composed day-2 legs read-only; here the SAME
+    // composition runs through the production writers —
+    // StagedJob.stagedDelta + idempotentAppend into fresh table copies
+    // (ensureComposedDay2State) — and day 3's audit reads all four tables
+    // the job MUTATED: curation vs the hash manifest (now holding day-2's
+    // kept hashes — day-3 exact re-posts of day-2 'upd' docs must come
+    // back drop_prior_dup), band screen vs the appended band manifest,
+    // cluster maintenance vs the appended assignment (min-resolved) +
+    // shingle index. One audit row per day-3 doc + the changed-prior
+    // delta. The oracle replays BOTH days closed-form: q105's three
+    // funnels, a FOURTH day-3 funnel vs the union of all three days'
+    // kept hashes, three band manifests, and two fresh component walks
+    // (3-day vs 2-day corpus). Any error in the composed write — a leg
+    // reading a table another leg already mutated, a double-landed
+    // append, a missed family — corrupts day-3's audit hash.
+    "q132_composed_maintenance" -> ((s, dir) => {
+      val (htbl, btbl, atbl, itbl, p3) = ensureComposedDay2State(s, dir)
+      val d3 = day3Docs(s, dir).select("doc_id", "text")
+      val led = graft.operators.Curation.incrementalCurationLedger(
+        d3, s.table(htbl), "doc_id", "text", packIdStart = p3)
+      val screen = Dedup.nearDupVsPrior(d3, s.table(btbl), "doc_id", "text")
+      val assign = s.table(atbl).groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"))
+      val te = Dedup.ngramJaccardPairs(d3, "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      val ce = Dedup.ngramJaccardPairsVsIndex(d3, "doc_id", "text",
+        s.table(itbl), n = 3, minJaccard = 0.3)
+      val clusters = graft.operators.ConnectedComponents.incrementalClusters(
+        d3.select("doc_id"), "doc_id", te, "id_a", "id_b",
+        ce, "today_id", "prior_id", assign)
+      val today = led.join(screen, Seq("doc_id"))
+        .join(clusters.filter(col("scope") === "today").drop("scope"),
+          Seq("doc_id"))
+        .select(col("doc_id"), lit("today").as("scope"), col("verdict"),
+          col("n_tokens"), col("pack_id"), col("n_bands"), col("n_hit"),
+          col("near_dup_prior"), col("cluster_id"))
+      val prior = clusters.filter(col("scope") === "prior")
+        .select(col("doc_id"), lit("prior").as("scope"),
+          lit(null).cast("string").as("verdict"),
+          lit(null).cast("bigint").as("n_tokens"),
+          lit(null).cast("bigint").as("pack_id"),
+          lit(null).cast("bigint").as("n_bands"),
+          lit(null).cast("bigint").as("n_hit"),
+          lit(null).cast("boolean").as("near_dup_prior"),
+          col("cluster_id"))
+      today.unionAll(prior).orderBy("doc_id", "scope")
+    }),
 
     // THE COMPOSED DAILY JOB — every daily leg the battery gates
     // individually, run as ONE query over ONE crawl against ONE shared
@@ -1664,15 +1794,28 @@ object DataQueries {
       StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
     }
 
+  /** q129's staged DAY-3 stream: [[day3Docs]] (the append-loop gates'
+    * crawl) as 4 range-partitioned part files arriving 1 s apart
+    * (maxFilesPerTrigger=2 → 2 micro-batches — enough that cross-batch
+    * merges exercise the day-3 spool against the FOLDED tables). */
+  private def q129Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q129", dir) { in =>
+      day3Docs(s, dir).select(col("doc_id"), col("text"))
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(in)
+      StreamFixtures.parts(in).zipWithIndex.map { case (f, i) => (Seq(f), i * 1000L) }
+    }
+
   /** Pre-builds the staged stream inputs this battery owns (q83, q108,
-    * q111, q123, q127) — called by Bench outside the timed window, the
-    * same ingest-scaffolding rule as RelQueries.ensureStreamFixtures. */
+    * q111, q123, q127, q129) — called by Bench outside the timed window,
+    * the same ingest-scaffolding rule as RelQueries.ensureStreamFixtures. */
   private[graft] def ensureStreamFixtures(s: SparkSession, dir: String): Unit = {
     q83Stage(s, dir)
     q108Stage(s, dir)
     q111Stage(s, dir)
     q123Stage(s, dir)
     q127Stage(s, dir)
+    q129Stage(s, dir)
     ()
   }
 
@@ -1743,10 +1886,17 @@ object DataQueries {
         // manifest that now contains day-1's own hashes.
         val kd = Fixtures.snapshot(s, keptDocs(l1, d1), "q105_kept")
         l1.unpersist()
-        kd.select(md5(col("text")).as("h")).write.mode("append")
-          .bucketBy(8, "h").sortBy("h").format("parquet").saveAsTable(htbl)
-        Dedup.bandManifest(kd, "doc_id", "text").write.mode("append")
-          .bucketBy(8, "bhv").sortBy("bhv").format("parquet").saveAsTable(btbl)
+        // through the crash-safe writer like every other maintained
+        // manifest (round-12 verdict ask #4): these two appends are
+        // algebra-idempotent for ANSWERS (set semantics — the readers
+        // re-distinct), but a plain append's crash-replay would still
+        // bloat the tables with duplicate rows forever
+        graft.operators.BucketedOps.idempotentAppend(
+          kd.select(md5(col("text")).as("h")), htbl, "h",
+          buckets = 8, jobId = "day1")
+        graft.operators.BucketedOps.idempotentAppend(
+          Dedup.bandManifest(kd, "doc_id", "text"), btbl, "bhv",
+          buckets = 8, jobId = "day1")
         (htbl, btbl, p2)
       }
 
@@ -1804,6 +1954,25 @@ object DataQueries {
           catch { case _: java.io.IOException => () })
       finally all.close()
     }
+  }
+
+  /** Day 2's crawl for the CURATION family (q105, and q132's composed
+    * day-2 job — one constructor so the gates share the oracle's dcsrc
+    * CTE verbatim): fresh docs (doc_id % 3 = 2) + exact re-crawls of
+    * day-0 docs (the hash manifest catches these) + one-token-modified
+    * re-crawls of day-1 docs (a different md5 — only the band screen
+    * sees them). */
+  private def day2CurationCrawl(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id")).as("id_off"))
+    docs.filter(col("doc_id") % 3 === 2)
+      .unionAll(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 4 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + (col("id_off") + 1L) * 2L).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0)
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + (col("id_off") + 1L) * 3L).as("doc_id"),
+          concat(lit("upd "), col("text")).as("text")))
   }
 
   /** Day 2's crawl for the cluster-maintenance family (q115/q118 and the
@@ -1948,6 +2117,210 @@ object DataQueries {
       (centTbl, idx2)
     }
 
+  /** Shared day-2 doc-stream drain for the fold fixtures: streams `st`'s
+    * staged files (maxFilesPerTrigger so the day is genuinely multi-batch)
+    * through `perBatch` with shuffle partitions pinned low (per-batch
+    * work is small — 32-partition shuffles would be pure task overhead),
+    * then runs `afterDrain` (the day close) before the spool tree is
+    * deleted. Scaffolding shape shared by q129/q130/q131's PAST-day
+    * builders. */
+  private def drainDay2Stream(s: SparkSession, st: StreamFixtures.Stage,
+      filesPerTrigger: Int, tag: String)(
+      perBatch: (DataFrame, Long, java.nio.file.Path) => Unit)(
+      afterDrain: java.nio.file.Path => Unit): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(st.in).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(st.in)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+    try {
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            perBatch(batch, batchId, tmp)
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      afterDrain(tmp)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q129's stored state — [[ensureClusterState]]'s day-1 tables COPIED
+    * and then maintained by the STREAMED day-2 job + DAY CLOSE: day 2
+    * arrives as a multi-batch stream (q123's processBatch spooling per
+    * batch), and ClusterMaintenanceStream.closeDay folds both spools into
+    * the table copies via idempotentAppend and clears them. The folded
+    * tables are q129's day-3 prior state — the batch twin is
+    * [[ensureDay2ClusterState]] (same resolution, different write path),
+    * which is why the two days' gates share one oracle. */
+  private[graft] def ensureStreamFoldedClusterState(s: SparkSession, dir: String): (String, String) =
+    Fixtures.oncePerSession(s, s"q129_state|$dir") {
+      val (atbl, itbl) = ensureClusterState(s, dir)
+      val atbl2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(atbl), s"q129_assign|$dir", "doc_id", buckets = 8)
+      val itbl2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(itbl), s"q129_shingles|$dir", "h", buckets = 8)
+      val priorIdx = s.table(itbl2).persist()
+      val priorAssign = s.table(atbl2).persist()
+      priorIdx.count(); priorAssign.count()
+      try {
+        drainDay2Stream(s, StreamFixtures.arm(q123Stage(s, dir)),
+          filesPerTrigger = 4, tag = "q129d2") { (batch, batchId, tmp) =>
+          graft.streaming.ClusterMaintenanceStream.processBatch(
+            batch, batchId, priorIdx, priorAssign,
+            tmp.resolve("idx").toString, tmp.resolve("delta").toString)
+        } { tmp =>
+          graft.streaming.ClusterMaintenanceStream.closeDay(s,
+            tmp.resolve("idx").toString, tmp.resolve("delta").toString,
+            itbl2, atbl2, idxBuckets = 8, assignBuckets = 8, jobId = "day2")
+        }
+      } finally { priorIdx.unpersist(); priorAssign.unpersist(); () }
+      (atbl2, itbl2)
+    }
+
+  /** q130's stored state — [[ensureDfManifest]]'s (term, df) table COPIED
+    * and maintained by the STREAMED day-2 job + DAY CLOSE: per-batch
+    * (term, df) deltas spool under batch=<id> (q127's machinery), then
+    * foldSpool SUMS the spool per term and appends ONCE into the manifest
+    * buckets, clearing the spool. Returns the table and the day-1+2 doc
+    * count. Batch twin: [[ensureDay2DfManifest]]. */
+  private[graft] def ensureStreamFoldedDfManifest(s: SparkSession, dir: String): (String, Long) =
+    Fixtures.oncePerSession(s, s"q130_df|$dir") {
+      val (tbl, n1) = ensureDfManifest(s, dir)
+      val tbl2 = graft.operators.BucketedOps.ensureBucketed(
+        s.table(tbl), s"q130_df|$dir", "term", buckets = 8)
+      val st = StreamFixtures.arm(q127Stage(s, dir))
+      drainDay2Stream(s, st, filesPerTrigger = 4, tag = "q130d2") {
+        (batch, batchId, tmp) =>
+          if (!batch.isEmpty)
+            graft.operators.TfIdf.dfManifest(batch, "doc_id", "text")
+              .write.mode("overwrite")
+              .parquet(tmp.resolve("df").resolve(s"batch=$batchId").toString)
+      } { tmp =>
+        graft.operators.BucketedOps.foldSpool(s, tmp.resolve("df").toString,
+          tbl2, "term", buckets = 8, jobId = "day2",
+          resolve = _.groupBy("term").agg(sum("df").as("df")))
+        ()
+      }
+      val n2 = s.read.parquet(st.in).select("doc_id").distinct().count()
+      (tbl2, n1 + n2)
+    }
+
+  /** q131's stored state — the day-1 (bigram, n) manifest built fresh
+    * (bucketed on bg) and maintained by the STREAMED day-2 job + DAY
+    * CLOSE: per-batch bigram-count deltas spool (addition composes under
+    * disjoint doc sets — a replayed batch overwrites its own partition
+    * with identical rows), then foldSpool sums per bg and appends once.
+    * Batch twin: [[ensureBigramManifest]] — q131's reader must land on
+    * q124's exact numbers. */
+  private[graft] def ensureStreamFoldedBigramManifest(s: SparkSession, dir: String): String =
+    Fixtures.oncePerSession(s, s"q131_bg|$dir") {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tbl2 = graft.operators.BucketedOps.ensureBucketed(
+        graft.operators.TextStats.bigramManifest(
+          docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text"),
+        s"q131_bg|$dir", "bg", buckets = 8)
+      drainDay2Stream(s, StreamFixtures.arm(q127Stage(s, dir)),
+        filesPerTrigger = 4, tag = "q131d2") { (batch, batchId, tmp) =>
+        if (!batch.isEmpty)
+          graft.operators.TextStats.bigramManifest(batch, "doc_id", "text")
+            .write.mode("overwrite")
+            .parquet(tmp.resolve("bg").resolve(s"batch=$batchId").toString)
+      } { tmp =>
+        graft.operators.BucketedOps.foldSpool(s, tmp.resolve("bg").toString,
+          tbl2, "bg", buckets = 8, jobId = "day2",
+          resolve = _.groupBy("bg").agg(sum("n").as("n")))
+        ()
+      }
+      tbl2
+    }
+
+  /** q132's stored state — the COMPOSED day-2 job run through the
+    * PRODUCTION WRITERS (round-12 verdict ask #5: the write side of each
+    * family is gated individually, but the COMPOSED write is where the
+    * q105 bug class lives; until now StagedJob+idempotentAppend ran only
+    * in DailyJobFailoverSpec's harness). Fresh copies of the four tables
+    * the job mutates (kept-hash + band manifests from the day-0/1
+    * choreography, assignment + shingle index from the day-1 cluster
+    * build), then ONE day-2 job over ONE crawl ([[day2CurationCrawl]] —
+    * q105/q122's dcsrc):
+    *
+    *   phase 1 — every leg's delta staged DURABLY against pre-append
+    *   state ([[graft.operators.StagedJob.stagedDelta]]): the curation
+    *   ledger (reads the hash manifest), kept hashes + kept bands
+    *   (derive from the staged ledger — file-backed, immune to the
+    *   append's cascade invalidation), the cluster delta (reads
+    *   assignment + index), day-2 shingles;
+    *   phase 2 — four [[graft.operators.BucketedOps.idempotentAppend]]s
+    *   land the deltas under jobId day2.
+    *
+    * A crash anywhere replays to the uninterrupted state (the
+    * DailyJobFailoverSpec contract, here under the oracle gate: q132's
+    * day-3 audit reads all four mutated tables and its oracle replays
+    * BOTH days from scratch). Returns (hashTbl, bandTbl, assignTbl,
+    * shingleTbl, day3PackStart). */
+  private[graft] def ensureComposedDay2State(s: SparkSession, dir: String)
+      : (String, String, String, String, Long) =
+    Fixtures.oncePerSession(s, s"q132_state|$dir") {
+      val (htbl0, btbl0, p2) = ensureCurationManifests(s, dir)
+      val htbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(htbl0), s"q132_hashes|$dir", "h", buckets = 8)
+      val btbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(btbl0), s"q132_bands|$dir", "bhv", buckets = 8)
+      val (atbl0, itbl0) = ensureClusterState(s, dir)
+      val atbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(atbl0), s"q132_assign|$dir", "doc_id", buckets = 8)
+      val itbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(itbl0), s"q132_shingles|$dir", "h", buckets = 8)
+      val stage = java.nio.file.Files.createTempDirectory("graft_q132_stage_")
+      try {
+        val d2 = day2CurationCrawl(s, dir)
+        // phase 1: stage every delta against PRE-append state
+        val led = graft.operators.Curation.incrementalCurationLedger(
+          d2, s.table(htbl), "doc_id", "text", packIdStart = p2)
+        val ledStaged = graft.operators.StagedJob.stagedDelta(
+          s, stage.toString, "ledger")(led)
+        led.unpersist()
+        def kept: DataFrame = d2.join(
+          ledStaged.filter(col("verdict") === "kept").select("doc_id"), Seq("doc_id"))
+        val keptHashes = graft.operators.StagedJob.stagedDelta(
+          s, stage.toString, "kept-hashes")(kept.select(md5(col("text")).as("h")))
+        val keptBands = graft.operators.StagedJob.stagedDelta(
+          s, stage.toString, "kept-bands")(
+          Dedup.bandManifest(kept, "doc_id", "text"))
+        val delta = graft.operators.StagedJob.stagedDelta(
+          s, stage.toString, "clusters") {
+          val te = Dedup.ngramJaccardPairs(d2, "doc_id", "text",
+            n = 3, minJaccard = 0.3)
+          val ce = Dedup.ngramJaccardPairsVsIndex(d2, "doc_id", "text",
+            s.table(itbl), n = 3, minJaccard = 0.3)
+          graft.operators.ConnectedComponents.incrementalClusters(
+            d2.select("doc_id"), "doc_id", te, "id_a", "id_b",
+            ce, "today_id", "prior_id", s.table(atbl))
+            .select("doc_id", "cluster_id")
+        }
+        val shingles = graft.operators.StagedJob.stagedDelta(
+          s, stage.toString, "shingles")(
+          Dedup.shingleIndex(d2, "doc_id", "text", n = 3))
+        val p3 = ledStaged.agg((coalesce(max("pack_id"), lit(p2 - 1L)) + lit(1L)).as("p"))
+          .head().getLong(0)
+        // phase 2: the appends, each exactly-once under its marker
+        graft.operators.BucketedOps.idempotentAppend(
+          keptHashes, htbl, "h", buckets = 8, jobId = "day2")
+        graft.operators.BucketedOps.idempotentAppend(
+          keptBands, btbl, "bhv", buckets = 8, jobId = "day2")
+        graft.operators.BucketedOps.idempotentAppend(
+          delta, atbl, "doc_id", buckets = 8, jobId = "day2")
+        graft.operators.BucketedOps.idempotentAppend(
+          shingles, itbl, "h", buckets = 8, jobId = "day2")
+        (htbl, btbl, atbl, itbl, p3)
+      } finally deleteRecursively(stage)
+    }
+
   /** Every stored-state fixture this file maintains, built in one call —
     * what Bench pre-materializes outside the timed window (the amortized-
     * ingest rule) so the gate queries time the daily job, never the
@@ -1964,6 +2337,10 @@ object DataQueries {
     ensureDay2HistManifest(s, dir)
     ensureBigramManifest(s, dir)
     ensureDay2AnnIndex(s, dir)
+    ensureStreamFoldedClusterState(s, dir)
+    ensureStreamFoldedDfManifest(s, dir)
+    ensureStreamFoldedBigramManifest(s, dir)
+    ensureComposedDay2State(s, dir)
     ()
   }
 
@@ -2082,6 +2459,41 @@ object DataQueries {
       |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
       |WHERE rank <= 5 AND doc_id IN (SELECT doc_id FROM d3)
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** Day-3 fluency scoring vs the day-1+2-maintained bigram manifest,
+    * from scratch: the closed form BOTH maintenance shapes must land on —
+    * q124's batch append and q131's streamed+folded spools. One generator
+    * so the gates cannot drift (the day2FunnelCtes rule). */
+  private def bigramFluencyOracleSql: String =
+    """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+      |d3 AS MATERIALIZED (
+      |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
+      |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
+      |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+      |mb AS MATERIALIZED (
+      |  SELECT ts[i] || ' ' || ts[i+1] AS bg, COUNT(*) AS n
+      |  FROM (SELECT string_split(text, ' ') ts FROM documents),
+      |       UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+      |  GROUP BY 1),
+      |tb AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
+      |       FROM (SELECT doc_id, string_split(text, ' ') ts FROM d3),
+      |            UNNEST(generate_series(1, len(ts) - 1)) AS g(i)),
+      |per AS (SELECT t.doc_id, COUNT(*) AS n_bigrams,
+      |          SUM(CASE WHEN m.bg IS NULL THEN 1 ELSE 0 END) AS n_oov,
+      |          SUM(COALESCE(m.n, 0)) AS hit_mass
+      |        FROM tb t LEFT JOIN mb m USING (bg) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+      |  CAST(COALESCE(p.hit_mass, 0) AS BIGINT) AS hit_mass,
+      |  CAST(COALESCE(p.n_oov, 0) AS DOUBLE)
+      |    / CAST(GREATEST(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS oov_rate,
+      |  CAST(COALESCE(p.hit_mass, 0) AS DOUBLE)
+      |    / CAST(GREATEST(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS mean_hit
+      |FROM (SELECT DISTINCT doc_id FROM d3) d LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   private def day2FunnelCtes: String =
     s"""dasrc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
@@ -2552,6 +2964,109 @@ object DataQueries {
     // prevents the two gates from drifting apart
     "q127_stream_tfidf_maintenance" -> tfidfMaintenanceOracleSql,
 
+    // stream day 2 → DAY-CLOSE FOLD → stream day 3 must land exactly where
+    // the batch-append loop does: q119's generator, third execution shape
+    // (the fold is invisible to the closed form — it only moves rows from
+    // the spool into the table)
+    "q129_stream_fold_clusters" ->
+      s"""$incClusterCtes3
+         |SELECT doc_id, cluster_id, scope FROM delta
+         |ORDER BY doc_id""".stripMargin,
+
+    // stream day 2 → fold → day-3 scoring from the STORED table only:
+    // q120/q127's generator, third execution shape for the additive df
+    // family
+    "q130_stream_fold_tfidf" -> tfidfMaintenanceOracleSql,
+
+    // streamed+folded bigram manifest scores day 3 exactly like the
+    // batch-append q124 — one generator, two execution shapes
+    "q131_stream_bigram_maintenance" -> bigramFluencyOracleSql,
+
+    // the COMPOSED day-2 job's appends audited by day 3: q105's three
+    // funnels (day2FunnelCtes), a FOURTH day-3 funnel whose prior-dup
+    // stage reads the union of ALL THREE days' kept hashes (= the
+    // manifest the staged job appended), a three-manifest band screen,
+    // and two fresh component walks (3-day corpus vs the 2-day corpus
+    // the appended assignment encodes). The pack offset chains through
+    // all three prior funnels exactly like the stored p3.
+    "q132_composed_maintenance" ->
+      s"""WITH RECURSIVE
+         |$day2FunnelCtes,
+         |d2k AS MATERIALIZED (SELECT s.doc_id, s.text
+         |       FROM dckept k JOIN dcsrc s ON k.doc_id = s.doc_id),
+         |dcprior AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM d2k),
+         |m3prior AS MATERIALIZED (SELECT h FROM mprior UNION SELECT h FROM dcprior),
+         |ddoff AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+         |ddsrc AS MATERIALIZED (
+         |  SELECT d.doc_id + 4 * ddoff.o AS doc_id, 'upd ' || d.text AS text
+         |  FROM documents d, ddoff WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT d.doc_id + 5 * ddoff.o, 'upd ' || d.text
+         |  FROM documents d, ddoff WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+         |${funnelHeadSql("dd", "ddsrc")},
+         |ddpd AS MATERIALIZED (SELECT doc_id FROM dds2
+         |         WHERE EXISTS (SELECT 1 FROM m3prior p WHERE p.h = md5(dds2.text))),
+         |dds2b AS MATERIALIZED (SELECT doc_id, text, n_tokens FROM dds2
+         |          WHERE NOT EXISTS (SELECT 1 FROM m3prior p WHERE p.h = md5(dds2.text))),
+         |${funnelTailSql("dd", "dds2b",
+             "(SELECT COALESCE(MAX(pack_id), (SELECT COALESCE(MAX(pack_id), " +
+               "(SELECT COALESCE(MAX(pack_id), -1) FROM dapacks)) FROM dbpacks)) + 1 FROM dcpacks)")},
+         |${md5SigBandCtes(16, 8, "d2k", "mc")},
+         |${md5SigBandCtes(16, 8, "ddsrc", "td")},
+         |m3b AS MATERIALIZED (SELECT DISTINCT band, bhv FROM
+         |        (SELECT band, bhv FROM mabands UNION ALL SELECT band, bhv FROM mbbands
+         |         UNION ALL SELECT band, bhv FROM mcbands)),
+         |scr3 AS (SELECT b.doc_id, COUNT(*) AS n_bands,
+         |          SUM(CASE WHEN y.band IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |        FROM tdbands b LEFT JOIN m3b y ON b.band = y.band AND b.bhv = y.bhv
+         |        GROUP BY 1),
+         |xd1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+         |xuni2 AS MATERIALIZED (SELECT doc_id, text FROM xd1
+         |        UNION ALL SELECT doc_id, text FROM dcsrc),
+         |xuni3 AS MATERIALIZED (SELECT doc_id, text FROM xuni2
+         |        UNION ALL SELECT doc_id, text FROM ddsrc),
+         |${jaccardWalkCtes("xf", "xuni3")},
+         |xfc AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM xfwalk GROUP BY u),
+         |${jaccardWalkCtes("xp", "xuni2")},
+         |xpc AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM xpwalk GROUP BY u),
+         |xfa AS MATERIALIZED (SELECT t.doc_id, COALESCE(f.lbl, t.doc_id) AS cluster_id
+         |      FROM xuni3 t LEFT JOIN xfc f USING (doc_id)),
+         |xpa AS MATERIALIZED (SELECT t.doc_id, COALESCE(p.lbl, t.doc_id) AS cluster_id
+         |      FROM xuni2 t LEFT JOIN xpc p USING (doc_id)),
+         |xdelta AS (
+         |  SELECT doc_id, cluster_id, 'today' AS scope FROM xfa
+         |  WHERE doc_id IN (SELECT doc_id FROM ddsrc)
+         |  UNION ALL
+         |  SELECT f.doc_id, f.cluster_id, 'prior' AS scope
+         |  FROM xfa f JOIN xpa ON f.doc_id = xpa.doc_id
+         |                 AND f.cluster_id <> xpa.cluster_id)
+         |SELECT l.doc_id, 'today' AS scope,
+         |  CASE WHEN l.quality < 0.2 THEN 'drop_quality'
+         |       WHEN l.lang_pred <> 'en' THEN 'drop_lang'
+         |       WHEN pd.doc_id IS NOT NULL THEN 'drop_prior_dup'
+         |       WHEN e.doc_id IS NOT NULL THEN 'drop_exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'drop_near_dup'
+         |       ELSE 'kept' END AS verdict,
+         |  l.n_tokens, p.pack_id,
+         |  CAST(COALESCE(s.n_bands, 0) AS BIGINT) AS n_bands,
+         |  CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+         |  (COALESCE(s.n_hit, 0) > 0) AS near_dup_prior,
+         |  dl.cluster_id
+         |FROM ddlp l
+         |LEFT JOIN ddpd pd ON l.doc_id = pd.doc_id
+         |LEFT JOIN (SELECT doc_id FROM ddex WHERE doc_id <> keeper) e ON l.doc_id = e.doc_id
+         |LEFT JOIN ddnd n ON l.doc_id = n.doc_id
+         |LEFT JOIN ddpacks p ON l.doc_id = p.doc_id
+         |LEFT JOIN scr3 s ON l.doc_id = s.doc_id
+         |JOIN (SELECT * FROM xdelta WHERE scope = 'today') dl ON l.doc_id = dl.doc_id
+         |UNION ALL
+         |SELECT doc_id, 'prior' AS scope,
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+         |  cluster_id
+         |FROM xdelta WHERE scope = 'prior'
+         |ORDER BY doc_id, scope""".stripMargin,
+
     // keep-first maximal-run substring dedup: per-span first occurrence
     // via a rank window (the Spark side uses an equivalent argmin
     // aggregate), non-first intervals unioned per doc, gaps-and-islands
@@ -2642,37 +3157,9 @@ object DataQueries {
 
     // the fluency filter closed-form: multiset bigram counts over the
     // whole corpus (= the summed day-1+2 manifest), day 3's bigrams
-    // left-joined, per-doc integer aggregates + exact divisions
-    "q124_bigram_fluency" ->
-      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
-        |d3 AS MATERIALIZED (
-        |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
-        |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
-        |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
-        |mb AS MATERIALIZED (
-        |  SELECT ts[i] || ' ' || ts[i+1] AS bg, COUNT(*) AS n
-        |  FROM (SELECT string_split(text, ' ') ts FROM documents),
-        |       UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
-        |  GROUP BY 1),
-        |tb AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
-        |       FROM (SELECT doc_id, string_split(text, ' ') ts FROM d3),
-        |            UNNEST(generate_series(1, len(ts) - 1)) AS g(i)),
-        |per AS (SELECT t.doc_id, COUNT(*) AS n_bigrams,
-        |          SUM(CASE WHEN m.bg IS NULL THEN 1 ELSE 0 END) AS n_oov,
-        |          SUM(COALESCE(m.n, 0)) AS hit_mass
-        |        FROM tb t LEFT JOIN mb m USING (bg) GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
-        |  CAST(COALESCE(p.hit_mass, 0) AS BIGINT) AS hit_mass,
-        |  CAST(COALESCE(p.n_oov, 0) AS DOUBLE)
-        |    / CAST(GREATEST(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS oov_rate,
-        |  CAST(COALESCE(p.hit_mass, 0) AS DOUBLE)
-        |    / CAST(GREATEST(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS mean_hit
-        |FROM (SELECT DISTINCT doc_id FROM d3) d LEFT JOIN per p USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    // left-joined, per-doc integer aggregates + exact divisions. Shared
+    // with the streamed+folded q131 (one generator, two execution shapes).
+    "q124_bigram_fluency" -> bigramFluencyOracleSql,
 
     // day 3 vs the APPEND-maintained histogram: the prior side is the
     // whole corpus (days 1-2 = the summed manifest), today is day 3's

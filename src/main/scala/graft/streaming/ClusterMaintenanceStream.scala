@@ -128,6 +128,40 @@ object ClusterMaintenanceStream {
     }
   }
 
+  /** DAY CLOSE — fold both spools into the stored bucketed tables and
+    * clear them ([[graft.operators.BucketedOps.foldSpool]]; round-12
+    * verdict ask #1). After this returns, the day's state lives entirely
+    * in the tables: the shingle spool's rows append VERBATIM into the
+    * inverted index (batches hold disjoint docs — a replayed batch
+    * overwrote its own partition, so the spool is already a set), and the
+    * delta spool MIN-REDUCES per doc before appending (labels only
+    * decrease; min(stored ∪ min-spool) = min(stored ∪ spool), so readers'
+    * resolution is unchanged — only where the rows live changes). The next
+    * day's stream then starts with EMPTY spools against the grown tables,
+    * which is what bounds the per-day O(batches²) spool re-reads and the
+    * small-file accretion to one day's worth.
+    *
+    * Each fold is one [[graft.operators.BucketedOps.idempotentAppend]]
+    * under `jobId.idx` / `jobId.assign`, so a crash at ANY point replays
+    * to exactly-once (FoldFailoverSpec kills every window, including
+    * mid-promote); run closeDay to completion before starting the next
+    * day's stream. `onStep` is the spec's kill-injection point. */
+  def closeDay(s: SparkSession, spoolIdx: String, spoolDelta: String,
+      idxTable: String, assignTable: String,
+      idxBuckets: Int, assignBuckets: Int, jobId: String,
+      onStep: String => Unit = _ => ()): Unit = {
+    graft.operators.BucketedOps.foldSpool(s, spoolIdx, idxTable, "h",
+      idxBuckets, jobId + ".idx",
+      resolve = _.select("h", "doc_id", "n_sh"),
+      onFolded = () => onStep("idx-appended"))
+    onStep("idx-folded")
+    graft.operators.BucketedOps.foldSpool(s, spoolDelta, assignTable,
+      "doc_id", assignBuckets, jobId + ".assign",
+      resolve = _.groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
+      onFolded = () => onStep("assign-appended"))
+    onStep("assign-folded")
+  }
+
   private def spoolExcept(s: SparkSession, root: String,
       excludeBatch: Option[Long]): Option[DataFrame] = {
     // Hadoop FileSystem, not java.io.File: on an object store a local-FS
@@ -145,15 +179,27 @@ object ClusterMaintenanceStream {
   /** The drained run's output in q115's contract: every today doc's final
     * assignment (`scope='today'`) plus prior docs whose assignment
     * changed (`scope='prior'`) — what the daily job appends to its
-    * assignment table. */
+    * assignment table.
+    *
+    * The prior leg MIN-REDUCES the stored label per doc BEFORE the
+    * changed-filter: `priorAssign` may carry duplicate doc_ids (an
+    * append-maintained lake table, where a doc's CURRENT label is the min
+    * of its rows — see [[resolvedAssignment]]). Joining the raw rows
+    * would emit one 'prior' delta row PER stale stored row, including
+    * spurious "changed" rows when the resolved label EQUALS the doc's
+    * true latest (rows (5,10),(5,7) with resolved 7: the (5,10) join row
+    * passes the =!= filter). Downstream min-resolve makes such duplicates
+    * semantically harmless, but the delta is what a daily job appends and
+    * AUDITS — it must be one row per genuinely-changed doc.
+    * FinalDeltaDupSpec pins it against a dup-carrying q119-shaped table. */
   def finalDelta(s: SparkSession, priorAssign: DataFrame,
       spoolDelta: String, todayIds: DataFrame): DataFrame = {
     val resolved = resolvedAssignment(s, priorAssign, spoolDelta)
     val today = resolved.join(todayIds.select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"), lit("today").as("scope"))
+    val origMin = priorAssign.groupBy("doc_id").agg(min("cluster_id").as("orig"))
     val prior = resolved.join(todayIds.select("doc_id"), Seq("doc_id"), "left_anti")
-      .join(priorAssign.withColumnRenamed("cluster_id", "orig"),
-        Seq("doc_id"), "left")
+      .join(origMin, Seq("doc_id"), "left")
       .filter(col("cluster_id") =!= coalesce(col("orig"), col("doc_id")))
       .select(col("doc_id"), col("cluster_id"), lit("prior").as("scope"))
     today.unionAll(prior)

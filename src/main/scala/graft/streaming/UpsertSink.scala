@@ -246,10 +246,20 @@ object UpsertSink {
     * by RENAMING it aside — rename is the single-winner primitive, so two
     * breakers can never each believe they cleared the way (a delete here
     * could remove ANOTHER breaker's freshly re-created lock and seat two
-    * writers). While `body` runs, a daemon thread refreshes the lock's
-    * mtime every TTL/3, so a merge legitimately slower than the TTL is
-    * never mistaken for crash debris. Shared by the sink's merges and
-    * [[graft.operators.BucketedOps.idempotentAppend]]. */
+    * writers). While `body` runs, a daemon thread refreshes the lease
+    * every TTL/3 by REWRITING the lock file (create-overwrite bumps the
+    * mtime everywhere — `FileSystem.setTimes` is a silent no-op on stores
+    * that don't implement it, which would let a >TTL merge's live lease
+    * be broken mid-body); a transient refresh IOException is retried at
+    * the next tick, never fatal to the refresher. Shared by the sink's
+    * merges and [[graft.operators.BucketedOps.idempotentAppend]].
+    *
+    * FILESYSTEM REQUIREMENT: both the acquire (`create(overwrite=false)`)
+    * and the stale break (rename) rely on SINGLE-WINNER atomic semantics —
+    * true on HDFS and local/POSIX filesystems, NOT on S3 (S3A rename is
+    * copy+delete and create is last-writer-wins). On an object store,
+    * front this path with a real lock service or a table format's
+    * transaction log; the lease here is correct where its primitives are. */
   private[graft] def withWriterLease[T](fs: FileSystem, target: Path)(body: => T): T = {
     fs.mkdirs(target)
     val lock = new Path(target, "_graft_writer.lock")
@@ -290,9 +300,18 @@ object UpsertSink {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(LeaseTtlMs / 3)
-          fs.setTimes(lock, System.currentTimeMillis(), -1)
+          // heartbeat = rewrite, not setTimes: overwrite bumps the mtime on
+          // every FileSystem; a store-specific setTimes no-op would leave
+          // the lease looking stale mid-merge. A transient IOException must
+          // not kill the refresher — retry at the next tick (the lease
+          // stays fresh for a full TTL, so one missed beat is harmless).
+          try {
+            val out = fs.create(lock, true)
+            try out.write(java.util.UUID.randomUUID.toString.getBytes("UTF-8"))
+            finally out.close()
+          } catch { case _: java.io.IOException => () }
         }
-      } catch { case _: InterruptedException | _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
     }, s"graft-lease-refresh-$target")
     refresher.setDaemon(true); refresher.start()
     try body finally { refresher.interrupt(); fs.delete(lock, false) }

@@ -326,6 +326,51 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("q129-q132 fold/composed-maintained tables: resolution stays bucket-local") {
+    // the round-13 write paths (day-close spool folds, the composed job's
+    // staged appends) land rows through idempotentAppend — the promoted
+    // files must keep bucket placement so every read-side resolve
+    // (min per doc / sum per term / sum per bg) still executes inside the
+    // scan's distribution with ZERO shuffle of the stored state (the
+    // round-12 per-side-min lesson, made explicit per ask #8)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val (a129, i129) = graft.queries.DataQueries.ensureStreamFoldedClusterState(s, dir)
+    val (d130, _) = graft.queries.DataQueries.ensureStreamFoldedDfManifest(s, dir)
+    val b131 = graft.queries.DataQueries.ensureStreamFoldedBigramManifest(s, dir)
+    val (_, _, a132, _, _) = graft.queries.DataQueries.ensureComposedDay2State(s, dir)
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val targets = Seq(
+        ("q129 folded assignment resolve", a129,
+          s.table(a129).groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))),
+        ("q129 folded shingle-index scan", i129,
+          s.table(i129).groupBy("h").agg(count(lit(1)).as("n"))),
+        ("q130 folded df resolve", d130,
+          s.table(d130).groupBy("term").agg(sum("df").as("df"))),
+        ("q131 folded bigram resolve", b131,
+          s.table(b131).groupBy("bg").agg(sum("n").as("n"))),
+        ("q132 composed assignment resolve", a132,
+          s.table(a132).groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))))
+      for ((label, tbl, df) <- targets) {
+        val p = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        val scans = p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == tbl) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          s"$label: fold-maintained table not read as a bucketed scan:\n$p")
+        assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"$label: resolve aggregate shuffled the stored state:\n$p")
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("q122 composition: no cartesian blowup, stored tables stay bucketed scans") {
     // the composed daily job unions five individually-pinned legs; the
     // composition must not degrade them — the only nested-loop joins

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.BucketedOps
+import org.apache.spark.sql.functions._
+
+/** Kill-point coverage for the DAY-CLOSE SPOOL FOLD (round-12 verdict ask
+  * #1): [[ClusterMaintenanceStream.closeDay]] drains the streaming gates'
+  * per-batch spools into the stored bucketed tables and clears them. A
+  * crash in ANY window — between drain and fold, between the two folds,
+  * after an append's commit marker but before its spool clear, or
+  * mid-promote inside an append — must replay to exactly-once: the folded
+  * rows land a single time, the spools end cleared, and readers' min
+  * resolution is unchanged from the uninterrupted run. */
+class FoldFailoverSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One independent copy of the stored state + spools. */
+  private def fresh(tag: String): (String, String, java.nio.file.Path) = {
+    val nonce = System.nanoTime()
+    val atbl = BucketedOps.ensureBucketed(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("doc_id", "cluster_id"),
+      s"fold_a_$tag|$nonce", "doc_id", buckets = 4)
+    val itbl = BucketedOps.ensureBucketed(
+      Seq((100L, 1L, 3L), (200L, 2L, 4L)).toDF("h", "doc_id", "n_sh"),
+      s"fold_i_$tag|$nonce", "h", buckets = 4)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_fold_$tag")
+    tmp.toFile.deleteOnExit()
+    // what processBatch spools over a day: per-batch shingle index rows
+    // (disjoint docs) and per-batch assignment deltas (labels for a doc
+    // may DECREASE across batches — the min resolve is load-bearing)
+    Seq((300L, 10L, 2L), (301L, 11L, 5L)).toDF("h", "doc_id", "n_sh")
+      .write.parquet(tmp.resolve("idx").resolve("batch=0").toString)
+    Seq((302L, 12L, 1L)).toDF("h", "doc_id", "n_sh")
+      .write.parquet(tmp.resolve("idx").resolve("batch=1").toString)
+    Seq((10L, 5L), (3L, 1L)).toDF("doc_id", "cluster_id")
+      .write.parquet(tmp.resolve("delta").resolve("batch=0").toString)
+    Seq((10L, 2L), (12L, 12L)).toDF("doc_id", "cluster_id")
+      .write.parquet(tmp.resolve("delta").resolve("batch=1").toString)
+    (atbl, itbl, tmp)
+  }
+
+  private def close(atbl: String, itbl: String, tmp: java.nio.file.Path,
+      onStep: String => Unit = _ => ()): Unit =
+    ClusterMaintenanceStream.closeDay(spark,
+      tmp.resolve("idx").toString, tmp.resolve("delta").toString,
+      itbl, atbl, idxBuckets = 4, assignBuckets = 4, jobId = "day2",
+      onStep = onStep)
+
+  /** Readers' contract: current label = min per doc. */
+  private def resolution(atbl: String): Map[Long, Long] =
+    spark.table(atbl).groupBy("doc_id").agg(min("cluster_id").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def idxRows(itbl: String): Seq[(Long, Long, Long)] =
+    spark.table(itbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+
+  private val expectedResolution = Map(
+    1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 10L -> 2L, 12L -> 12L)
+  private val expectedIdx = Seq(
+    (100L, 1L, 3L), (200L, 2L, 4L), (300L, 10L, 2L), (301L, 11L, 5L),
+    (302L, 12L, 1L)).sortBy(identity)
+
+  private def assertConverged(atbl: String, itbl: String,
+      tmp: java.nio.file.Path, cell: String): Unit = {
+    assert(resolution(atbl) == expectedResolution, s"[$cell] resolution diverged")
+    assert(idxRows(itbl) == expectedIdx, s"[$cell] index rows not exactly-once")
+    // the fold also min-reduced the delta spool BEFORE appending: doc 10
+    // contributes ONE stored row (its end-of-day min), not one per batch
+    assert(spark.table(atbl).filter(col("doc_id") === 10L).count() == 1,
+      s"[$cell] spool delta rows not min-reduced before the append")
+    assert(!tmp.resolve("idx").toFile.exists(), s"[$cell] idx spool not cleared")
+    assert(!tmp.resolve("delta").toFile.exists(), s"[$cell] delta spool not cleared")
+  }
+
+  test("uninterrupted fold: rows land once, spools cleared, resolution = streamed state") {
+    val (atbl, itbl, tmp) = fresh("ctl")
+    // the pre-fold resolution over (stored ∪ spool) — what the day's last
+    // micro-batch saw — must equal the post-fold stored-only resolution
+    val preFold = ClusterMaintenanceStream.resolvedAssignment(
+        spark, spark.table(atbl), tmp.resolve("delta").toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    close(atbl, itbl, tmp)
+    assertConverged(atbl, itbl, tmp, "ctl")
+    assert(preFold == expectedResolution,
+      "fold changed what readers resolve (it may only change where rows live)")
+    // replay after full completion: pure no-op
+    val files = spark.table(atbl).inputFiles.sorted.toSeq
+    close(atbl, itbl, tmp)
+    assert(spark.table(atbl).inputFiles.sorted.toSeq == files,
+      "replaying a completed day close changed the table")
+  }
+
+  test("kill swept across every closeDay window: replay converges exactly-once") {
+    Seq("idx-appended", "idx-folded", "assign-appended").foreach { at =>
+      val (atbl, itbl, tmp) = fresh(at.replace("-", ""))
+      val killed = intercept[RuntimeException] {
+        close(atbl, itbl, tmp, onStep = step =>
+          if (step == at) throw new RuntimeException(s"injected kill at $at"))
+      }
+      assert(killed.getMessage.contains("injected kill"))
+      close(atbl, itbl, tmp) // the replay
+      assertConverged(atbl, itbl, tmp, s"kill@$at")
+    }
+  }
+
+  test("kill mid-promote inside a fold's append: replay lands the delta once") {
+    val (atbl, itbl, tmp) = fresh("midpromote")
+    val _ = itbl
+    intercept[RuntimeException] {
+      BucketedOps.foldSpool(spark, tmp.resolve("delta").toString, atbl,
+        "doc_id", buckets = 4, jobId = "day2.assign",
+        resolve = _.groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
+        onFilePromoted = n =>
+          if (n == 1) throw new RuntimeException("injected kill mid-promote"))
+    }
+    // torn: spool intact (clear never ran), table under-counts monotonically
+    assert(tmp.resolve("delta").toFile.exists(),
+      "spool must survive a mid-promote crash — it is the replay's input")
+    BucketedOps.foldSpool(spark, tmp.resolve("delta").toString, atbl,
+      "doc_id", buckets = 4, jobId = "day2.assign",
+      resolve = _.groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
+    assert(resolution(atbl) == expectedResolution, "replay did not converge")
+    assert(spark.table(atbl).filter(col("doc_id") === 10L).count() == 1)
+    assert(!tmp.resolve("delta").toFile.exists())
+  }
+
+  test("two days fold in sequence: day 3 accumulates on day 2's folded tables") {
+    val (atbl, itbl, tmp) = fresh("twoday")
+    close(atbl, itbl, tmp)
+    // day 3's stream spools against the FOLDED tables (empty spool start)
+    Seq((303L, 20L, 2L)).toDF("h", "doc_id", "n_sh")
+      .write.parquet(tmp.resolve("idx").resolve("batch=0").toString)
+    Seq((20L, 1L), (12L, 1L)).toDF("doc_id", "cluster_id")
+      .write.parquet(tmp.resolve("delta").resolve("batch=0").toString)
+    ClusterMaintenanceStream.closeDay(spark,
+      tmp.resolve("idx").toString, tmp.resolve("delta").toString,
+      itbl, atbl, idxBuckets = 4, assignBuckets = 4, jobId = "day3")
+    assert(resolution(atbl) ==
+      expectedResolution ++ Map(20L -> 1L, 12L -> 1L),
+      "day-3 fold must accumulate on day-2's folded state")
+    assert(idxRows(itbl) == (expectedIdx :+ (303L, 20L, 2L)).sortBy(identity))
+  }
+}
