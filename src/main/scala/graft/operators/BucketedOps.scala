@@ -285,6 +285,47 @@ object BucketedOps {
     }
   }
 
+  /** Retention GC for [[idempotentAppend]]'s bookkeeping — the markers
+    * half of the lake's vacuum story ([[vacuumChangelog]] is the data
+    * half). Each append leaves a `_graft_append_<jobId>.commit` marker
+    * forever (the idempotence fact) plus, after a crash that never
+    * replayed, possibly an abandoned `_graft_append_stage_<jobId>/`
+    * directory. At one job per day that is years before listing pain,
+    * but a long-lived table accumulates one root entry per job — this
+    * deletes markers and stage debris whose mtime is older than
+    * `horizonMs`.
+    *
+    * Pick `horizonMs` beyond the longest possible replay window (the
+    * [[vacuumChangelog]] horizon rule). Data files are untouched — their
+    * `graft-append_<jobId>_` prefixes stay, and that is LOAD-BEARING: a
+    * replay arriving after its marker was vacuumed treats the day as
+    * never landed, and it converges to a single copy ONLY because the
+    * undo glob still finds and deletes the old files before re-landing
+    * (AppendMarkerVacuumSpec pins exactly this — a future prefix-GC
+    * would silently turn post-vacuum replays into double counts, so
+    * don't add one). The marker, not the re-land, is still what makes a
+    * replay CHEAP; vacuum trades that no-op for O(delta) rework in the
+    * rare post-horizon replay. Runs under the writer lease (a marker
+    * must not vanish mid-append-check). Returns the number of entries
+    * removed. */
+  def vacuumAppendMarkers(s: org.apache.spark.sql.SparkSession, table: String,
+      horizonMs: Long): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.streaming.UpsertSink.withWriterLease(fs, loc) {
+      val cutoff = System.currentTimeMillis() - horizonMs
+      val markers = fs.globStatus(
+        new org.apache.hadoop.fs.Path(loc, "_graft_append_*.commit"))
+      val stages = fs.globStatus(
+        new org.apache.hadoop.fs.Path(loc, "_graft_append_stage_*"))
+      val dead = (markers ++ stages).filter(_.getModificationTime < cutoff)
+      dead.foreach(st => fs.delete(st.getPath, true))
+      dead.length
+    }
+  }
+
   /** Latest-state compaction of an op-column changelog STORED AS A BUCKETED
     * LAYOUT on its primary key — the periodic maintenance job of the
     * changelog lake, planned with ZERO exchanges: the grouping key IS the

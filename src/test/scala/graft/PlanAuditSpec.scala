@@ -430,6 +430,55 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q122 shuffled a stored table before its join:\n$offending")
   }
 
+  test("q132 composed-write audit: no cartesian, appended tables consumed at their distribution") {
+    // q132 = the composed job run THROUGH the production writers; day 3's
+    // audit must read the four mutated tables like q122 reads its
+    // read-only ones — no cartesian blowup, no undocumented nested-loop
+    // join, no hash exchange between a stored-table scan and its
+    // consuming join (the appended files keep bucket placement, so the
+    // composition has no excuse to shuffle them)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
+    val df = SparkEntry.queries("q132_composed_maintenance")(spark, dir)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "q132 planned a cartesian product")
+    val badBnlj = p.collect { case j: BroadcastNestedLoopJoinExec =>
+      val (build, streamed) = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => (j.left, j.right)
+        case _ => (j.right, j.left)
+      }
+      (j, build, streamed)
+    }.filter { case (_, b, st) =>
+      b.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isEmpty &&
+      st.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == REPARTITION_BY_NUM => e
+      }.isEmpty
+    }
+    assert(badBnlj.isEmpty,
+      "q132 has a nested-loop join that is neither x-scalar-aggregate nor " +
+        s"pre-repartitioned x-ncells:\n${badBnlj.map(_._1)}")
+    def storedScans(q: org.apache.spark.sql.execution.SparkPlan) =
+      q.collect { case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("graft_bkt_")) => f }
+    assert(storedScans(p).nonEmpty, "q132 lost its stored-table scans")
+    val offending = p.collect {
+      case e: ShuffleExchangeExec if storedScans(e.child).nonEmpty &&
+        e.child.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.isEmpty => e }
+    assert(offending.isEmpty,
+      s"q132 shuffled a stored table before its join:\n$offending")
+  }
+
   test("q107 partitioned lake: the date filter prunes partitions at planning") {
     // the point of a date-partitioned event lake is that a date-bounded
     // query opens 3 of 30 day directories instead of filtering rows after

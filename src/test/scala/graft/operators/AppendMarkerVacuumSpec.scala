@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[BucketedOps.vacuumAppendMarkers]] — the bookkeeping half of the
+  * lake's retention story (round-12 verdict "what's wrong #4": markers
+  * accumulate one root entry per job forever). Two pins: aged markers
+  * and stage debris go while fresh markers and ALL data survive; and a
+  * post-vacuum replay converges to ONE copy via the surviving undo
+  * prefixes — the fact that makes marker vacuum safe, and the fact a
+  * future prefix-GC would silently break. */
+class AppendMarkerVacuumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String =
+    BucketedOps.ensureBucketed(
+      Seq(("a", 10L), ("b", 20L)).toDF("term", "df"),
+      s"amv_$tag|${System.nanoTime()}", "term", buckets = 2)
+
+  private def delta = Seq(("a", 1L), ("c", 3L)).toDF("term", "df").repartition(1)
+
+  private def sums(tbl: String): Map[String, Long] =
+    spark.table(tbl).groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def tableFs(tbl: String) = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+    (loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
+  }
+
+  test("markers and stage debris beyond the horizon are removed; data and fresh markers survive") {
+    val tbl = freshTable("gc")
+    BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 2, jobId = "old-day")
+    BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 2, jobId = "new-day")
+    val after = sums(tbl)
+    val (fs, loc) = tableFs(tbl)
+    // age the old job's marker past the horizon; plant abandoned stage
+    // debris (a crashed attempt that never replayed) and age it too
+    val oldMarker = new org.apache.hadoop.fs.Path(loc, "_graft_append_old-day.commit")
+    fs.setTimes(oldMarker, System.currentTimeMillis() - 10000, -1)
+    val debris = new org.apache.hadoop.fs.Path(loc, "_graft_append_stage_dead-day")
+    fs.mkdirs(debris)
+    fs.setTimes(debris, System.currentTimeMillis() - 10000, -1)
+    val removed = BucketedOps.vacuumAppendMarkers(spark, tbl, horizonMs = 5000)
+    assert(removed == 2, s"expected the aged marker + stage debris removed, got $removed")
+    assert(!fs.exists(oldMarker) && !fs.exists(debris))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_graft_append_new-day.commit")),
+      "a marker inside the horizon must survive")
+    assert(sums(tbl) == after, "vacuum must never touch data files")
+    // the data files' job prefixes are inert bookkeeping — still present
+    assert(spark.table(tbl).inputFiles.exists(_.contains("graft-append_old-day_")))
+  }
+
+  test("the horizon contract is real: replaying a vacuumed jobId re-lands (double count)") {
+    val tbl = freshTable("danger")
+    BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 2, jobId = "day2")
+    val once = sums(tbl)
+    val (fs, loc) = tableFs(tbl)
+    fs.setTimes(new org.apache.hadoop.fs.Path(loc, "_graft_append_day2.commit"),
+      System.currentTimeMillis() - 10000, -1)
+    BucketedOps.vacuumAppendMarkers(spark, tbl, horizonMs = 5000)
+    // a replay arriving AFTER the vacuum treats day2 as never landed:
+    // the undo glob deletes the old files, the delta re-lands — which is
+    // a correct single copy again, NOT a double count, BECAUSE the undo
+    // prefix survives. The danger case is subtler: the re-land is only
+    // safe while the prefixes survive; this pin documents the actual
+    // post-vacuum replay behavior so a future prefix-GC can't silently
+    // break it.
+    BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 2, jobId = "day2")
+    assert(sums(tbl) == once,
+      "post-vacuum replay must converge via the undo prefix (one copy)")
+  }
+}
