@@ -109,6 +109,90 @@ class ClusterMaintenanceRestartSpec extends SparkSpec {
     priorAssign.unpersist()
   }
 
+  test("kill mid-stream, restart, DAY CLOSE: folded tables equal the uninterrupted day's") {
+    // the round-13 lifecycle composed with round-12's failure story: a
+    // day-2 stream crashes mid-run, restarts from its checkpoint, drains,
+    // and then the day CLOSES (closeDay folds spools into the stored
+    // bucketed tables and clears them). The folded state — what day 3
+    // reads — must be bit-equal to an uninterrupted day's fold.
+    import graft.operators.BucketedOps
+    def runDay(tag: String, killAfter: Int): (String, String) = {
+      val nonce = System.nanoTime()
+      val atbl = BucketedOps.ensureBucketed(
+        ConnectedComponents.components(
+          Dedup.ngramJaccardPairs(priorDocs, "doc_id", "text", n = 3, minJaccard = 0.3),
+          "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("component").as("cluster_id")),
+        s"cmsf_a_$tag|$nonce", "doc_id", buckets = 4)
+      val itbl = BucketedOps.ensureBucketed(
+        Dedup.shingleIndex(priorDocs, "doc_id", "text", n = 3),
+        s"cmsf_i_$tag|$nonce", "h", buckets = 4)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cmsf_$tag")
+      tmp.toFile.deleteOnExit()
+      val in = tmp.resolve("in").toString
+      todayDocs.repartitionByRange(6, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.parquet(in)
+      val priorIdx = spark.table(itbl).persist()
+      val priorAssign = spark.table(atbl).persist()
+      priorIdx.count(); priorAssign.count()
+      val spoolIdx = tmp.resolve("idx").toString
+      val spoolDelta = tmp.resolve("delta").toString
+      val schema = spark.read.parquet(in).schema
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      def drain(kill: Int): Option[Throwable] = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            ClusterMaintenanceStream.processBatch(
+              b, id, priorIdx, priorAssign, spoolIdx, spoolDelta)
+            if (seen.incrementAndGet() == kill)
+              throw new RuntimeException("injected kill")
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try { q.awaitTermination(); None }
+        catch { case t: Throwable => Some(t) }
+      }
+      if (killAfter < Int.MaxValue) {
+        assert(drain(killAfter).isDefined, s"[$tag] kill must surface")
+        assert(drain(Int.MaxValue).isEmpty, s"[$tag] restart must replay cleanly")
+      } else assert(drain(Int.MaxValue).isEmpty)
+      ClusterMaintenanceStream.closeDay(spark, spoolIdx, spoolDelta,
+        itbl, atbl, idxBuckets = 4, assignBuckets = 4, jobId = "day2")
+      priorIdx.unpersist(); priorAssign.unpersist()
+      assert(!tmp.resolve("idx").toFile.exists() && !tmp.resolve("delta").toFile.exists(),
+        s"[$tag] day close must clear the spools")
+      (atbl, itbl)
+    }
+    def resolution(atbl: String): Map[Long, Long] =
+      spark.table(atbl).groupBy("doc_id").agg(min("cluster_id").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def idxRows(itbl: String): Set[(Long, Long, Long)] =
+      spark.table(itbl).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (ca, ci) = runDay("ctl", Int.MaxValue)
+    val (va, vi) = runDay("kill", killAfter = 3)
+    assert(resolution(va) == resolution(ca),
+      "restarted+folded assignment diverged from the uninterrupted day's")
+    assert(idxRows(vi) == idxRows(ci),
+      "restarted+folded shingle index diverged from the uninterrupted day's")
+    // and the folded labeling is the from-scratch ground truth
+    val all = priorDocs.unionAll(todayDocs)
+    val full = ConnectedComponents.components(
+      Dedup.ngramJaccardPairs(all, "doc_id", "text", n = 3, minJaccard = 0.3),
+      "id_a", "id_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lake convention: a doc absent from the assignment table labels
+    // itself (prior singletons never stored, unchanged attachments never
+    // appended) — compare under that resolution
+    val res = resolution(ca)
+    all.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(res.getOrElse(id, id) == full.getOrElse(id, id),
+        s"doc $id: folded resolution ${res.getOrElse(id, id)} != " +
+          s"from-scratch ${full.getOrElse(id, id)}")
+    }
+  }
+
   test("replaying a batch with the same batchId is a spool no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cms_replay_")
     tmp.toFile.deleteOnExit()
