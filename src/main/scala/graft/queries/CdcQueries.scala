@@ -94,23 +94,21 @@ object CdcQueries {
       val in = tmp.resolve("in").toString
       val cl = changelog(s, dir)
       cl.repartition(4).write.mode("overwrite").parquet(in)
-      val stream = s.readStream.schema(cl.schema)
-        .option("maxFilesPerTrigger", "2").parquet(in)
-      val qname = "q43_mat_" + java.util.UUID.randomUUID.toString.replace("-", "")
       // a BOUNDED catch-up run wants few state partitions: per-batch cost is
       // dominated by state-store checkpoint files PER PARTITION, and the
-      // state (15k keys at sf0.1) is far too small to need 32. Only this
-      // stream is affected — the conf is read at query start and restored.
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        ChangelogOps.materializeStreaming(stream, Seq("k"))
-          .writeStream.outputMode("complete").format("memory").queryName(qname)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      // state (15k keys at sf0.1) is far too small to need 32. The override
+      // rides in the stream's own session (streamSession), never the shared
+      // one.
+      val ss = StreamFixtures.streamSession(s)
+      val stream = ss.readStream.schema(cl.schema)
+        .option("maxFilesPerTrigger", "2").parquet(in)
+      val qname = "q43_mat_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = ChangelogOps.materializeStreaming(stream, Seq("k"))
+        .writeStream.outputMode("complete").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(qname).filter(col("op") =!= "d")
+      ss.table(qname).filter(col("op") =!= "d")
         .select("k", "price", "st").orderBy("k")
     }),
 
@@ -156,9 +154,10 @@ object CdcQueries {
     "q92_cdc_temporal_enrich" -> ((s, dir) => {
       val root = writeTemporalProviderTable(s, dir)
       val st = StreamFixtures.arm(q92Stage(s, dir))
-      val probes = s.readStream.schema(q92Probes(s, dir).schema)
+      val ss = StreamFixtures.streamSession(s)
+      val probes = ss.readStream.schema(q92Probes(s, dir).schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
-      val dimRaw = s.readStream.format("cdc-log").option("path", root)
+      val dimRaw = ss.readStream.format("cdc-log").option("path", root)
         .option("scan.startup.mode", "earliest") // replay events, no snapshot fold
         .option("metadata.columns", "op_offset,row_kind")
         .option("scan.log.max-offsets-per-batch", q92WaveSpan(q92MaxOff(s, dir)).toString)
@@ -177,7 +176,7 @@ object CdcQueries {
         horizonMs = q92HorizonMs, lateness = s"${q92LatenessMs / 1000} seconds",
         eCols = Seq("p_key", "probe_id"), payload = Seq("price"),
         tieCols = Seq("ver_off"))
-      StreamFixtures.drainAppend(s, joined, "q92_tj")
+      StreamFixtures.drainAppend(joined, "q92_tj")
         .where(col("p_key") >= 0) // drop the probe-side watermark sentinels
         .select(col("probe_id"), col("p_key").as("k"),
           unix_micros(col("pts")).as("pts_us"),
@@ -226,7 +225,8 @@ object CdcQueries {
       import s.implicits._
       val root = writeTemporalProviderTable(s, dir, sentinels = false)
       val maxOff = q92MaxOff(s, dir)
-      val raw = s.readStream.format("cdc-log").option("path", root)
+      val ss = StreamFixtures.streamSession(s)
+      val raw = ss.readStream.format("cdc-log").option("path", root)
         .option("scan.startup.mode", "earliest")
         .option("metadata.columns", "op_offset,row_kind")
         // ~9 micro-batches at every SF: open versions must cross real
@@ -240,7 +240,7 @@ object CdcQueries {
           col("op_offset").as("offset"), (col("op") === "d").as("isDelete"))
         .as[graft.streaming.Scd2Event]
       val closed = graft.streaming.StreamingOps.scd2ClosedIntervals(ev)
-      StreamFixtures.drainAppend(s, closed.toDF(), "q99_scd2")
+      StreamFixtures.drainAppend(closed.toDF(), "q99_scd2")
         .select("k", "price", "st", "valid_from", "valid_to")
         .orderBy("k", "valid_from")
     }),
@@ -297,7 +297,8 @@ object CdcQueries {
       import org.apache.spark.sql.streaming.Trigger
       val root = writeTemporalProviderTable(s, dir, sentinels = false)
       val maxOff = q92MaxOff(s, dir)
-      val raw = s.readStream.format("cdc-log").option("path", root)
+      val ss = StreamFixtures.streamSession(s)
+      val raw = ss.readStream.format("cdc-log").option("path", root)
         .option("scan.startup.mode", "earliest")
         .option("metadata.columns", "op_offset,row_kind")
         .option("scan.log.max-offsets-per-batch",
@@ -314,15 +315,11 @@ object CdcQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q100_ckpt_")
       tmp.toFile.deleteOnExit()
       val qname = "q100_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        agg.writeStream.outputMode("complete").format("memory").queryName(qname)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(qname).orderBy("st")
+      raw.sparkSession.table(qname).orderBy("st")
     }),
 
     // THE DURABLE RETRACT-AGGREGATE PATH — q100's semantics composed with
@@ -337,7 +334,8 @@ object CdcQueries {
       import org.apache.spark.sql.streaming.Trigger
       val root = writeTemporalProviderTable(s, dir, sentinels = false)
       val maxOff = q92MaxOff(s, dir)
-      val raw = s.readStream.format("cdc-log").option("path", root)
+      val ss = StreamFixtures.streamSession(s)
+      val raw = ss.readStream.format("cdc-log").option("path", root)
         .option("scan.startup.mode", "earliest")
         .option("metadata.columns", "op_offset,row_kind")
         .option("scan.log.max-offsets-per-batch",
@@ -354,14 +352,10 @@ object CdcQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q106_ckpt_")
       tmp.toFile.deleteOnExit()
       val state = tmp.resolve("state").toString
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        graft.streaming.UpsertSink.upsertAggregate(agg, Seq("st"), state,
-            numBuckets = 4)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val q = graft.streaming.UpsertSink.upsertAggregate(agg, Seq("st"), state,
+          numBuckets = 4)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       graft.streaming.UpsertSink.readState(s, state).orderBy("st")
     }),

