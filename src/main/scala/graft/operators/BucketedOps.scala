@@ -389,7 +389,12 @@ object BucketedOps {
           fs.delete(stageDir, true)
           s.catalog.refreshTable(table) // list the files as they are NOW
           val kept = deleteSet.fold(s.table(table)) { del =>
+            // a USING join moves the join columns to the front — re-select
+            // the table's own order so the staged generation's schema is
+            // indistinguishable from the appended one
             s.table(table).join(del, del.columns.toSeq, "left_anti")
+              .select(s.table(table).columns.map(
+                org.apache.spark.sql.functions.col): _*)
           }
           val out = resolve(kept)
           require(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
