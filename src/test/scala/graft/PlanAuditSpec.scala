@@ -371,6 +371,47 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("q133 compacted tables: the rewritten generation's resolution stays bucket-local") {
+    // the round-14 write path: compactManifest rewrites the table as ONE
+    // resolved generation via a staged bucketed write + file renames —
+    // the renamed `graft-compact_*` files must keep bucket placement so
+    // the day-3 read still resolves inside the scan's distribution with
+    // ZERO shuffle of stored state (the same pin as the appended and
+    // folded generations; if the swap lost placement, q133 would still be
+    // CORRECT but every read would silently pay a corpus-sized exchange)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val (a133, i133) = graft.queries.DataQueries.ensureCompactedClusterState(s, dir)
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val targets = Seq(
+        ("q133 compacted assignment resolve", a133,
+          s.table(a133).groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))),
+        ("q133 compacted shingle-index scan", i133,
+          s.table(i133).groupBy("h").agg(count(lit(1)).as("n"))))
+      for ((label, tbl, df) <- targets) {
+        val p = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        val scans = p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == tbl) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          s"$label: compacted table not read as a bucketed scan:\n$p")
+        assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"$label: resolve aggregate shuffled the stored state:\n$p")
+        // and the compaction actually collapsed the generations: every
+        // data file belongs to the LAST compact jobId (gen2)
+        assert(s.table(tbl).inputFiles.forall(_.contains("graft-compact_gen2_")),
+          s"$label: old generations survive in the table root")
+      }
+    } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("q122 composition: no cartesian blowup, stored tables stay bucketed scans") {
     // the composed daily job unions five individually-pinned legs; the
     // composition must not degrade them — the only nested-loop joins

