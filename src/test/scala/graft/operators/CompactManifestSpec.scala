@@ -239,6 +239,46 @@ class CompactManifestSpec extends SparkSpec {
         "the barrier documentation is stale)")
   }
 
+  test("a compaction racing a same-table append: the lease serializes, both land, resolution converges") {
+    // the production hazard the writer lease exists for, at the NEW
+    // operator: a retention job compacting while the daily append
+    // arrives. The lease admits one at a time; the loser fails fast with
+    // ConcurrentModificationException and retries (the IdempotentAppendSpec
+    // racing pattern). Whichever order wins, the final resolution must be
+    // base ∪ day2 ∪ day3 ∪ day4 — compaction only moves rows.
+    val tbl = freshAdditive("racecmp")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def retrying(op: () => Unit): java.util.concurrent.Future[_] =
+        pool.submit({ () =>
+          gate.await()
+          var done = false
+          while (!done) {
+            try { op(); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException => Thread.sleep(50)
+            }
+          }
+        }: Runnable)
+      val fc = retrying(() => compactAdd(tbl, jobId = "gen1"))
+      val fa = retrying(() => BucketedOps.idempotentAppend(
+        Seq(("a", 2L), ("g", 3L)).toDF("term", "df").repartition(1),
+        tbl, "term", buckets = 4, jobId = "day4"))
+      gate.countDown()
+      fc.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      fa.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+    assert(sums(tbl) == (additiveExpected ++ Map("a" -> 20L, "g" -> 3L)),
+      "racing compaction and append must both land exactly once")
+    // replays of both stay no-ops (their markers survived the race)
+    compactAdd(tbl, jobId = "gen1")
+    BucketedOps.idempotentAppend(
+      Seq(("a", 2L), ("g", 3L)).toDF("term", "df").repartition(1),
+      tbl, "term", buckets = 4, jobId = "day4")
+    assert(sums(tbl) == (additiveExpected ++ Map("a" -> 20L, "g" -> 3L)))
+  }
+
   test("the compacted generation keeps the bucketed layout: key aggregate stays exchange-free") {
     val tbl = freshAdditive("plan")
     compactAdd(tbl)
