@@ -190,15 +190,78 @@ object TextStats {
       spanLen: Int = 8, minCount: Int = 2): DataFrame = {
     require(spanLen >= 2 && minCount >= 2)
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
-    val spans = base.select(col("doc_id"),
+    val spans = spanRows(base, spanLen)
+    val dup = spans.groupBy("s").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("s")
+    rewriteWithoutSpans(base, spans, dup, spanLen)
+  }
+
+  /** The (s, n) span-count manifest of a corpus — the stored state of the
+    * DAILY incremental substring-dedup leg ([[incrementalRemoveRepeatedSpans]]),
+    * the third additive manifest family beside df (q116/q120) and bigram
+    * counts (q124): window counts compose by ADDITION under disjoint doc
+    * sets, so the daily job appends its own day's counts
+    * ([[graft.operators.BucketedOps.idempotentAppend]] into buckets on
+    * `s`) and readers resolve sum(n) per span bucket-locally. The span
+    * STRING is the key so DuckDB groups bit-identically and the cleaning
+    * semantics stay exactly q125's (a 64-bit hash key would be lighter at
+    * petabyte scale but admits collisions that REMOVE innocent text — for
+    * an exact-substring op the string is the datum; a deployment wanting
+    * the hash key fronts it with a verify lane like the q95 Bloom
+    * pattern). */
+  def spanManifest(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8): DataFrame = {
+    require(spanLen >= 2)
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    spanRows(base, spanLen).groupBy("s").agg(count(lit(1)).as("n"))
+  }
+
+  /** DAILY incremental substring dedup — [[removeRepeatedSpans]]'s
+    * maintenance form (the q116 pattern applied to the span family):
+    * today's crawl is cleaned against the CORPUS-WIDE span statistics
+    * without reading any prior text — a window is duplicated iff its
+    * today-count plus the stored manifest count reaches `minCount`, which
+    * equals the from-scratch count over (prior ∪ today) because counts
+    * add under disjoint doc sets. Daily cost: O(|today|) explode + one
+    * today-sized aggregation + a join against the manifest at ITS OWN
+    * distribution (sum-resolve bucket-local when the manifest is
+    * bucketed on `s` — the q120 lake layout); prior texts never move.
+    * Output rows are today's docs only, in [[removeRepeatedSpans]]'s
+    * (doc_id, n_tokens, n_removed, clean_text) contract — and must equal
+    * the from-scratch corpus-wide pass restricted to today (gate q135,
+    * one closed form for both shapes). */
+  def incrementalRemoveRepeatedSpans(today: DataFrame, idCol: String,
+      textCol: String, spanManifest: DataFrame,
+      spanLen: Int = 8, minCount: Int = 2): DataFrame = {
+    require(spanLen >= 2 && minCount >= 2)
+    val base = today.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val spans = spanRows(base, spanLen)
+    val todayCounts = spans.groupBy("s").agg(count(lit(1)).as("__t"))
+    // resolve the append-maintained manifest (sum per span — one row per
+    // span after a compaction, one per day's append before it)
+    val prior = spanManifest.groupBy("s").agg(sum("n").as("__p"))
+    val dup = todayCounts.join(prior, Seq("s"), "left")
+      .filter(col("__t") + coalesce(col("__p"), lit(0L)) >= minCount)
+      .select("s")
+    rewriteWithoutSpans(base, spans, dup, spanLen)
+  }
+
+  /** One windowed explode to (doc_id, i, s) span rows — shared by the
+    * one-shot and incremental passes and the manifest builder so the
+    * three derivations cannot drift. */
+  private def spanRows(base: DataFrame, spanLen: Int): DataFrame =
+    base.select(col("doc_id"),
         explode(when(size(col("ts")) >= spanLen,
           transform(sequence(lit(1), size(col("ts")) - (spanLen - 1)),
             i => struct(i.as("i"),
               concat_ws(" ", slice(col("ts"), i, lit(spanLen))).as("s"))))
           .otherwise(array().cast("array<struct<i:int,s:string>>"))).as("sp"))
       .select(col("doc_id"), col("sp.i").as("i"), col("sp.s").as("s"))
-    val dup = spans.groupBy("s").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minCount).select("s")
+
+  /** The rewrite tail shared by both passes: mark `dup` spans' token
+    * positions covered, drop them from the token stream, reassemble. */
+  private def rewriteWithoutSpans(base: DataFrame, spans: DataFrame,
+      dup: DataFrame, spanLen: Int): DataFrame = {
     val covered = spans.join(dup, "s")
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (spanLen - 1))).as("p"))

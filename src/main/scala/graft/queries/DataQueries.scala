@@ -923,6 +923,24 @@ object DataQueries {
         .orderBy("doc_id")
     }),
 
+    // DAILY INCREMENTAL SUBSTRING DEDUP — q125's maintenance form (the
+    // q116 pattern applied to the SPAN family, the third additive
+    // manifest beside df and bigram counts): day 3's crawl is cleaned
+    // against the stored corpus-wide (span, n) manifest
+    // (ensureSpanManifest — day-1 counts bucketed on the span, day-2
+    // counts appended via idempotentAppend; addition composes under
+    // disjoint doc sets), so a window is removed iff today-count +
+    // manifest-count >= 2 — exactly the from-scratch q125 pass over
+    // (corpus ∪ day 3) restricted to day 3, which is what the oracle
+    // replays. Prior texts never move: the daily job reads the manifest
+    // at its own bucketed distribution and explodes only today.
+    "q135_incremental_substring_dedup" -> ((s, dir) => {
+      val tbl = ensureSpanManifest(s, dir)
+      graft.operators.TextStats.incrementalRemoveRepeatedSpans(
+        day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+        s.table(tbl)).orderBy("doc_id")
+    }),
+
     // THE COMPOSED DAILY JOB — every daily leg the battery gates
     // individually, run as ONE query over ONE crawl against ONE shared
     // set of stored tables (round-10 verdict #4: "the composition is
@@ -2469,6 +2487,25 @@ object DataQueries {
         .select((col("doc_id") + (col("id_off") + 1L) * 7L).as("doc_id"), col("text")))
   }
 
+  /** q135's stored state — the corpus's (span, n) window-count manifest,
+    * maintained like the df manifest: day-1 counts ingested bucketed on
+    * the span string, day-2 counts APPENDED (window counts compose by
+    * addition under disjoint doc sets; readers resolve sum(n) per span
+    * bucket-locally). */
+  private[graft] def ensureSpanManifest(s: SparkSession, dir: String): String =
+    Fixtures.oncePerSession(s, s"q135_spans|$dir") {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tbl = graft.operators.BucketedOps.ensureBucketed(
+        graft.operators.TextStats.spanManifest(
+          docs.filter(col("doc_id") % 3 =!= 2), "doc_id", "text"),
+        s"q135_spans|$dir", "s", buckets = 8)
+      graft.operators.BucketedOps.idempotentAppend(
+        graft.operators.TextStats.spanManifest(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text"),
+        tbl, "s", buckets = 8, jobId = "day2")
+      tbl
+    }
+
   /** Every stored-state fixture this file maintains, built in one call —
     * what Bench pre-materializes outside the timed window (the amortized-
     * ingest rule) so the gate queries time the daily job, never the
@@ -2491,6 +2528,7 @@ object DataQueries {
     ensureComposedDay2State(s, dir)
     ensureCompactedClusterState(s, dir)
     ensureTombstonedManifests(s, dir)
+    ensureSpanManifest(s, dir)
     ()
   }
 
@@ -3197,6 +3235,43 @@ object DataQueries {
          |         GROUP BY 1)
          |${auditSelect("dt", "scr4")}
          |ORDER BY l.doc_id""".stripMargin,
+
+    // the incremental span pass must equal q125's from-scratch pass over
+    // (corpus ∪ day 3) RESTRICTED to day 3 — counts add under disjoint
+    // doc sets, so manifest-count + today-count = union count; one
+    // closed form for the one-shot and maintenance shapes
+    "q135_incremental_substring_dedup" ->
+      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        |d3 AS MATERIALIZED (
+        |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
+        |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
+        |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+        |uni AS MATERIALIZED (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id, text FROM d3),
+        |toks AS (SELECT doc_id, string_split(text, ' ') ts FROM uni),
+        |sp AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 7), ' ') AS s
+        |       FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)),
+        |dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2),
+        |covered AS (SELECT DISTINCT sp.doc_id, u.p
+        |            FROM sp JOIN dup USING (s),
+        |                 UNNEST(generate_series(sp.i, sp.i + 7)) AS u(p)
+        |            WHERE sp.doc_id IN (SELECT doc_id FROM d3)),
+        |t3 AS (SELECT doc_id, string_split(text, ' ') ts FROM d3),
+        |tok AS (SELECT doc_id, g.i AS p, ts[g.i] AS tok
+        |        FROM t3, UNNEST(generate_series(1, len(ts))) AS g(i)),
+        |kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
+        |           string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+        |         FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                           WHERE c.doc_id = t.doc_id AND c.p = t.p)
+        |         GROUP BY t.doc_id)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM t3 d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // stream day 2 → fold → day-3 scoring from the STORED table only:
     // q120/q127's generator, third execution shape for the additive df

@@ -96,6 +96,39 @@ class TextStatsSpec extends SparkSpec {
     assert(out(4) == ((5L, 10L, 9L, "m")), s"got ${out(4)}")
   }
 
+  test("incrementalRemoveRepeatedSpans ≡ from-scratch pass over the union, restricted to today") {
+    // window counts add under disjoint doc sets, so cleaning today
+    // against the prior corpus's (span, n) manifest must equal running
+    // removeRepeatedSpans over (prior ∪ today) and keeping today's rows —
+    // including the case where the duplicate lives ONLY across the day
+    // boundary (one copy prior, one today) and the case where the prior
+    // corpus alone already repeats the span (today's single copy cut)
+    val rep = (1 to 8).map(i => s"w$i").mkString(" ")     // one 8-token window
+    val rep2 = (11 to 18).map(i => s"v$i").mkString(" ")
+    val prior = Seq(
+      (1L, s"alpha $rep beta"),                            // rep: 1 prior copy
+      (2L, s"$rep2 one"), (3L, s"$rep2 two")               // rep2: repeated IN prior
+    ).toDF("doc_id", "text")
+    val today = Seq(
+      (10L, s"gamma $rep delta"),                          // cross-boundary dup
+      (11L, s"start $rep2 end"),                           // prior-only dup
+      (12L, "totally fresh words nothing repeated here at all")
+    ).toDF("doc_id", "text")
+    val manifest = TextStats.spanManifest(prior, "doc_id", "text")
+    val inc = TextStats.incrementalRemoveRepeatedSpans(
+        today, "doc_id", "text", manifest)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val scratch = TextStats.removeRepeatedSpans(
+        prior.unionAll(today), "doc_id", "text")
+      .filter($"doc_id" >= 10L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(inc.toSeq == scratch.toSeq,
+      "incremental cleaning diverged from the from-scratch union pass")
+    // and the interesting rows really were cut (the fixture is not vacuous)
+    assert(inc(0)._3 == 8L && inc(1)._3 == 8L && inc(2)._3 == 0L)
+  }
+
   test("bigramFluency: OOV rate and hit mass against a reference manifest") {
     val ref = Seq((10L, "the cat sat"), (11L, "the cat ran")).toDF("doc_id", "text")
     val manifest = TextStats.bigramManifest(ref, "doc_id", "text")
