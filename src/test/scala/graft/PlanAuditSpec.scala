@@ -301,6 +301,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val (atbl2, _) = graft.queries.DataQueries.ensureDay2ClusterState(s, dir)
     val (dtbl2, _) = graft.queries.DataQueries.ensureDay2DfManifest(s, dir)
     val btbl = graft.queries.DataQueries.ensureBigramManifest(s, dir)
+    val stbl = graft.queries.DataQueries.ensureSpanManifest(s, dir)
     val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
     try {
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -310,7 +311,9 @@ class PlanAuditSpec extends AnyFunSuite {
         ("q120 df resolve", dtbl2,
           s.table(dtbl2).groupBy("term").agg(sum("df").as("df"))),
         ("q124 bigram resolve", btbl,
-          s.table(btbl).groupBy("bg").agg(sum("n").as("n"))))
+          s.table(btbl).groupBy("bg").agg(sum("n").as("n"))),
+        ("q135 span-manifest resolve", stbl,
+          s.table(stbl).groupBy("s").agg(sum("n").as("n"))))
       for ((label, tbl, df) <- targets) {
         val p = df.queryExecution.executedPlan match {
           case a: AdaptiveSparkPlanExec => a.executedPlan
