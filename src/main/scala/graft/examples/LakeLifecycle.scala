@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *   day 2   arrives as a batch job: idempotentAppend (crash-replay lands
   *           exactly once per jobId)
   *   weekly  marker-retention GC (vacuumAppendMarkers) + GENERATION
-  *           COMPACTION (compactManifest): the appended generations
-  *           collapse to one resolved row per key — readers can't tell
+  *           COMPACTION BY POLICY (BucketedOps.compactIfDue: compact when
+  *           N+ append generations are stored — the system decides, not
+  *           an operator's memory): the appended generations collapse to
+  *           one resolved row per key — readers can't tell
   *   takedown a tombstoned doc's values leave the manifests
   *           (compactManifest deleteSet, under the set-difference
   *           contract: deleted docs' values MINUS live docs' values)
@@ -98,16 +100,25 @@ object LakeLifecycle {
     val fullMass = dfSum(dfTbl)
     println(s"day 2 appended (replay was a no-op): df mass $fullMass")
 
-    // ---- weekly: marker GC + generation compaction --------------------
+    // ---- weekly: marker GC + CADENCE-TRIGGERED compaction --------------
     // horizon beyond the replay window; fresh markers survive, which is
     // the point — vacuum is for last week's bookkeeping
     BucketedOps.vacuumAppendMarkers(spark, dfTbl, horizonMs = 7L * 24 * 3600 * 1000)
     val filesBefore = spark.table(dfTbl).inputFiles.length
-    BucketedOps.compactManifest(spark, dfTbl, "term", buckets = 8,
-      jobId = "week1", resolve = _.groupBy("term").agg(sum("df").as("df")))
-    BucketedOps.compactManifest(spark, hTbl, "h", buckets = 8,
-      jobId = "week1", resolve = _.distinct())
-    println(s"weekly compaction: df mass ${dfSum(dfTbl)} (unchanged), " +
+    // the weekly job doesn't compact by hand — it declares a POLICY:
+    // compact when 2+ append generations are stored. The df table holds
+    // day1+day2 = 2 generations (due); after the swap the count resets to
+    // 0, so next week's identical call is a no-op until growth resumes.
+    val dfResolve = (d: DataFrame) => d.groupBy("term").agg(sum("df").as("df"))
+    require(BucketedOps.compactIfDue(spark, dfTbl, "term", buckets = 8,
+      jobId = "week1", resolve = dfResolve, every = 2),
+      "2 stored generations must trip the every-2 policy")
+    require(!BucketedOps.compactIfDue(spark, dfTbl, "term", buckets = 8,
+      jobId = "week1b", resolve = dfResolve, every = 2),
+      "a freshly compacted table must not be due again")
+    BucketedOps.compactIfDue(spark, hTbl, "h", buckets = 8,
+      jobId = "week1", resolve = _.distinct(), every = 2)
+    println(s"weekly cadence compaction: df mass ${dfSum(dfTbl)} (unchanged), " +
       s"${filesBefore} -> ${spark.table(dfTbl).inputFiles.length} files, " +
       "one resolved row per term")
     require(dfSum(dfTbl) == fullMass, "compaction changed what readers resolve")

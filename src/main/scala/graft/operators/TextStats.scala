@@ -234,6 +234,24 @@ object TextStats {
       textCol: String, spanManifest: DataFrame,
       spanLen: Int = 8, minCount: Int = 2): DataFrame = {
     require(spanLen >= 2 && minCount >= 2)
+    // the manifest carries no spanLen metadata (it is a plain (s, n)
+    // table), so a caller passing a spanLen DIFFERENT from the one the
+    // manifest was built with would join today's spans against keys that
+    // can never match: prior counts silently resolve to 0 and every
+    // cross-boundary duplicate is UNDER-removed with no error anywhere.
+    // Spans are spanLen tokens joined by single spaces and tokens carry
+    // no spaces, so sampled manifest keys must split back into exactly
+    // spanLen parts — an O(1) driver-side probe, loud on mismatch
+    // (an empty manifest — day 1 — has nothing to contradict and passes)
+    val sampled = spanManifest.select(col("s")).limit(8).collect()
+    sampled.foreach { r =>
+      val got = r.getString(0).split(" ").length
+      require(got == spanLen,
+        s"span manifest was built with spanLen=$got but caller declared " +
+          s"spanLen=$spanLen — the join would never match and prior counts " +
+          "would silently resolve to 0 (under-removal); rebuild the " +
+          "manifest or pass the matching spanLen")
+    }
     val base = today.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
     val spans = spanRows(base, spanLen)
     val todayCounts = spans.groupBy("s").agg(count(lit(1)).as("__t"))

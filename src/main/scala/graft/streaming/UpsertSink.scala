@@ -275,12 +275,25 @@ object UpsertSink {
     *      create-no-overwrite and rename are single-winner atomic (HDFS,
     *      local/POSIX; abfss with a hierarchical namespace also qualifies
     *      and is deliberately NOT refused). */
-  private[graft] def withWriterLease[T](fs: FileSystem, target: Path)(body: => T): T = {
+  private[graft] def withWriterLease[T](fs: FileSystem, target: Path)(body: => T): T =
+    dispatchLease(fs, target).withLease(fs, target)(body)
+
+  /** The dispatch decision alone — which [[WriterLease]] a target gets, or
+    * the refusal — factored out of [[withWriterLease]] so the scheme rules
+    * (registry wins, documented-non-atomic refused, everything else
+    * default) are testable without running lock I/O against a scheme the
+    * test filesystem cannot serve (WriterLeaseSpiSpec pins the abfss
+    * exemption and the case normalization through this seam). */
+  private[graft] def dispatchLease(fs: FileSystem, target: Path): WriterLease = {
+    // URI schemes are case-insensitive (RFC 3986 §3.1): normalize before
+    // the registry lookup AND the refusal check, or 'S3A://…' would bypass
+    // both and silently run the filesystem lease on S3 — the exact torn-
+    // snapshot hazard this dispatch exists to prevent
     val scheme = Option(target.toUri.getScheme)
       .orElse(Option(fs.getUri).flatMap(u => Option(u.getScheme)))
-      .getOrElse("file")
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
     Option(leaseRegistry.get(scheme)) match {
-      case Some(custom) => custom.withLease(fs, target)(body)
+      case Some(custom) => custom
       case None if NonAtomicSchemes(scheme) =>
         throw new IllegalStateException(
           s"$target is on '$scheme', where the filesystem lease's primitives " +
@@ -289,7 +302,7 @@ object UpsertSink {
             "Plug a real lock service via UpsertSink.registerWriterLease(" +
             s""""$scheme", lease), or write through a table format's """ +
             "transaction log.")
-      case None => FsAtomicWriterLease.withLease(fs, target)(body)
+      case None => FsAtomicWriterLease
     }
   }
 
@@ -305,11 +318,11 @@ object UpsertSink {
   /** Register a [[WriterLease]] for a URI scheme (e.g. "s3a" backed by a
     * DynamoDB lock). Replaces any previous registration for the scheme. */
   def registerWriterLease(scheme: String, lease: WriterLease): Unit =
-    { leaseRegistry.put(scheme, lease); () }
+    { leaseRegistry.put(scheme.toLowerCase(java.util.Locale.ROOT), lease); () }
 
   /** Remove a scheme's registration (falls back to the default dispatch). */
   def unregisterWriterLease(scheme: String): Unit =
-    { leaseRegistry.remove(scheme); () }
+    { leaseRegistry.remove(scheme.toLowerCase(java.util.Locale.ROOT)); () }
 
   /** Advisory single-writer lease on the filesystem's own atomic
     * primitives (see [[UpsertSink]]'s concurrency contract):

@@ -62,10 +62,16 @@ class BenchPriorsSpec extends AnyFunSuite {
         .filter(_._2 > 0).toMap
     }
     val working = artifactOf(scala.io.Source.fromFile("BENCH_PARSED.json").mkString)
+    // only the git SUBPROCESS may fall back to working-tree evidence (no
+    // git binary / not a checkout); artifactOf's own sf assertion on the
+    // committed content must fail LOUDLY — a committed BENCH_PARSED.json
+    // that is not an sf0.1 artifact is a broken record, not a missing one
+    // (and a blanket Throwable would also swallow OOM/interrupt)
     val committed =
-      try artifactOf(scala.sys.process.Process(
+      (try Some(scala.sys.process.Process(
         Seq("git", "show", "HEAD:BENCH_PARSED.json")).!!)
-      catch { case _: Throwable => working } // no git → working tree only
+      catch { case scala.util.control.NonFatal(_) => None })
+        .fold(working)(artifactOf)
     val evidence = (working.keySet ++ committed.keySet).map { q =>
       q -> math.max(working.getOrElse(q, 0.0), committed.getOrElse(q, 0.0))
     }.toMap

@@ -127,6 +127,16 @@ class TextStatsSpec extends SparkSpec {
       "incremental cleaning diverged from the from-scratch union pass")
     // and the interesting rows really were cut (the fixture is not vacuous)
     assert(inc(0)._3 == 8L && inc(1)._3 == 8L && inc(2)._3 == 0L)
+    // a spanLen mismatching the manifest's build would make the span join
+    // never match — prior counts silently 0, cross-boundary dups kept; the
+    // operator must refuse loudly instead (manifest spans are 8 tokens,
+    // caller declares 6)
+    val ex = intercept[IllegalArgumentException] {
+      TextStats.incrementalRemoveRepeatedSpans(
+        today, "doc_id", "text", manifest, spanLen = 6)
+    }
+    assert(ex.getMessage.contains("spanLen=8") && ex.getMessage.contains("spanLen=6"),
+      s"the refusal must name both lengths: ${ex.getMessage}")
   }
 
   test("bigramFluency: OOV rate and hit mass against a reference manifest") {

@@ -37,12 +37,35 @@ class WriterLeaseSpiSpec extends SparkSpec {
     }
   }
 
-  test("abfss (atomic rename with HNS) is not refused: the default lease runs") {
-    // scheme not in the refusal set, no registration → FsAtomicWriterLease;
-    // give it a local-FS target so the lock I/O lands somewhere real
-    val dir = java.nio.file.Files.createTempDirectory("graft_lease_abfss")
-    val got = UpsertSink.withWriterLease(localFs, new Path(dir.toString)) { 42 }
-    assert(got == 42)
+  test("abfss (atomic rename with HNS) is not refused: an abfss target dispatches to the default lease") {
+    // the DISPATCH DECISION for a real abfss:// Path, through the same seam
+    // withWriterLease uses — running the lock I/O would need an abfss
+    // filesystem, but the exemption under pin is which lease the scheme
+    // GETS, not the lease's own mechanics (covered elsewhere on local FS)
+    val chosen = UpsertSink.dispatchLease(localFs,
+      new Path("abfss://container@account.dfs.example/warehouse/t"))
+    assert(chosen eq UpsertSink.FsAtomicWriterLease,
+      "abfss must fall through to the default filesystem lease, not be refused")
+  }
+
+  test("scheme dispatch is case-insensitive: S3A is refused, registrations match any case") {
+    // RFC 3986 §3.1 — an upper-cased scheme must not bypass the refusal…
+    val ex = intercept[IllegalStateException] {
+      UpsertSink.dispatchLease(localFs, new Path("S3A://bucket/warehouse/t"))
+    }
+    assert(ex.getMessage.contains("registerWriterLease"))
+    // …and a registration made with one casing must intercept every casing
+    val fake = new WriterLease {
+      def withLease[T](fs: FileSystem, target: Path)(body: => T): T = body
+    }
+    UpsertSink.registerWriterLease("S3a", fake)
+    try {
+      assert(UpsertSink.dispatchLease(localFs, new Path("s3a://b/t")) eq fake)
+      assert(UpsertSink.dispatchLease(localFs, new Path("S3A://b/t")) eq fake)
+    } finally UpsertSink.unregisterWriterLease("s3a")
+    intercept[IllegalStateException] {
+      UpsertSink.dispatchLease(localFs, new Path("s3a://b/t"))
+    }
   }
 
   test("a registered lease intercepts the seam and is released on every exit path") {
