@@ -415,6 +415,59 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("q136/q137/q139 maintained tables: policy-compacted, purged, and migrated generations all resolve bucket-local") {
+    // round-15's three new write paths land generations through the same
+    // staged-bucketed-write + rename swap; each would stay CORRECT with a
+    // lost bucket placement — the reads would just silently pay a
+    // corpus-sized exchange per day — so the zero-shuffle resolve is
+    // pinned for all three (the q133 pin, extended to the cadence, the
+    // tombstone purge, and the schema migration)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val (a136, i136) = graft.queries.DataQueries.ensureCadencedClusterState(s, dir)
+    val (a137, i137) = graft.queries.DataQueries.ensureDocPurgedClusterState(s, dir)
+    val m139 = graft.queries.DataQueries.ensureMigratedDfManifest(s, dir)
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val targets = Seq(
+        ("q136 cadence-compacted assignment resolve", a136,
+          s.table(a136).groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))),
+        ("q136 cadence-compacted shingle-index scan", i136,
+          s.table(i136).groupBy("h").agg(count(lit(1)).as("n"))),
+        ("q137 purged assignment resolve", a137,
+          s.table(a137).groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))),
+        ("q137 purged shingle-index scan", i137,
+          s.table(i137).groupBy("h").agg(count(lit(1)).as("n"))),
+        ("q139 migrated manifest resolve", m139,
+          s.table(m139).groupBy("term").agg(sum("df").as("df"),
+            min("first_seen_day").as("first_seen_day"))))
+      for ((label, tbl, df) <- targets) {
+        val p = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        val scans = p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == tbl) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          s"$label: maintained table not read as a bucketed scan:\n$p")
+        assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"$label: resolve aggregate shuffled the stored state:\n$p")
+      }
+      // the swaps actually happened: the cadence left ONE compact
+      // generation per table, and the migrated manifest reads typed
+      // (its root legitimately holds migrate + day-2 append generations)
+      Seq(a136, i136).foreach { t =>
+        assert(s.table(t).inputFiles.forall(_.contains("graft-compact_day2.c")),
+          s"$t: cadence policy did not land a single compacted generation")
+      }
+      assert(s.table(m139).schema.fieldNames.contains("first_seen_day"))
+    } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("q122 composition: no cartesian blowup, stored tables stay bucketed scans") {
     // the composed daily job unions five individually-pinned legs; the
     // composition must not degrade them — the only nested-loop joins

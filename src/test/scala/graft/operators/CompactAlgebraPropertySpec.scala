@@ -87,4 +87,55 @@ class CompactAlgebraPropertySpec extends AnyFunSuite {
       Prop(got == expected) :| s"expected=$expected got=$got compactAt=$compactAt del=$deleted"
     })
   }
+
+  test("additive delete: negated contributions + net-out compaction = closed form with them excluded") {
+    // the q138 takedown algebra, property-shaped: the additive families'
+    // delete cannot anti-join rows (no doc attribution) — it appends the
+    // removed docs' per-key counts NEGATED and compacts with a resolve
+    // that nets and drops zeroed keys. For ANY base + days and ANY subset
+    // of those contributions withdrawn (never more than was contributed —
+    // counts are contributions, not arbitrary integers), the final
+    // resolution equals the closed form over the surviving contributions,
+    // and keys netting to zero leave the table entirely. The mid-state is
+    // pinned too: BEFORE the compaction readers' sum already nets.
+    val gen = for {
+      (base, days, compactAt, _) <- scenarioGen
+      all = base ++ days.flatten
+      mask <- Gen.listOfN(all.length, Gen.oneOf(true, false))
+    } yield (base, days, compactAt, all.zip(mask).collect { case (kv, true) => kv })
+    check(Prop.forAll(gen) { case (base, days, compactAt, withdrawn) =>
+      val tbl = BucketedOps.ensureBucketed(
+        base.toDF("k", "n"), s"cap_neg|${System.nanoTime()}", "k", buckets = 4)
+      days.zipWithIndex.foreach { case (rows, i) =>
+        if (i == compactAt)
+          BucketedOps.compactManifest(spark, tbl, "k", buckets = 4,
+            jobId = s"gen$i", resolve = _.groupBy("k").agg(sum("n").as("n")))
+        BucketedOps.idempotentAppend(rows.toDF("k", "n").repartition(1),
+          tbl, "k", buckets = 4, jobId = s"day$i")
+      }
+      val survivors = {
+        val w = scala.collection.mutable.Map.empty[Long, Long]
+        withdrawn.foreach { case (k, n) => w(k) = w.getOrElse(k, 0L) + n }
+        (base ++ days.flatten).groupBy(_._1)
+          .map { case (k, rows) => k -> (rows.map(_._2).sum - w.getOrElse(k, 0L)) }
+          .filter(_._2 != 0L)
+      }
+      if (withdrawn.nonEmpty)
+        BucketedOps.idempotentAppend(
+          withdrawn.map { case (k, n) => (k, -n) }.toDF("k", "n").repartition(1),
+          tbl, "k", buckets = 4, jobId = "takedown")
+      // mid-state: sum-resolve already nets, before any compaction
+      val mid = spark.table(tbl).groupBy("k").agg(sum("n").as("n"))
+        .filter(col("n") =!= 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val midOk = Prop(mid == survivors) :| s"mid-state expected=$survivors got=$mid"
+      BucketedOps.compactManifest(spark, tbl, "k", buckets = 4,
+        jobId = "genF",
+        resolve = _.groupBy("k").agg(sum("n").as("n")).filter(col("n") =!= 0L))
+      val got = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      midOk && (Prop(got == survivors) :|
+        s"post-compact expected=$survivors got=$got withdrawn=$withdrawn")
+    })
+  }
 }
