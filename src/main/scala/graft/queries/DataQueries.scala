@@ -1018,6 +1018,25 @@ object DataQueries {
         ce, "today_id", "prior_id", assign).orderBy("doc_id")
     }),
 
+    // ANN-INDEX TOMBSTONE PURGE — the last doc-attributed family gets its
+    // takedown gate (assignment/shingle: q137; value-keyed: q134;
+    // additive: q138): tombstoned prior vectors leave the stored cell
+    // index (anti-join on vec_id) while the centroids stay FROZEN — a
+    // takedown removes candidates, it does not retrain. The gate is
+    // q104's retrieval against the purged index + the day's increment:
+    // tombstoned vectors must appear in no result and their former cell
+    // neighbors re-rank; the oracle re-derives the index with the
+    // training sample UNCHANGED (frozen centroids) and only the candidate
+    // set filtered.
+    "q140_ann_tombstone_purge" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (centTbl, idxTbl) = ensurePurgedAnnIndex(s, dir)
+      Similarity.ivfAppendTopKPortableStored(
+        s.table(centTbl), mt(s, idxTbl),
+        e.filter(col("vec_id") % 3 =!= 0), e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 3, nprobe = 2).orderBy("qid", "rank")
+    }),
+
     // MANIFEST SCHEMA MIGRATION (round-14 verdict what's-missing #4): the
     // df manifest gains a first_seen_day column MID-HISTORY — existing
     // rows backfilled to day 1 by migrateManifest's kill-swept swap (the
@@ -1658,9 +1677,12 @@ object DataQueries {
 
   /** q35 oracle: probe tail over [[ivfPortableCtes]] — per query the
     * `nprobe` best cells (same argmax score), candidates = probed cells'
-    * corpus members, scored with the exact 2^24 integer dot. */
+    * corpus members, scored with the exact 2^24 integer dot. `candWhere`
+    * (an `AND …` fragment) filters the CANDIDATE set only — q140's
+    * tombstone purge removes index members while the training sample
+    * (frozen centroids) stays untouched. */
   private def ivfTopKOracleSql(ncells: Int, nprobe: Int, iters: Int, k: Int,
-      trainWhere: String = ""): String =
+      trainWhere: String = "", candWhere: String = ""): String =
     s"""WITH ${ivfPortableCtes(ncells, iters, trainWhere)},
        |qc AS (SELECT vec_id AS qid, cell FROM (
        |  SELECT f.vec_id, c.cell,
@@ -1669,7 +1691,8 @@ object DataQueries {
        |        / sqrt(CAST(${ivfDotSql("c.s", "c.s")} AS DOUBLE)) DESC, c.cell) AS rk
        |  FROM fq f CROSS JOIN cents$iters c WHERE f.vec_id < 50) WHERE rk <= $nprobe),
        |cand AS (SELECT qc.qid, cc.vec_id AS cid
-       |         FROM qc JOIN cellsf cc USING (cell) WHERE qc.qid <> cc.vec_id),
+       |         FROM qc JOIN cellsf cc USING (cell)
+       |         WHERE qc.qid <> cc.vec_id $candWhere),
        |dots AS (SELECT cand.qid, cand.cid,
        |           CAST(${ivfDotSql("qa.a", "ca.a")} AS BIGINT) AS score_q
        |         FROM cand JOIN v24 qa ON cand.qid = qa.vec_id
@@ -2727,6 +2750,28 @@ object DataQueries {
       (tbl, n1 - tomb.count())
     }
 
+  /** q140's stored state — [[ensureAnnIndex]]'s cell-assignment table
+    * COPIED and TOMBSTONE-PURGED (the last doc-attributed family:
+    * assignment and shingle index are q137's, this is the ANN index):
+    * tombstoned prior vectors (vec_id % 3 = 0 ∧ % 7 = 1) leave the index
+    * by deleteSet anti-join on vec_id. The CENTROIDS stay FROZEN — they
+    * were trained while the vectors were present, and a takedown removes
+    * candidates, it does not retrain the index — which is exactly what
+    * the oracle replays (training sample unchanged, candidate set
+    * filtered). Returns (centroidTbl, purgedIndexTbl). */
+  private[graft] def ensurePurgedAnnIndex(s: SparkSession, dir: String): (String, String) =
+    Fixtures.oncePerSession(s, s"q140_index|$dir") {
+      val (centTbl, idxTbl0) = ensureAnnIndex(s, dir)
+      val idxTbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(idxTbl0), s"q140_index|$dir", "cell", buckets = 8)
+      val tomb = t(s, dir, "embeddings").select(col("vec_id"))
+        .filter(col("vec_id") % 3 === 0 && col("vec_id") % 7 === 1)
+      graft.operators.BucketedOps.compactManifest(s, idxTbl, "cell",
+        buckets = 8, jobId = "tomb1", resolve = _.distinct(),
+        deleteSet = Some(tomb))
+      (centTbl, idxTbl)
+    }
+
   /** q139's stored state — [[ensureDfManifest]]'s (term, df) table COPIED
     * and SCHEMA-MIGRATED mid-history (round-14 verdict, what's-missing
     * #4): the manifest gains a `first_seen_day` column via
@@ -2800,6 +2845,7 @@ object DataQueries {
     ensureDocPurgedClusterState(s, dir)
     ensurePurgedDfManifest(s, dir)
     ensureMigratedDfManifest(s, dir)
+    ensurePurgedAnnIndex(s, dir)
     ()
   }
 
@@ -3948,6 +3994,12 @@ object DataQueries {
     "q35_embedding_ivf_topk" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3),
     "q104_incremental_ann" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3,
       trainWhere = "WHERE vec_id % 3 = 0"),
+    // q140 = q104's retrieval after the index takedown: training sample
+    // UNCHANGED (the centroids were frozen before the purge), candidate
+    // set minus the tombstoned prior vectors
+    "q140_ann_tombstone_purge" -> ivfTopKOracleSql(ncells = 8, nprobe = 2, iters = 1, k = 3,
+      trainWhere = "WHERE vec_id % 3 = 0",
+      candWhere = "AND NOT (cc.vec_id % 3 = 0 AND cc.vec_id % 7 = 1)"),
     "q109_semantic_screen" ->
       semanticScreenOracleSql(ncells = 8, iters = 1, nprobe = 2, minSim = 0.9),
     // q111 is q109's execution dual (streaming foreachBatch over the same
