@@ -135,6 +135,22 @@ object LakeLifecycle {
       jobId = "takedown1", resolve = _.distinct(), deleteSet = Some(delH))
     println(s"takedown: $before -> ${hashes(hTbl)} kept hashes " +
       "(the tombstoned doc's re-post would now be admitted again)")
+    // the ADDITIVE family's takedown is a different algebra — df rows
+    // carry no doc attribution, so the doc's contributions are appended
+    // NEGATED (readers' sum is correct from this moment) and the next
+    // compaction nets them out, dropping zeroed terms
+    BucketedOps.idempotentAppend(
+      TfIdf.dfManifest(tomb, "doc_id", "text")
+        .select(col("term"), (-col("df")).as("df")),
+      dfTbl, "term", buckets = 8, jobId = "takedown1")
+    BucketedOps.compactManifest(spark, dfTbl, "term", buckets = 8,
+      jobId = "takedown1",
+      resolve = _.groupBy("term").agg(sum("df").as("df")).filter(col("df") =!= 0L))
+    val tombTokens = tomb.select(explode(split(col("text"), " "))).distinct().count()
+    println(s"takedown (additive): df mass ${dfSum(dfTbl)} after subtracting the " +
+      s"doc's $tombTokens distinct terms' contributions")
+    require(dfSum(dfTbl) == fullMass - tombTokens,
+      "additive takedown must subtract exactly the doc's df contributions")
 
     spark.stop()
     println("lifecycle complete: stream fold, idempotent append, vacuum, " +
