@@ -117,6 +117,66 @@ object BucketedOps {
   /** Layout-spec manifest written next to a durable bucketed layout. */
   private[operators] val ManifestName = "_graft_bucket_spec.json"
 
+  /** End sentinel of a migrate promote marker's DDL payload — its absence
+    * proves the marker write itself tore (see [[migrateManifest]]). */
+  private val MigrateDdlEnd = "\n#graft-ddl-end"
+
+  /** A data file of a maintained table's root: the base ingest plus every
+    * generation family's promote prefix. Shared by both swaps' retire
+    * loops — a family added here and nowhere else would survive every
+    * future compaction as a silent double-count. */
+  private val GenerationFile: String => Boolean = n =>
+    n.startsWith("part-") || n.startsWith("graft-append_") ||
+      n.startsWith("graft-compact_") || n.startsWith("graft-migrate_")
+
+  /** Shared PHASE-B file machinery of the generation swaps
+    * ([[compactManifest]], [[migrateManifest]]): rename each staged file
+    * into the root under `dstPrefix` — the dst-exists skip absorbs a
+    * prior attempt's progress AND the materialized-but-undeleted half of
+    * a copy+delete rename (SwapUnderFaultyRenameSpec) — then retire every
+    * data file NOT carrying the prefix (the old generations). Fires
+    * onStep("renamed"/"retired") at the window boundaries the kill-sweep
+    * specs inject into. */
+  private def promoteAndRetire(fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path, stageDir: org.apache.hadoop.fs.Path,
+      dstPrefix: String, onStep: String => Unit,
+      onFilePromoted: Int => Unit, onFileRetired: Int => Unit): Unit = {
+    var n = 0
+    if (fs.exists(stageDir))
+      fs.listStatus(stageDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(loc,
+            dstPrefix + st.getPath.getName)
+          if (fs.exists(dst)) fs.delete(st.getPath, false)
+          else if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"promote rename ${st.getPath} -> $dst failed; " +
+                "replay with the same jobId recovers")
+          n += 1; onFilePromoted(n)
+        }
+    onStep("renamed")
+    var r = 0
+    fs.listStatus(loc)
+      .filter(st => st.isFile && GenerationFile(st.getPath.getName) &&
+        !st.getPath.getName.startsWith(dstPrefix))
+      .foreach { st =>
+        fs.delete(st.getPath, false)
+        r += 1; onFileRetired(r)
+      }
+    onStep("retired")
+  }
+
+  /** Full UTF-8 payload of a marker file. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    val buf = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+    finally in.close()
+    new String(buf.toByteArray, "UTF-8")
+  }
+
   /** Crash-safe, replay-idempotent APPEND of a delta into an existing
     * bucketed table — the write side of every grow-only manifest the
     * daily jobs maintain (df / histogram / bigram counts, cluster
@@ -390,14 +450,11 @@ object BucketedOps {
     }
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dataFile = (n: String) => n.startsWith("part-") ||
-      n.startsWith("graft-append_") || n.startsWith("graft-compact_") ||
-      n.startsWith("graft-migrate_")
     graft.streaming.UpsertSink.withWriterLease(fs, loc) {
-      // a DIFFERENT jobId's unfinished swap means the root may be torn —
+      // a DIFFERENT swap's unfinished phase B means the root may be torn —
       // phase A would resolve a double-counted table into the new
-      // generation; only that jobId's own replay may proceed
-      assertNoOrphanCompaction(fs, loc, table, exceptJobId = Some(jobId))
+      // generation; only THIS family's same-jobId replay may proceed
+      assertNoOrphanCompaction(fs, loc, table, exceptJobId = Some(s"compact:$jobId"))
       val commit = new org.apache.hadoop.fs.Path(loc, s"_graft_compact_$jobId.commit")
       val promote = new org.apache.hadoop.fs.Path(loc, s"_graft_compact_$jobId.promote")
       val stageDir = new org.apache.hadoop.fs.Path(loc, s"_graft_compact_stage_$jobId")
@@ -430,30 +487,8 @@ object BucketedOps {
           onStep("promoted")
         }
         // PHASE B — stage is the only truth; never re-read the table here
-        var n = 0
-        if (fs.exists(stageDir))
-          fs.listStatus(stageDir)
-            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-            .foreach { st =>
-              val dst = new org.apache.hadoop.fs.Path(loc,
-                s"graft-compact_${jobId}_${st.getPath.getName}")
-              if (fs.exists(dst)) fs.delete(st.getPath, false)
-              else if (!fs.rename(st.getPath, dst))
-                throw new java.io.IOException(
-                  s"promote rename ${st.getPath} -> $dst failed; " +
-                    "replay with the same jobId recovers")
-              n += 1; onFilePromoted(n)
-            }
-        onStep("renamed")
-        var r = 0
-        fs.listStatus(loc)
-          .filter(st => st.isFile && dataFile(st.getPath.getName) &&
-            !st.getPath.getName.startsWith(s"graft-compact_${jobId}_"))
-          .foreach { st =>
-            fs.delete(st.getPath, false)
-            r += 1; onFileRetired(r)
-          }
-        onStep("retired")
+        promoteAndRetire(fs, loc, stageDir, s"graft-compact_${jobId}_",
+          onStep, onFilePromoted, onFileRetired)
         fs.delete(stageDir, true)
         fs.create(commit, true).close()
         onStep("committed")
@@ -519,15 +554,20 @@ object BucketedOps {
     }
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dataFile = (n: String) => n.startsWith("part-") ||
-      n.startsWith("graft-append_") || n.startsWith("graft-compact_") ||
-      n.startsWith("graft-migrate_")
     graft.streaming.UpsertSink.withWriterLease(fs, loc) {
-      assertNoOrphanCompaction(fs, loc, table, exceptJobId = Some(jobId))
+      assertNoOrphanCompaction(fs, loc, table, exceptJobId = Some(s"migrate:$jobId"))
       val commit = new org.apache.hadoop.fs.Path(loc, s"_graft_migrate_$jobId.commit")
       val promote = new org.apache.hadoop.fs.Path(loc, s"_graft_migrate_$jobId.promote")
       val stageDir = new org.apache.hadoop.fs.Path(loc, s"_graft_migrate_stage_$jobId")
       if (!fs.exists(commit)) {
+        // a promote whose payload lacks the end sentinel tore DURING the
+        // marker write itself — phase B only starts once the marker
+        // exists, so nothing has moved and phase A may safely restage;
+        // trusting a torn DDL instead would either skip the ALTER (a
+        // truncation that still parses) or wedge the table (one that
+        // doesn't) AFTER the old generation was retired
+        if (fs.exists(promote) && !readMarker(fs, promote).endsWith(MigrateDdlEnd))
+          fs.delete(promote, false)
         if (!fs.exists(promote)) {
           // PHASE A — live generation untouched; restage from scratch
           fs.delete(stageDir, true)
@@ -554,43 +594,26 @@ object BucketedOps {
           onStep("staged")
           // the promote marker CARRIES the new schema's DDL: phase B never
           // re-reads the table, and a replay that lost this JVM needs the
-          // schema to re-register the catalog entry
-          val o = fs.create(promote, false)
-          try o.write(out.schema.toDDL.getBytes("UTF-8")) finally o.close()
+          // schema to ALTER the catalog entry. Written to a sibling and
+          // RENAMED in (plus the end sentinel, belt-and-braces for stores
+          // whose rename is copy+delete) so the phase transition can never
+          // materialize a half-written payload as an apparent promote
+          val tmpMarker = new org.apache.hadoop.fs.Path(loc,
+            s"_graft_migrate_$jobId.promote.tmp")
+          fs.delete(tmpMarker, false)
+          val o = fs.create(tmpMarker, true)
+          try o.write((out.schema.toDDL + MigrateDdlEnd).getBytes("UTF-8"))
+          finally o.close()
+          if (!fs.rename(tmpMarker, promote))
+            throw new java.io.IOException(
+              s"promote marker rename $tmpMarker -> $promote failed; " +
+                "replay with the same jobId recovers")
           onStep("promoted")
         }
         // PHASE B — stage is the only truth; never re-read the table here
-        val newDdl = {
-          val in = fs.open(promote)
-          val buf = new java.io.ByteArrayOutputStream()
-          try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-          finally in.close()
-          new String(buf.toByteArray, "UTF-8")
-        }
-        var n = 0
-        if (fs.exists(stageDir))
-          fs.listStatus(stageDir)
-            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-            .foreach { st =>
-              val dst = new org.apache.hadoop.fs.Path(loc,
-                s"graft-migrate_${jobId}_${st.getPath.getName}")
-              if (fs.exists(dst)) fs.delete(st.getPath, false)
-              else if (!fs.rename(st.getPath, dst))
-                throw new java.io.IOException(
-                  s"promote rename ${st.getPath} -> $dst failed; " +
-                    "replay with the same jobId recovers")
-              n += 1; onFilePromoted(n)
-            }
-        onStep("renamed")
-        var r = 0
-        fs.listStatus(loc)
-          .filter(st => st.isFile && dataFile(st.getPath.getName) &&
-            !st.getPath.getName.startsWith(s"graft-migrate_${jobId}_"))
-          .foreach { st =>
-            fs.delete(st.getPath, false)
-            r += 1; onFileRetired(r)
-          }
-        onStep("retired")
+        val newDdl = readMarker(fs, promote).stripSuffix(MigrateDdlEnd)
+        promoteAndRetire(fs, loc, stageDir, s"graft-migrate_${jobId}_",
+          onStep, onFilePromoted, onFileRetired)
         // evolve the catalog entry ADDITIVELY — one ALTER, idempotent on
         // replay (already-added columns are skipped), so no crash window
         // ever leaves the table unregistered
@@ -643,7 +666,9 @@ object BucketedOps {
       s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    orphanCompactions(fs, loc).contains(jobId)
+    // compact family only — this predicate's cure is compactManifest, and
+    // a migrate orphan must NOT be "resumed" by the wrong operator
+    orphanCompactions(fs, loc).contains(s"compact:$jobId")
   }
 
   /** COMPACTION CADENCE — run [[compactManifest]] iff the table is due:
@@ -667,19 +692,26 @@ object BucketedOps {
     due
   }
 
-  /** jobIds of compactions caught between their promote and commit markers
-    * — unfinished phase-B swaps whose table root may hold OLD and NEW
-    * generations mixed. */
+  /** FAMILY-QUALIFIED ids (`compact:<jobId>` / `migrate:<jobId>`) of swaps
+    * caught between their promote and commit markers — unfinished phase-B
+    * swaps whose table root may hold OLD and NEW generations mixed. The
+    * family rides in the id on purpose: promote/commit pairing is checked
+    * WITHIN a family, so a compact commit can never mask a migrate orphan
+    * under the same bare jobId (and the exempt-own-jobId replay path can
+    * never be satisfied by the WRONG operator — compactManifest replaying
+    * over a torn migrate root would resolve the double-count into a new
+    * generation and launder it). */
   private def orphanCompactions(fs: org.apache.hadoop.fs.FileSystem,
       loc: org.apache.hadoop.fs.Path): Seq[String] = {
     def jobs(glob: String, pre: String, suf: String): Set[String] =
       fs.globStatus(new org.apache.hadoop.fs.Path(loc, glob))
         .map(_.getPath.getName.stripPrefix(pre).stripSuffix(suf)).toSet
-    val promoted = jobs("_graft_compact_*.promote", "_graft_compact_", ".promote") ++
-      jobs("_graft_migrate_*.promote", "_graft_migrate_", ".promote")
-    val committed = jobs("_graft_compact_*.commit", "_graft_compact_", ".commit") ++
-      jobs("_graft_migrate_*.commit", "_graft_migrate_", ".commit")
-    (promoted -- committed).toSeq.sorted
+    def orphansOf(kind: String): Seq[String] = {
+      val promoted = jobs(s"_graft_${kind}_*.promote", s"_graft_${kind}_", ".promote")
+      val committed = jobs(s"_graft_${kind}_*.commit", s"_graft_${kind}_", ".commit")
+      (promoted -- committed).toSeq.map(j => s"$kind:$j")
+    }
+    (orphansOf("compact") ++ orphansOf("migrate")).sorted
   }
 
   /** ORPHAN-COMPACTION GUARD (round-14 verdict, what's-missing #1 /
@@ -697,19 +729,24 @@ object BucketedOps {
     * analogue is Debezium refusing to start on a torn schema-history file
     * rather than reading past it.
     *
-    * `exceptJobId`: the replay path — a compaction resuming its OWN
-    * phase B must see its own promote marker as progress, not an orphan. */
+    * `exceptJobId`: the replay path — a swap resuming its OWN phase B
+    * must see its own promote marker as progress, not an orphan. The id
+    * is FAMILY-QUALIFIED (`compact:<jobId>` / `migrate:<jobId>`): only
+    * the same operator family may claim the exemption, so a compaction
+    * can never "replay" a torn migration (or vice versa) and launder the
+    * mixed root into a committed generation. */
   def assertNoOrphanCompaction(fs: org.apache.hadoop.fs.FileSystem,
       loc: org.apache.hadoop.fs.Path, table: String,
       exceptJobId: Option[String] = None): Unit = {
     val orphans = orphanCompactions(fs, loc).filterNot(exceptJobId.contains)
     if (orphans.nonEmpty)
       throw new IllegalStateException(
-        s"$table has unfinished compaction swap(s) ${orphans.mkString(", ")} " +
+        s"$table has unfinished generation swap(s) ${orphans.mkString(", ")} " +
           s"(promote marker without commit at $loc): the root may mix old and " +
           "new generations, and reading an additive manifest there DOUBLE-" +
-          "COUNTS. Replay compactManifest/migrateManifest with the same " +
-          "jobId to completion (it resumes phase B and converges), then retry.")
+          "COUNTS. Replay the NAMED operator (compact: -> compactManifest, " +
+          "migrate: -> migrateManifest) with the same jobId to completion " +
+          "(it resumes phase B and converges), then retry.")
   }
 
   /** The READ entry point for append/compact-maintained manifest tables:
@@ -751,7 +788,7 @@ object BucketedOps {
     * must not vanish mid-append-check). Returns the number of entries
     * removed. */
   def vacuumAppendMarkers(s: org.apache.spark.sql.SparkSession, table: String,
-      horizonMs: Long): Int = {
+      horizonMs: Long, onEntryRemoved: Int => Unit = _ => ()): Int = {
     val loc = new org.apache.hadoop.fs.Path(
       s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
@@ -789,10 +826,23 @@ object BucketedOps {
         }
         commits ++ promotes ++ sDirs
       }
-      val dead = (markers ++ stages ++ swapFamily("compact") ++ swapFamily("migrate"))
+      val tmpDebris = glob("_graft_*_*.promote.tmp") // phase-A write debris
+      val dead = (markers ++ stages ++ tmpDebris ++
+          swapFamily("compact") ++ swapFamily("migrate"))
         .filter(_.getModificationTime < cutoff)
-      dead.foreach(st => fs.delete(st.getPath, true))
-      dead.length
+      // ORDER MATTERS: a crash mid-vacuum must never manufacture an
+      // orphan (promote without commit) — the guard would then refuse the
+      // table and prescribe a "replay" whose phase B, with no stage dir,
+      // RETIRES every later generation. Delete commits LAST, so any
+      // partial vacuum leaves either both markers or only the commit
+      // (both harmless; the next vacuum finishes the pair).
+      val (commits, rest) = dead.partition(_.getPath.getName.endsWith(".commit"))
+      var removed = 0
+      (rest ++ commits).foreach { st =>
+        fs.delete(st.getPath, true)
+        removed += 1; onEntryRemoved(removed) // spec kill-injection point
+      }
+      removed
     }
   }
 

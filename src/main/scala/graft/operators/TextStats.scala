@@ -245,7 +245,11 @@ object TextStats {
     // (an empty manifest — day 1 — has nothing to contradict and passes)
     val sampled = spanManifest.select(col("s")).limit(8).collect()
     sampled.foreach { r =>
-      val got = r.getString(0).split(" ").length
+      // split with limit -1: Java's default drops TRAILING empty strings,
+      // so a span whose last token is empty (doc text with a double or
+      // trailing space) would read one token short and falsely refuse a
+      // correctly-built manifest
+      val got = r.getString(0).split(" ", -1).length
       require(got == spanLen,
         s"span manifest was built with spanLen=$got but caller declared " +
           s"spanLen=$spanLen — the join would never match and prior counts " +

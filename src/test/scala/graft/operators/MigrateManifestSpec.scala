@@ -140,6 +140,56 @@ class MigrateManifestSpec extends SparkSpec {
     assert(resolved(tbl) == migrated)
   }
 
+  test("the orphan exemption is family-qualified: a migrate orphan cannot be 'replayed' by compactManifest") {
+    // a compact commit under the SAME bare jobId must not mask a migrate
+    // orphan, and compactManifest's own-jobId exemption must not admit it:
+    // a compaction replaying over a torn migrate root would resolve the
+    // mixed generations into a committed generation and LAUNDER the
+    // double-count past every future guard check
+    val tbl = fresh("family")
+    intercept[RuntimeException] {
+      migrate(tbl, onStep = s =>
+        if (s == "renamed") throw new RuntimeException("killed"))
+    }
+    val exC = intercept[IllegalStateException] {
+      BucketedOps.compactManifest(spark, tbl, "term", buckets = 4,
+        jobId = "mig1", // the orphan's bare jobId — must NOT be exempt here
+        resolve = _.groupBy("term").agg(sum("df").as("df")))
+    }
+    assert(exC.getMessage.contains("migrate:mig1"),
+      s"the refusal must name the family-qualified orphan: ${exC.getMessage}")
+    // compactIfDue's unfinished-swap check is compact-family only: it must
+    // not claim the migrate orphan (its cure is compactManifest)
+    assert(!BucketedOps.hasUnfinishedCompaction(spark, tbl, "mig1"))
+    migrate(tbl) // only the right operator cures it
+    assert(resolved(tbl) == migrated)
+  }
+
+  test("a torn promote payload (crash during the marker write) restages phase A instead of being trusted") {
+    val tbl = fresh("tornmarker")
+    intercept[RuntimeException] {
+      migrate(tbl, onStep = s =>
+        if (s == "promoted") throw new RuntimeException("killed"))
+    }
+    // simulate the marker write itself tearing: truncate the payload so
+    // the end sentinel is gone (a mid-write crash or a torn copy+delete)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val promote = new org.apache.hadoop.fs.Path(loc, "_graft_migrate_mig1.promote")
+    val o = fs.create(promote, true)
+    try o.write("term STRING,df BIGINT".getBytes("UTF-8")) finally o.close()
+    // replay: must NOT trust the torn DDL (a parsable truncation would
+    // silently skip the ALTER after retiring the old generation) — the
+    // sentinel check drops the marker and phase A restages from scratch
+    migrate(tbl)
+    assert(spark.table(tbl).schema.fieldNames.toSeq ==
+      Seq("term", "df", "first_seen_day"),
+      "replay over a torn promote payload lost the schema evolution")
+    assert(resolved(tbl) == migrated)
+  }
+
   test("non-additive resolves are rejected before any file moves") {
     val tbl = fresh("reject")
     val before = spark.table(tbl).inputFiles.sorted.toSeq
@@ -161,6 +211,33 @@ class MigrateManifestSpec extends SparkSpec {
     assert(spark.table(tbl).inputFiles.sorted.toSeq == before,
       "a rejected migration must leave the table untouched")
     assert(spark.table(tbl).schema.fieldNames.toSeq == Seq("term", "df"))
+  }
+
+  test("a vacuum crash mid-removal never manufactures an orphan: promotes delete before commits") {
+    // the differential: deleting a swap's COMMIT first would leave
+    // promote-without-commit — the guard would refuse the healthy table
+    // and prescribe a "replay" whose phase B (no stage dir) retires every
+    // later generation. The vacuum deletes commits LAST, so a kill after
+    // ANY single removal leaves either both markers or only the commit.
+    val tbl = fresh("vacorder")
+    migrate(tbl)
+    intercept[RuntimeException] {
+      BucketedOps.vacuumAppendMarkers(spark, tbl, horizonMs = 0L,
+        onEntryRemoved = n =>
+          if (n == 1) throw new RuntimeException("killed mid-vacuum"))
+    }
+    // whatever was removed first, the table must still read through the
+    // guard (no orphan manufactured)…
+    assert(BucketedOps.readMaintained(spark, tbl).count() > 0)
+    // …and the replayed vacuum finishes the job
+    BucketedOps.vacuumAppendMarkers(spark, tbl, horizonMs = 0L)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(loc,
+      "_graft_migrate_*")).isEmpty)
+    assert(resolved(tbl) == migrated)
   }
 
   test("migrate markers vacuum like compact markers: commits age out, an orphan promote is pinned") {
