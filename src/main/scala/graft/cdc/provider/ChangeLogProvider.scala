@@ -58,6 +58,16 @@ trait ChangeLogProvider extends Serializable {
       range: SnapshotSplit): Iterator[LogRecord] =
     log(table, fromExclusive, toInclusive)
 
+  /** True iff [[logForRange]] is backed by a KEY INDEX — i.e. a range read
+    * costs O(the range's own events), not O(the full slice). The source's
+    * catch-up sharding planner consults this before splitting one table's
+    * log window into parallel key-range partitions
+    * (`scan.log.catchup.shards`): with the default full-slice fallback,
+    * N shards would read the slice N times — a correctness-preserving but
+    * bandwidth-multiplying plan the planner must not pick on its own.
+    * Override to `true` together with a real [[logForRange]]. */
+  def keyIndexedLog(table: TableId): Boolean = false
+
   /** Schema-change (DDL) events with offset in (fromExclusive, toInclusive]
     * — the reference records these into split state and optionally emits
     * them (MySqlRecordEmitter.java:85-97, FlinkJsonTableChangeSerializer).
@@ -194,6 +204,12 @@ final class CompositeChangeLogProvider(parts: Seq[ChangeLogProvider]) extends Ch
     owner(t).snapshotBase(t, r)
   override def log(t: TableId, from: Long, to: Long): Iterator[LogRecord] =
     owner(t).log(t, from, to)
+  // route the RANGE read to the owner too — inheriting the default would
+  // silently downgrade a key-indexed part to full-slice scans
+  override def logForRange(t: TableId, from: Long, to: Long,
+      range: SnapshotSplit): Iterator[LogRecord] =
+    owner(t).logForRange(t, from, to, range)
+  override def keyIndexedLog(t: TableId): Boolean = owner(t).keyIndexedLog(t)
 }
 
 /** Cross-JVM-safe registry so tests and demos can hand a live provider to

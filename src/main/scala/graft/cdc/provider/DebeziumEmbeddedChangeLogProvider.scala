@@ -136,6 +136,8 @@ final class DebeziumEmbeddedChangeLogProvider(
       toInclusive: Long, range: SnapshotSplit): Iterator[LogRecord] = {
     checkFailure(); delegate.logForRange(table, fromExclusive, toInclusive, range)
   }
+  override def keyIndexedLog(table: TableId): Boolean =
+    delegate.keyIndexedLog(table)
   override def schemaChanges(fromExclusive: Long,
       toInclusive: Long): Iterator[(Long, TableId, String)] = {
     checkFailure(); delegate.schemaChanges(fromExclusive, toInclusive)

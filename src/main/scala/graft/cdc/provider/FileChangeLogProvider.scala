@@ -328,6 +328,8 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     * chunk's key range, then keep offsets in (from, to]. Cost is the
     * range's own events + O(log n) seeks — a chunk fold never rescans the
     * slice its 124 sibling chunks also need. */
+  override def keyIndexedLog(table: TableId): Boolean = true
+
   override def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
       range: SnapshotSplit): Iterator[LogRecord] = {
     val tf = files(table)

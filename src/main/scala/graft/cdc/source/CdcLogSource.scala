@@ -91,7 +91,24 @@ final case class CdcOptions(
     captureTables: Seq[TableMeta] = Seq.empty,
     /** The `debezium.*` subset of the passthrough, unmixed with
       * `jdbc.properties.*` — the embedded alias's engine properties. */
-    debeziumProps: Map[String, String] = Map.empty) {
+    debeziumProps: Map[String, String] = Map.empty,
+    /** CATCH-UP SHARDING — max key-range shards one table's log slice may
+      * split into per micro-batch (1 = off, the reference-parity single
+      * binlog reader). The reference's BinlogSplitReader.java:194-240 is
+      * inherently serial: one task drains a hot table's whole backlog.
+      * When the provider's log is KEY-INDEXED
+      * ([[graft.cdc.provider.ChangeLogProvider.keyIndexedLog]]) a bounded
+      * catch-up window instead splits into up to this many key-range
+      * `LogPartition`s — per-KEY order is preserved because shard ranges
+      * partition the keyspace (every key lives in exactly one shard) and
+      * each shard's read is offset-ordered; the F4 emit filter is already
+      * key-range-aware. This is the 100-TB source-parallelism lever the
+      * q92 scale probe names. */
+    logCatchupShards: Int = 1,
+    /** Floor on the per-shard window: a slice only shards when its offset
+      * span is at least shards × this (planning probes and task overhead
+      * must not dominate a small steady-state batch). */
+    logCatchupMinOffsetsPerShard: Long = 4096L) {
 
   def resolveProvider(): ChangeLogProvider = providerKind match {
     case "registry" => ProviderRegistry.get(providerArg)
@@ -277,7 +294,17 @@ object CdcOptions {
       o.getBoolean("scan.newly-added-table.enabled", true),
       o.getDouble("split-key.even-distribution.factor.upper-bound", 1000.0),
       o.getDouble("split-key.even-distribution.factor.lower-bound", 0.05),
-      passthrough, capture, debeziumProps)
+      passthrough, capture, debeziumProps,
+      {
+        val sh = o.getInt("scan.log.catchup.shards", 1)
+        require(sh >= 1, s"scan.log.catchup.shards must be >= 1, got $sh")
+        sh
+      },
+      {
+        val mo = o.getLong("scan.log.catchup.min-offsets-per-shard", 4096L)
+        require(mo >= 1, s"scan.log.catchup.min-offsets-per-shard must be >= 1, got $mo")
+        mo
+      })
   }
 
   /** physical ++ op STRING ++ requested metadata — the fork's contract of a

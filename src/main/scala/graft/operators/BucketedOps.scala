@@ -624,7 +624,11 @@ object BucketedOps {
         val missing = newSchema.fields.filterNot(f => have(f.name))
         if (missing.nonEmpty)
           s.sql(s"ALTER TABLE $table ADD COLUMNS (" +
-            missing.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ") + ")")
+            // backquoted: a new column named like a reserved word (or with
+            // non-identifier characters) must not break the replayed ALTER
+            // AFTER the old generation was already retired — the worst
+            // window to fail in
+            missing.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
         onStep("reregistered")
         fs.delete(stageDir, true)
         fs.create(commit, true).close()
@@ -686,8 +690,26 @@ object BucketedOps {
       key: String, buckets: Int, jobId: String,
       resolve: DataFrame => DataFrame, every: Int): Boolean = {
     require(every >= 1, s"compact-every threshold must be >= 1, got $every")
-    val due = hasUnfinishedCompaction(s, table, jobId) ||
-      appendGenerations(s, table) >= every
+    val unfinished = hasUnfinishedCompaction(s, table, jobId)
+    val due = unfinished || appendGenerations(s, table) >= every
+    if (due && !unfinished) {
+      // due via the GENERATION COUNT with a jobId that already committed:
+      // compactManifest would no-op on its commit marker while this call
+      // reports success — generations then accumulate unboundedly behind an
+      // API that claims the cadence ran (a caller reusing one constant
+      // jobId every week). Fail loudly instead: cadence callers must mint
+      // a fresh jobId per due compaction (closeDay's per-day jobIds do).
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(loc,
+        s"_graft_compact_$jobId.commit")),
+        s"compactIfDue on $table is due by generation count, but jobId " +
+          s"'$jobId' already committed a compaction — the call would no-op " +
+          "on its commit marker while generations keep accumulating. Pass a " +
+          "fresh jobId (e.g. date-stamped) per due compaction.")
+    }
     if (due) compactManifest(s, table, key, buckets, jobId, resolve)
     due
   }
@@ -754,7 +776,17 @@ object BucketedOps {
     * resolves a maintained manifest (min per doc, sum per term, distinct
     * index rows) reads through here so a never-replayed phase-B crash
     * refuses loudly instead of silently double-counting — the check is one
-    * root listing, amortized noise next to any real scan. */
+    * root listing, amortized noise next to any real scan.
+    *
+    * SCOPE: the guard detects STRANDED orphans, not live swaps. The marker
+    * check and the lazy `s.table` scan are not atomic — a reader racing a
+    * legitimately-RUNNING phase B can pass the guard and still scan a torn
+    * root (double-count or FileNotFound). That race is excluded by the
+    * lake's single-writer / readers-after-compaction contract (maintenance
+    * swaps run between read windows — closeDay's cadence fires after the
+    * day's reads); a deployment that cannot promise it must take the
+    * writer lease around read-then-persist sections, or re-run this check
+    * after the action that materializes the result. */
   def readMaintained(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
     val loc = new org.apache.hadoop.fs.Path(
       s.sessionState.catalog.getTableMetadata(

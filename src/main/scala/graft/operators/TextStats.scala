@@ -241,9 +241,20 @@ object TextStats {
     // cross-boundary duplicate is UNDER-removed with no error anywhere.
     // Spans are spanLen tokens joined by single spaces and tokens carry
     // no spaces, so sampled manifest keys must split back into exactly
-    // spanLen parts — an O(1) driver-side probe, loud on mismatch
-    // (an empty manifest — day 1 — has nothing to contradict and passes)
-    val sampled = spanManifest.select(col("s")).limit(8).collect()
+    // spanLen parts — loud on mismatch (an empty manifest — day 1 — has
+    // nothing to contradict and passes). COST: the probe is an EAGER
+    // limit(8) action at construction time — one tiny driver job per
+    // invocation. A daily batch caller never notices; a caller composing
+    // this PER MICRO-BATCH pays a driver job per batch and should
+    // validate the manifest once at stream start instead (the probe is
+    // deliberately not deferred: under-removal is silent, and the first
+    // action of the composed plan is the wrong place to discover a
+    // day-one misconfiguration). Columns resolve by POSITION — the
+    // manifest contract is (span, count) in that order, whatever the
+    // caller named them.
+    val spanC = spanManifest.columns(0)
+    val countC = spanManifest.columns(1)
+    val sampled = spanManifest.select(col(spanC)).limit(8).collect()
     sampled.foreach { r =>
       // split with limit -1: Java's default drops TRAILING empty strings,
       // so a span whose last token is empty (doc text with a double or
@@ -261,7 +272,8 @@ object TextStats {
     val todayCounts = spans.groupBy("s").agg(count(lit(1)).as("__t"))
     // resolve the append-maintained manifest (sum per span — one row per
     // span after a compaction, one per day's append before it)
-    val prior = spanManifest.groupBy("s").agg(sum("n").as("__p"))
+    val prior = spanManifest.select(col(spanC).as("s"), col(countC).as("n"))
+      .groupBy("s").agg(sum("n").as("__p"))
     val dup = todayCounts.join(prior, Seq("s"), "left")
       .filter(col("__t") + coalesce(col("__p"), lit(0L)) >= minCount)
       .select("s")

@@ -95,6 +95,32 @@ class CompactionCadenceSpec extends SparkSpec {
       "the resumed swap must converge and lift the read guard")
   }
 
+  test("compactIfDue due-by-count with an already-committed jobId fails loudly instead of silently no-opping") {
+    val tbl = freshDf("reuse")
+    // commit a compaction under 'wk1', then let a new generation accumulate
+    BucketedOps.compactManifest(spark, tbl, "term", buckets = 4,
+      jobId = "wk1", resolve = sumResolve)
+    BucketedOps.idempotentAppend(
+      Seq(("d", 7L)).toDF("term", "df").repartition(1),
+      tbl, "term", buckets = 4, jobId = "day4")
+    assert(BucketedOps.appendGenerations(spark, tbl) == 1)
+    // due by count, but 'wk1' already committed: compactManifest would
+    // no-op on its marker while compactIfDue reports the cadence ran —
+    // generations accumulating unboundedly behind a green API
+    val ex = intercept[IllegalArgumentException] {
+      BucketedOps.compactIfDue(spark, tbl, "term", buckets = 4,
+        jobId = "wk1", resolve = sumResolve, every = 1)
+    }
+    assert(ex.getMessage.contains("fresh jobId"), ex.getMessage)
+    assert(BucketedOps.appendGenerations(spark, tbl) == 1,
+      "the refused call must not have touched the table")
+    // a fresh jobId compacts as the policy intends
+    assert(BucketedOps.compactIfDue(spark, tbl, "term", buckets = 4,
+      jobId = "wk2", resolve = sumResolve, every = 1))
+    assert(BucketedOps.appendGenerations(spark, tbl) == 0)
+    assert(sums(tbl) == (expectedDf + ("d" -> 7L)))
+  }
+
   /** closeDay fixture — FoldFailoverSpec's stored state + spools. */
   private def fresh(tag: String): (String, String, java.nio.file.Path) = {
     val nonce = System.nanoTime()
