@@ -1,0 +1,185 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.cdc.provider.{InMemoryChangeLogProvider, ProviderRegistry}
+import graft.cdc.source.{CdcMicroBatchStream, CdcOffset, CdcOptions, LogPartition}
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** KEY-RANGE-SHARDED LOG CATCH-UP (round-15 verdict ask #2): one hot
+  * table's log window drains through N parallel key-range partitions
+  * instead of the reference's single serial binlog reader
+  * (BinlogSplitReader.java:194-240). Pins:
+  *
+  *   1. PLANNING — `scan.log.catchup.shards=N` over a key-indexed provider
+  *      plans N LogPartitions for ONE table's slice, ranges forming a
+  *      disjoint cover of the whole keyspace (first start / last end
+  *      unbounded).
+  *   2. EQUIVALENCE — the union of shard reads is EXACTLY the
+  *      single-reader slice (same multiset, no row lost, none duplicated),
+  *      including events on keys OUTSIDE the probed snapshot bounds, and
+  *      each shard preserves per-key offset order.
+  *   3. GATES — no sharding when the option is off (default 1), when the
+  *      window is below shards × min-offsets-per-shard, or when the
+  *      provider's log is not key-indexed (the default full-slice
+  *      logForRange would multiply read bandwidth by N).
+  *
+  * The end-to-end state equivalence (sharded catch-up through the real
+  * streaming path + UpsertSink vs the closed-form oracle) is gated as
+  * q141.
+  */
+class LogCatchupShardSpec extends SparkSpec {
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+  private val meta = TableMeta(TableId("db", "t"), schema, Seq("id"))
+
+  /** File-provider fixture (key-indexed log): snapshot = keys 1..80 (the
+    * planner's stats source), log = 200 events at offsets 1..200 over keys
+    * 1..100 — keys 81..100 are PAST the snapshot max, so their events must
+    * land in the last (unbounded-above) shard. */
+  private def writeFixture(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_shardfix_")
+    root.toFile.deleteOnExit()
+    val d = root.resolve("db.t")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("meta.json"),
+      """{"db":"db","table":"t","primaryKey":["id"],"schema":"id BIGINT, name STRING","baseOffset":0}""")
+    val snap = (1L to 80L).map(k => s"""{"id":$k,"name":"base$k"}""").mkString("\n")
+    java.nio.file.Files.writeString(d.resolve("snapshot.jsonl"), snap + "\n")
+    // events: offset o in 1..200, key = (o*37) % 100 + 1 (scattered across
+    // shards), op cycles c/u/d keyed on the offset
+    val log = (1L to 200L).map { o =>
+      val k = (o * 37) % 100 + 1
+      o % 3 match {
+        case 0 => s"""{"offset":$o,"op":"d","tsMs":$o,"before":{"id":$k,"name":"v$o"},"after":null}"""
+        case 1 => s"""{"offset":$o,"op":"c","tsMs":$o,"before":null,"after":{"id":$k,"name":"v$o"}}"""
+        case _ => s"""{"offset":$o,"op":"u","tsMs":$o,"before":{"id":$k,"name":"old$o"},"after":{"id":$k,"name":"v$o"}}"""
+      }
+    }.mkString("\n")
+    java.nio.file.Files.writeString(d.resolve("log.jsonl"), log + "\n")
+    root.toString
+  }
+
+  private def mkStream(root: String, extra: Map[String, String]): CdcMicroBatchStream = {
+    val opts = CdcOptions.from(new CaseInsensitiveStringMap(
+      (Map("path" -> root, "scan.startup.mode" -> "earliest",
+        "metadata.columns" -> "op_offset") ++ extra).asJava))
+    new CdcMicroBatchStream(opts, schema,
+      CdcOptions.producedSchema(schema, Seq(CdcOptions.MetaOffset)), Seq(meta))
+  }
+
+  /** Drain one planned batch: (id, name, op, op_offset) rows per partition. */
+  private def readParts(stream: CdcMicroBatchStream,
+      parts: Seq[InputPartition]): Seq[Seq[(Long, String, String, Long)]] = {
+    val factory = stream.createReaderFactory()
+    parts.map { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      try {
+        while (r.next()) {
+          val ir = r.get()
+          buf += ((ir.getLong(0), ir.getUTF8String(1).toString,
+            ir.getUTF8String(2).toString, ir.getLong(3)))
+        }
+      } finally r.close()
+      buf.toSeq
+    }
+  }
+
+  private def planOneBatch(stream: CdcMicroBatchStream): Seq[InputPartition] = {
+    val o0 = stream.initialOffset().asInstanceOf[CdcOffset]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+    assert(o1.logPos == 200L, s"precondition: one batch must cover the log, got $o1")
+    stream.planInputPartitions(o0, o1).toSeq
+  }
+
+  test("planning: N key-range shards for one table, disjointly covering the whole keyspace") {
+    val root = writeFixture()
+    val parts = planOneBatch(mkStream(root, Map(
+      "scan.log.catchup.shards" -> "4",
+      "scan.log.catchup.min-offsets-per-shard" -> "25")))
+    val logs = parts.collect { case p: LogPartition => p }
+    assert(logs.size >= 2 && logs.size <= 6, s"expected ~4 shards, got ${logs.size}")
+    assert(logs.forall(_.shard.isDefined))
+    val ranges = logs.flatMap(_.shard).sortBy(_.splitId)
+    assert(ranges.head.start.isEmpty, "first shard must be unbounded below")
+    assert(ranges.last.end.isEmpty, "last shard must be unbounded above")
+    // contiguous: each shard's end is the next shard's start
+    ranges.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.end == b.start, s"non-contiguous shards: $a -> $b")
+    }
+    // every key hits exactly one shard
+    (1L to 120L).foreach { k =>
+      assert(ranges.count(_.contains(ChunkKey.of(k))) == 1,
+        s"key $k must land in exactly one shard")
+    }
+  }
+
+  test("equivalence: union over shards == the single serial reader, per-key order kept") {
+    val root = writeFixture()
+    val serial = readParts(mkStream(root, Map.empty),
+      planOneBatch(mkStream(root, Map.empty))).flatten
+    val shardStream = mkStream(root, Map(
+      "scan.log.catchup.shards" -> "4",
+      "scan.log.catchup.min-offsets-per-shard" -> "25"))
+    val perShard = readParts(shardStream, planOneBatch(shardStream))
+    assert(perShard.size >= 2)
+    val union = perShard.flatten
+    // exact multiset: nothing lost (incl. keys 81..100 beyond the probed
+    // snapshot max), nothing duplicated across shards
+    assert(union.groupBy(identity).view.mapValues(_.size).toMap ==
+      serial.groupBy(identity).view.mapValues(_.size).toMap,
+      s"shard union (${union.size} rows) != serial read (${serial.size} rows)")
+    // per-key offset order within each shard matches the serial order
+    perShard.foreach { rows =>
+      rows.groupBy(_._1).foreach { case (k, evs) =>
+        val serialOrder = serial.filter(_._1 == k).map(_._4)
+        assert(evs.map(_._4) == serialOrder.filter(evs.map(_._4).toSet),
+          s"per-key order broken for key $k")
+      }
+    }
+  }
+
+  test("gates: default off; window below the per-shard floor; non-key-indexed provider") {
+    val root = writeFixture()
+    def logParts(extra: Map[String, String]): Seq[LogPartition] =
+      planOneBatch(mkStream(root, extra)).collect { case p: LogPartition => p }
+    // default (shards=1): the reference-parity single reader
+    val off = logParts(Map.empty)
+    assert(off.size == 1 && off.head.shard.isEmpty)
+    // window 200 < 2 × 150: below twice the per-shard floor → serial
+    val floor = logParts(Map("scan.log.catchup.shards" -> "4",
+      "scan.log.catchup.min-offsets-per-shard" -> "150"))
+    assert(floor.size == 1 && floor.head.shard.isEmpty)
+    // window 200 = 2 × 100: the floor CAPS the count (partial parallelism)
+    val capped = logParts(Map("scan.log.catchup.shards" -> "4",
+      "scan.log.catchup.min-offsets-per-shard" -> "100"))
+    assert(capped.size == 2 && capped.forall(_.shard.isDefined),
+      s"a medium window must get window/floor shards, got ${capped.size}")
+    // in-memory provider: logForRange is the full-slice default → must not
+    // shard even when asked (N× read amplification)
+    val p = new InMemoryChangeLogProvider(meta, Seq(Array[Any](1L, "a")),
+      (1L to 50L).map(o => LogRecord(o, ChangeOp.Create, meta.id, null,
+        Array[Any](o % 10 + 1, s"n$o"), o)))
+    ProviderRegistry.register("shard-mem", p)
+    val memStream = {
+      val opts = CdcOptions.from(new CaseInsensitiveStringMap(Map(
+        "provider.name" -> "shard-mem", "scan.startup.mode" -> "earliest",
+        "metadata.columns" -> "op_offset",
+        "scan.log.catchup.shards" -> "4",
+        "scan.log.catchup.min-offsets-per-shard" -> "1").asJava))
+      new CdcMicroBatchStream(opts, schema,
+        CdcOptions.producedSchema(schema, Seq(CdcOptions.MetaOffset)), Seq(meta))
+    }
+    val o0 = memStream.initialOffset().asInstanceOf[CdcOffset]
+    val o1 = memStream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+    val memParts = memStream.planInputPartitions(o0, o1).toSeq
+      .collect { case lp: LogPartition => lp }
+    assert(memParts.size == 1 && memParts.head.shard.isEmpty,
+      "a non-key-indexed provider must keep the serial reader")
+  }
+}
