@@ -1073,6 +1073,35 @@ object DataQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // SPAN-MANIFEST TOMBSTONE PURGE (round-15 verdict what's-missing #3:
+    // the q138 negative-count algebra applied to the second additive
+    // family): tombstoned docs' window counts are SUBTRACTED from the
+    // stored (span, n) manifest, compaction nets the zeros out, and the
+    // next day's incremental substring dedup against the purged manifest
+    // must equal the from-scratch pass over (corpus MINUS the tombstoned
+    // docs, UNION day 3) restricted to day 3 — a span that was duplicated
+    // only because of a tombstoned doc is no longer removed.
+    "q142_span_tombstone_purge" -> ((s, dir) => {
+      val tbl = ensurePurgedSpanManifest(s, dir)
+      graft.operators.TextStats.incrementalRemoveRepeatedSpans(
+        day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+        mt(s, tbl)).orderBy("doc_id")
+    }),
+
+    // BIGRAM-MANIFEST TOMBSTONE PURGE — the third (last) additive family
+    // gets the same takedown gate: after the negative append + net-out
+    // compaction, the tombstoned docs' bigrams carry no reference mass,
+    // so day 3's fluency scores must equal scoring against a manifest
+    // built from scratch WITHOUT those docs (hit_mass / oov flip for
+    // every bigram they alone contributed).
+    "q143_bigram_tombstone_purge" -> ((s, dir) => {
+      val mf = mt(s, ensurePurgedBigramManifest(s, dir))
+        .groupBy("bg").agg(sum("n").as("n"))
+      graft.operators.TextStats.bigramFluency(
+        day3Docs(s, dir).select("doc_id", "text"), "doc_id", "text", mf)
+        .orderBy("doc_id")
+    }),
+
     // THE COMPOSED DAILY JOB — every daily leg the battery gates
     // individually, run as ONE query over ONE crawl against ONE shared
     // set of stored tables (round-10 verdict #4: "the composition is
@@ -2750,6 +2779,56 @@ object DataQueries {
       (tbl, n1 - tomb.count())
     }
 
+  /** q142's stored state — [[ensureSpanManifest]]'s (s, n) table COPIED
+    * and ADDITIVE-TOMBSTONE-PURGED (round-15 verdict, what's-missing #3:
+    * the span family is the second additive manifest after df). Span
+    * window counts carry no doc attribution, so the takedown SUBTRACTS:
+    * the tombstoned docs' own (s, n) counts append NEGATED (readers'
+    * sum-resolve is correct from that moment), then compaction nets the
+    * negatives out and drops zeroed spans — the identical q138 algebra
+    * on a different family. */
+  private[graft] def ensurePurgedSpanManifest(s: SparkSession, dir: String): String =
+    Fixtures.oncePerSession(s, s"q142_spans|$dir") {
+      val tbl0 = ensureSpanManifest(s, dir)
+      val tbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(tbl0), s"q142_spans|$dir", "s", buckets = 8)
+      val tomb = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 1)
+      graft.operators.BucketedOps.idempotentAppend(
+        graft.operators.TextStats.spanManifest(tomb, "doc_id", "text")
+          .select(col("s"), (-col("n")).as("n")),
+        tbl, "s", buckets = 8, jobId = "takedown1")
+      graft.operators.BucketedOps.compactManifest(s, tbl, "s", buckets = 8,
+        jobId = "takedown1.c",
+        resolve = _.groupBy("s").agg(sum("n").as("n"))
+          .filter(col("n") =!= 0L))
+      tbl
+    }
+
+  /** q143's stored state — [[ensureBigramManifest]]'s (bg, n) table COPIED
+    * and ADDITIVE-TOMBSTONE-PURGED: the bigram family is the third (and
+    * last) additive manifest (round-15 verdict, what's-missing #3). Same
+    * negative-count append + net-out compaction as q138/q142; after the
+    * purge the tombstoned docs' bigrams contribute no reference mass to
+    * any fluency decision. */
+  private[graft] def ensurePurgedBigramManifest(s: SparkSession, dir: String): String =
+    Fixtures.oncePerSession(s, s"q143_bg|$dir") {
+      val tbl0 = ensureBigramManifest(s, dir)
+      val tbl = graft.operators.BucketedOps.ensureBucketed(
+        s.table(tbl0), s"q143_bg|$dir", "bg", buckets = 8)
+      val tomb = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 1)
+      graft.operators.BucketedOps.idempotentAppend(
+        graft.operators.TextStats.bigramManifest(tomb, "doc_id", "text")
+          .select(col("bg"), (-col("n")).as("n")),
+        tbl, "bg", buckets = 8, jobId = "takedown1")
+      graft.operators.BucketedOps.compactManifest(s, tbl, "bg", buckets = 8,
+        jobId = "takedown1.c",
+        resolve = _.groupBy("bg").agg(sum("n").as("n"))
+          .filter(col("n") =!= 0L))
+      tbl
+    }
+
   /** q140's stored state — [[ensureAnnIndex]]'s cell-assignment table
     * COPIED and TOMBSTONE-PURGED (the last doc-attributed family:
     * assignment and shingle index are q137's, this is the ANN index):
@@ -2837,6 +2916,8 @@ object DataQueries {
     ensureStreamFoldedClusterState(s, dir)
     ensureStreamFoldedDfManifest(s, dir)
     ensureStreamFoldedBigramManifest(s, dir)
+    ensurePurgedSpanManifest(s, dir)
+    ensurePurgedBigramManifest(s, dir)
     ensureComposedDay2State(s, dir)
     ensureCompactedClusterState(s, dir)
     ensureTombstonedManifests(s, dir)
@@ -2970,7 +3051,14 @@ object DataQueries {
     * q124's batch append and q131's streamed+folded spools. One generator
     * so the gates cannot drift (the day2FunnelCtes rule). */
   private def bigramFluencyOracleSql: String =
-    """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+    bigramFluencyOracleSqlOver("TRUE")
+
+  /** Same generator with the REFERENCE CORPUS filtered — q143's takedown
+    * oracle scores the same day-3 crawl against a manifest rebuilt from
+    * scratch without the tombstoned docs (the d3 crawl itself never
+    * filters: a re-post of a tombstoned doc still arrives). */
+  private def bigramFluencyOracleSqlOver(corpusWhere: String): String =
+    s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
       |d3 AS MATERIALIZED (
       |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
       |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
@@ -2979,7 +3067,8 @@ object DataQueries {
       |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
       |mb AS MATERIALIZED (
       |  SELECT ts[i] || ' ' || ts[i+1] AS bg, COUNT(*) AS n
-      |  FROM (SELECT string_split(text, ' ') ts FROM documents),
+      |  FROM (SELECT string_split(text, ' ') ts FROM documents
+      |        WHERE $corpusWhere),
       |       UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
       |  GROUP BY 1),
       |tb AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bg
@@ -2999,6 +3088,48 @@ object DataQueries {
       |    / CAST(GREATEST(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS mean_hit
       |FROM (SELECT DISTINCT doc_id FROM d3) d LEFT JOIN per p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** q125's from-scratch substring-dedup pass over (corpus ∪ day 3)
+    * restricted to day 3 — the closed form the incremental span pass must
+    * land on (counts add under disjoint doc sets, so manifest-count +
+    * today-count = union count). `corpusWhere` filters the PRIOR corpus
+    * only: q135 passes TRUE, q142's takedown oracle excludes the
+    * tombstoned docs (the d3 crawl itself never filters — a re-post of a
+    * tombstoned doc still arrives as a fresh doc). One generator for the
+    * maintenance and takedown shapes so the gates cannot drift. */
+  private def substringDedupOracleSqlOver(corpusWhere: String): String =
+    s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+      |d3 AS MATERIALIZED (
+      |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
+      |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
+      |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
+      |uni AS MATERIALIZED (SELECT doc_id, text FROM documents
+      |       WHERE $corpusWhere
+      |       UNION ALL SELECT doc_id, text FROM d3),
+      |toks AS (SELECT doc_id, string_split(text, ' ') ts FROM uni),
+      |sp AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 7), ' ') AS s
+      |       FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)),
+      |dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2),
+      |covered AS (SELECT DISTINCT sp.doc_id, u.p
+      |            FROM sp JOIN dup USING (s),
+      |                 UNNEST(generate_series(sp.i, sp.i + 7)) AS u(p)
+      |            WHERE sp.doc_id IN (SELECT doc_id FROM d3)),
+      |t3 AS (SELECT doc_id, string_split(text, ' ') ts FROM d3),
+      |tok AS (SELECT doc_id, g.i AS p, ts[g.i] AS tok
+      |        FROM t3, UNNEST(generate_series(1, len(ts))) AS g(i)),
+      |kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
+      |           string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
+      |         FROM tok t
+      |         WHERE NOT EXISTS (SELECT 1 FROM covered c
+      |                           WHERE c.doc_id = t.doc_id AND c.p = t.p)
+      |         GROUP BY t.doc_id)
+      |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+      |  CAST(len(d.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(k.clean_text, '') AS clean_text
+      |FROM t3 d LEFT JOIN kept k USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** The PAST days' replay shared by every curation-manifest oracle: the
     * day-0 and day-1 funnels, their kept-hash manifests (daprior/dbprior,
@@ -3639,38 +3770,18 @@ object DataQueries {
     // (corpus ∪ day 3) RESTRICTED to day 3 — counts add under disjoint
     // doc sets, so manifest-count + today-count = union count; one
     // closed form for the one-shot and maintenance shapes
-    "q135_incremental_substring_dedup" ->
-      """WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
-        |d3 AS MATERIALIZED (
-        |  SELECT d.doc_id + 4 * off.o AS doc_id, 'upd ' || d.text AS text
-        |  FROM documents d, off WHERE d.doc_id % 3 = 2 AND d.doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT d.doc_id + 5 * off.o, 'upd ' || d.text
-        |  FROM documents d, off WHERE d.doc_id % 3 = 1 AND d.doc_id % 7 = 0),
-        |uni AS MATERIALIZED (SELECT doc_id, text FROM documents
-        |       UNION ALL SELECT doc_id, text FROM d3),
-        |toks AS (SELECT doc_id, string_split(text, ' ') ts FROM uni),
-        |sp AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 7), ' ') AS s
-        |       FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS g(i)),
-        |dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(*) >= 2),
-        |covered AS (SELECT DISTINCT sp.doc_id, u.p
-        |            FROM sp JOIN dup USING (s),
-        |                 UNNEST(generate_series(sp.i, sp.i + 7)) AS u(p)
-        |            WHERE sp.doc_id IN (SELECT doc_id FROM d3)),
-        |t3 AS (SELECT doc_id, string_split(text, ' ') ts FROM d3),
-        |tok AS (SELECT doc_id, g.i AS p, ts[g.i] AS tok
-        |        FROM t3, UNNEST(generate_series(1, len(ts))) AS g(i)),
-        |kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
-        |           string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text
-        |         FROM tok t
-        |         WHERE NOT EXISTS (SELECT 1 FROM covered c
-        |                           WHERE c.doc_id = t.doc_id AND c.p = t.p)
-        |         GROUP BY t.doc_id)
-        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
-        |  CAST(len(d.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
-        |  COALESCE(k.clean_text, '') AS clean_text
-        |FROM t3 d LEFT JOIN kept k USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q135_incremental_substring_dedup" -> substringDedupOracleSqlOver("TRUE"),
+
+    // the SAME closed form over the corpus with the tombstoned docs
+    // excluded: the purged manifest's counts must make the incremental
+    // pass land exactly on the from-scratch pass over (corpus \ tombstones
+    // ∪ day 3) — any leftover (or over-subtracted) span count changes
+    // which windows clear the >= 2 threshold
+    "q142_span_tombstone_purge" -> substringDedupOracleSqlOver("doc_id % 4 <> 1"),
+
+    // q143: bigram fluency against the from-scratch manifest WITHOUT the
+    // tombstoned docs — the purged stored table must score identically
+    "q143_bigram_tombstone_purge" -> bigramFluencyOracleSqlOver("doc_id % 4 <> 1"),
 
     // stream day 2 → fold → day-3 scoring from the STORED table only:
     // q120/q127's generator, third execution shape for the additive df
