@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *           N+ append generations are stored — the system decides, not
   *           an operator's memory): the appended generations collapse to
   *           one resolved row per key — readers can't tell
+  *   migrate the manifest gains a column MID-HISTORY (BucketedOps
+  *           .migrateManifest): ADD-COLUMN evolution as the same
+  *           kill-swept two-phase swap, existing rows backfilled, the
+  *           catalog ALTERed inside the swap — resolution unchanged
   *   takedown a tombstoned doc's values leave the manifests
   *           (compactManifest deleteSet, under the set-difference
   *           contract: deleted docs' values MINUS live docs' values)
@@ -123,6 +127,23 @@ object LakeLifecycle {
       "one resolved row per term")
     require(dfSum(dfTbl) == fullMass, "compaction changed what readers resolve")
 
+    // ---- schema migration: the manifest gains a column MID-HISTORY ----
+    // ADD-COLUMN evolution as the same two-phase swap (the promote marker
+    // carries the new schema's DDL; every crash window kill-swept in
+    // MigrateManifestSpec): existing rows backfill first_seen_day = 0 and
+    // the catalog evolves via one idempotent ALTER inside the swap.
+    // Reader resolution on the ORIGINAL columns is untouched.
+    BucketedOps.migrateManifest(spark, dfTbl, "term", buckets = 8,
+      jobId = "mig1",
+      resolve = _.groupBy("term").agg(sum("df").as("df"))
+        .withColumn("first_seen_day", lit(0L)))
+    require(spark.table(dfTbl).columns.toSeq ==
+      Seq("term", "df", "first_seen_day"),
+      "migration must append the new column in place")
+    require(dfSum(dfTbl) == fullMass, "migration changed what readers resolve")
+    println(s"schema migration: df manifest evolved to " +
+      s"(${spark.table(dfTbl).columns.mkString(", ")}), df mass unchanged")
+
     // ---- takedown: tombstone one day-0 doc ----------------------------
     // the set-difference contract: the manifests carry VALUES, so purge
     // only values belonging exclusively to the deleted doc
@@ -138,14 +159,22 @@ object LakeLifecycle {
     // the ADDITIVE family's takedown is a different algebra — df rows
     // carry no doc attribution, so the doc's contributions are appended
     // NEGATED (readers' sum is correct from this moment) and the next
-    // compaction nets them out, dropping zeroed terms
+    // compaction nets them out, dropping zeroed terms. On the MIGRATED
+    // schema the subtraction rows carry each extra column's NEUTRAL
+    // element (min → Long.MaxValue): a negative-count row must cancel
+    // counts without perturbing any other resolved aggregate
     BucketedOps.idempotentAppend(
       TfIdf.dfManifest(tomb, "doc_id", "text")
-        .select(col("term"), (-col("df")).as("df")),
+        .select(col("term"), (-col("df")).as("df"))
+        .withColumn("first_seen_day", lit(Long.MaxValue)),
       dfTbl, "term", buckets = 8, jobId = "takedown1")
     BucketedOps.compactManifest(spark, dfTbl, "term", buckets = 8,
       jobId = "takedown1",
-      resolve = _.groupBy("term").agg(sum("df").as("df")).filter(col("df") =!= 0L))
+      resolve = _.groupBy("term").agg(sum("df").as("df"),
+          min("first_seen_day").as("first_seen_day"))
+        .filter(col("df") =!= 0L))
+    require(spark.table(dfTbl).filter(col("first_seen_day") === Long.MaxValue)
+      .isEmpty, "no term may resolve to the subtraction rows' neutral day")
     val tombTokens = tomb.select(explode(split(col("text"), " "))).distinct().count()
     println(s"takedown (additive): df mass ${dfSum(dfTbl)} after subtracting the " +
       s"doc's $tombTokens distinct terms' contributions")
@@ -154,6 +183,7 @@ object LakeLifecycle {
 
     spark.stop()
     println("lifecycle complete: stream fold, idempotent append, vacuum, " +
-      "compaction, tombstone — reader resolution invariant throughout")
+      "compaction, schema migration, tombstone — reader resolution " +
+      "invariant throughout")
   }
 }
