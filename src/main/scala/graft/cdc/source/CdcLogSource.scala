@@ -1178,10 +1178,21 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     * chunkSize ≈ count/n: the first range starts unbounded and the last
     * ends unbounded, so keys OUTSIDE the probed snapshot bounds (rows
     * inserted after the stats probe) still land in exactly one shard —
-    * coverage is by construction, not by freshness of the stats. Planning
-    * cost: one keyBounds probe, plus ~n boundary probes only for unevenly
+    * coverage is by construction, not by freshness of the stats. The same
+    * argument makes a RESTART sound: a replayed batch may re-derive
+    * different interior boundaries (stats moved), but any disjoint cover
+    * of the keyspace reads the same union of the slice's events — the
+    * cohort-replay principle applied to the log phase. Planning cost: one
+    * keyBounds probe, plus ~n boundary probes only for unevenly
     * distributed keys — driver-side index lookups, the same probes chunk
-    * planning already issues. */
+    * planning already issues.
+    *
+    * Known limit: boundaries equalize the SNAPSHOT key distribution, so a
+    * log whose events concentrate inside one range still drains that
+    * range serially (shard skew). That is the right default — range
+    * sharding is what a key-indexed log can serve O(range) — and the
+    * skewed-hot-RANGE case degrades to the reference's serial behavior,
+    * never below it. */
   private def catchupShards(tm: TableMeta, window: Long): Seq[SnapshotSplit] = {
     val maxShards = opts.logCatchupShards
     if (maxShards <= 1 || !provider.keyIndexedLog(tm.id)) return Seq.empty

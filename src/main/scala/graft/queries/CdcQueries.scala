@@ -152,7 +152,7 @@ object CdcQueries {
     // the argmax flush (the q89 wave pattern, on the SOURCE side via the
     // log itself). Oracle: closed-form argmax over the same version set. ---
     "q92_cdc_temporal_enrich" -> ((s, dir) => {
-      val root = writeTemporalProviderTable(s, dir)
+      val root = writeTemporalProviderTable(s, dir, statsSnapshot = true)
       val st = StreamFixtures.arm(q92Stage(s, dir))
       val ss = StreamFixtures.streamSession(s)
       val probes = ss.readStream.schema(q92Probes(s, dir).schema)
@@ -161,6 +161,10 @@ object CdcQueries {
         .option("scan.startup.mode", "earliest") // replay events, no snapshot fold
         .option("metadata.columns", "op_offset,row_kind")
         .option("scan.log.max-offsets-per-batch", q92WaveSpan(q92MaxOff(s, dir)).toString)
+        // the source leg is q92's scaling component (SCALE_PROBE_sf1.md's
+        // third-decade mechanism note) — drain each span-capped batch
+        // through key-range shards instead of one serial reader
+        .option("scan.log.catchup.shards", "8")
         .load()
       // every insert/update-after event is a dimension version at ts = its
       // offset (ms); -U before-images and deletes are not versions (the op
@@ -332,6 +336,11 @@ object CdcQueries {
     // gate; THIS is what a 100 TB pipeline actually deploys.
     "q106_retract_agg_durable" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      // deliberately NOT sharded (scan.log.catchup.shards): measured A/B at
+      // sf0.1 (isolated reps=3 min) read 8.37 s serial vs 8.41 s sharded —
+      // q106's cost is the sink merges and per-batch choreography, not
+      // source decode, so the shards only add planning/task overhead.
+      // q92, whose windows are 4x larger and source-bound, IS sharded.
       val root = writeTemporalProviderTable(s, dir, sentinels = false)
       val maxOff = q92MaxOff(s, dir)
       val ss = StreamFixtures.streamSession(s)
@@ -627,8 +636,8 @@ object CdcQueries {
   /** Pre-builds q92's fixture + probe stage (untimed in the bench — the
     * same ingest-scaffolding rule as the other staged streams). */
   private[graft] def ensureTemporalFixtures(s: SparkSession, dir: String): Unit = {
-    writeTemporalProviderTable(s, dir)
-    writeTemporalProviderTable(s, dir, sentinels = false) // q99/q100
+    writeTemporalProviderTable(s, dir, statsSnapshot = true) // q92
+    writeTemporalProviderTable(s, dir, sentinels = false) // q99/q100/q106
     writeTemporalProviderTable(s, dir, sentinels = false, statsSnapshot = true) // q141
     q92Stage(s, dir)
     // q101's ingest layout (the bucketed changelog) — an index build paid

@@ -182,4 +182,28 @@ class LogCatchupShardSpec extends SparkSpec {
     assert(memParts.size == 1 && memParts.head.shard.isEmpty,
       "a non-key-indexed provider must keep the serial reader")
   }
+
+  test("composite provider routes keyIndexedLog and logForRange to the owning part") {
+    val root = writeFixture()
+    val filePart = new graft.cdc.provider.FileChangeLogProvider(root)
+    val memMeta = TableMeta(TableId("db", "m"), schema, Seq("id"))
+    val memPart = new InMemoryChangeLogProvider(memMeta, Seq(Array[Any](1L, "a")),
+      Seq(LogRecord(1L, ChangeOp.Create, memMeta.id, null, Array[Any](2L, "b"), 1L)))
+    val comp = new graft.cdc.provider.CompositeChangeLogProvider(Seq(filePart, memPart))
+    // the capability is PER TABLE: the file-backed table shards, the
+    // in-memory one must not (inheriting the pre-fix default would have
+    // silently downgraded the file table to full-slice reads)
+    assert(comp.keyIndexedLog(meta.id))
+    assert(!comp.keyIndexedLog(memMeta.id))
+    // the range read must hit the owner's key index, not the base-trait
+    // full-slice fallback: a proper-subrange query over the file table
+    // returns only that range's events
+    val r = SnapshotSplit(meta.id, 0, Some(ChunkKey.of(10L)), Some(ChunkKey.of(20L)))
+    val got = comp.logForRange(meta.id, 0L, 200L, r).toSeq
+    assert(got.nonEmpty && got.forall { rec =>
+      val k = (if (rec.op == ChangeOp.Delete) rec.before else rec.after)(0)
+        .asInstanceOf[Long]
+      k >= 10L && k < 20L
+    }, "composite must serve the owner's key-indexed range read")
+  }
 }
