@@ -213,6 +213,30 @@ class FailoverMatrixSpec extends SparkSpec {
     fileCell("log")
   }
 
+  test("cell 2b: SHARDED log catch-up, kill mid-log, restore: exactly-once") {
+    // same choreography as cell 2, with every log batch split into 4
+    // key-range shards (window 10 / min-per-shard 2). The kill interrupts
+    // a batch whose shards may have PARTIALLY completed; the restore
+    // re-plans the same (start, end] window — possibly with re-derived
+    // boundaries — and the per-offset changelog-arity audit below is
+    // exactly what catches a duplicated shard (doubled rows) or a lost
+    // one (missing offsets). The 1000+off creates land BEYOND the probed
+    // snapshot bounds, pinning the unbounded-last-shard path under
+    // replay.
+    val root = mkFileFixture()
+    val tmp = Files.createTempDirectory("failover_shard_")
+    val outDir = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt")
+    val opts = paceOpts + ("path" -> root.toString) +
+      ("scan.log.catchup.shards" -> "4") +
+      ("scan.log.catchup.min-offsets-per-shard" -> "2")
+    restore(opts, outDir, ckpt) // snapshot completes cleanly
+    appendFileEvents(root)
+    runUntilPhaseThenKill(opts, outDir, ckpt, midLog, "mid-log")
+    restore(opts, outDir, ckpt) // drain the rest, sharded
+    verifyExactlyOnce(outDir, "file/sharded-log")
+  }
+
   // --- the socket cells (live wire, copy.existing base) ------------------
 
   private def socketCell(killPhase: String): Unit = {
