@@ -42,7 +42,10 @@ trait ChangeLogProvider extends Serializable {
   /** Base rows of a key range plus the log offset that base is valid at. */
   def snapshotBase(table: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]])
 
-  /** Log records for a table with offset in (fromExclusive, toInclusive]. */
+  /** Log records for a table with offset in (fromExclusive, toInclusive],
+    * in ASCENDING OFFSET order — the order contract [[logForRange]]
+    * inherits; readers (per-chunk folds, sharded catch-up partitions)
+    * rely on per-key event order, which offset order implies. */
   def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord]
 
   /** Log records of the slice whose CHUNK KEY falls in `range` — the
@@ -57,6 +60,17 @@ trait ChangeLogProvider extends Serializable {
   def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
       range: SnapshotSplit): Iterator[LogRecord] =
     log(table, fromExclusive, toInclusive)
+
+  /** Approximate number of log events for `table` with offset in
+    * (fromExclusive, toInclusive] — a cheap driver-side planning probe the
+    * catch-up shard planner sizes PER-TABLE parallelism with: the global
+    * offset window over-counts one table's backlog in a multi-table
+    * stream (every other table's offsets inflate it), and sharding a
+    * near-empty table buys only task overhead. -1 = unknown (the planner
+    * falls back to the window). A key-indexed provider should answer from
+    * its offset index in O(log n). */
+  def logEventsApprox(table: TableId, fromExclusive: Long,
+      toInclusive: Long): Long = -1L
 
   /** True iff [[logForRange]] is backed by a KEY INDEX — i.e. a range read
     * costs O(the range's own events), not O(the full slice). The source's
@@ -210,6 +224,8 @@ final class CompositeChangeLogProvider(parts: Seq[ChangeLogProvider]) extends Ch
       range: SnapshotSplit): Iterator[LogRecord] =
     owner(t).logForRange(t, from, to, range)
   override def keyIndexedLog(t: TableId): Boolean = owner(t).keyIndexedLog(t)
+  override def logEventsApprox(t: TableId, from: Long, to: Long): Long =
+    owner(t).logEventsApprox(t, from, to)
 }
 
 /** Cross-JVM-safe registry so tests and demos can hand a live provider to

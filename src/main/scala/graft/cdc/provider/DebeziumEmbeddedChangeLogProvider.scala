@@ -136,8 +136,13 @@ final class DebeziumEmbeddedChangeLogProvider(
       toInclusive: Long, range: SnapshotSplit): Iterator[LogRecord] = {
     checkFailure(); delegate.logForRange(table, fromExclusive, toInclusive, range)
   }
-  override def keyIndexedLog(table: TableId): Boolean =
-    delegate.keyIndexedLog(table)
+  override def keyIndexedLog(table: TableId): Boolean = {
+    checkFailure(); delegate.keyIndexedLog(table)
+  }
+  override def logEventsApprox(table: TableId, fromExclusive: Long,
+      toInclusive: Long): Long = {
+    checkFailure(); delegate.logEventsApprox(table, fromExclusive, toInclusive)
+  }
   override def schemaChanges(fromExclusive: Long,
       toInclusive: Long): Iterator[(Long, TableId, String)] = {
     checkFailure(); delegate.schemaChanges(fromExclusive, toInclusive)

@@ -330,6 +330,15 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     * slice its 124 sibling chunks also need. */
   override def keyIndexedLog(table: TableId): Boolean = true
 
+  /** Exact from the offset index: two binary searches, no IO. */
+  override def logEventsApprox(table: TableId, fromExclusive: Long,
+      toInclusive: Long): Long = {
+    val idx = logIdx(files(table))
+    val lo = lowerBound[Long](idx, fromExclusive + 1, java.lang.Long.compare(_, _))
+    val hi = lowerBound[Long](idx, toInclusive + 1, java.lang.Long.compare(_, _))
+    (hi - lo).toLong
+  }
+
   override def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
       range: SnapshotSplit): Iterator[LogRecord] = {
     val tf = files(table)

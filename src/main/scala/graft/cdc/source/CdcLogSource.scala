@@ -1155,7 +1155,7 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
       if (e.logPos > s.logPos)
         e.known.sorted.flatMap(tid => byId.get(tid)).flatMap { tm =>
           val fins = e.finished.getOrElse(tm.id.toString, Seq.empty)
-          val shards = catchupShards(tm, e.logPos - s.logPos)
+          val shards = catchupShards(tm, s.logPos, e.logPos)
           if (shards.size <= 1)
             Seq(LogPartition(opts, tm.id, physical, tm.primaryKey,
               s.logPos, e.logPos, fins))
@@ -1193,11 +1193,20 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     * sharding is what a key-indexed log can serve O(range) — and the
     * skewed-hot-RANGE case degrades to the reference's serial behavior,
     * never below it. */
-  private def catchupShards(tm: TableMeta, window: Long): Seq[SnapshotSplit] = {
+  private def catchupShards(tm: TableMeta, fromExclusive: Long,
+      toInclusive: Long): Seq[SnapshotSplit] = {
     val maxShards = opts.logCatchupShards
     if (maxShards <= 1 || !provider.keyIndexedLog(tm.id)) return Seq.empty
+    // size parallelism by THIS TABLE's backlog when the provider can say
+    // (two index probes), not the global offset window: in a multi-table
+    // stream the window counts every table's offsets, and sharding a cold
+    // table's near-empty slice buys only task overhead — the exact
+    // hot-table-among-many scenario the feature targets would otherwise
+    // pay N tasks per cold table per batch
+    val backlog = provider.logEventsApprox(tm.id, fromExclusive, toInclusive)
+    val basis = if (backlog >= 0) backlog else toInclusive - fromExclusive
     val n = math.min(maxShards.toLong,
-      math.max(1L, window / opts.logCatchupMinOffsetsPerShard)).toInt
+      math.max(1L, basis / opts.logCatchupMinOffsetsPerShard)).toInt
     if (n <= 1) return Seq.empty
     val (mn, mx, cnt) = provider.keyBounds(tm.id)
     if (cnt <= 0) return Seq.empty // no key stats (pure event log): serial

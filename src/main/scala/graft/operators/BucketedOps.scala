@@ -624,11 +624,13 @@ object BucketedOps {
         val missing = newSchema.fields.filterNot(f => have(f.name))
         if (missing.nonEmpty)
           s.sql(s"ALTER TABLE $table ADD COLUMNS (" +
-            // backquoted: a new column named like a reserved word (or with
-            // non-identifier characters) must not break the replayed ALTER
-            // AFTER the old generation was already retired — the worst
-            // window to fail in
-            missing.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+            // backquoted WITH embedded-backtick doubling: a new column named
+            // like a reserved word (or containing any non-identifier
+            // character, including ` itself) must not break the replayed
+            // ALTER — it runs AFTER the old generation was already retired,
+            // the worst window to fail in
+            missing.map(f =>
+              s"`${f.name.replace("`", "``")}` ${f.dataType.sql}").mkString(", ") + ")")
         onStep("reregistered")
         fs.delete(stageDir, true)
         fs.create(commit, true).close()
@@ -788,12 +790,21 @@ object BucketedOps {
     * writer lease around read-then-persist sections, or re-run this check
     * after the action that materializes the result. */
   def readMaintained(s: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    assertNoOrphanCompaction(s, table, None)
+    s.table(table)
+  }
+
+  /** Name-based form of [[assertNoOrphanCompaction]]: resolves the table's
+    * location and filesystem from the catalog — the shape every
+    * entry-point guard needs (closeDay, stream opens), so callers don't
+    * each re-inline the catalog lookup. */
+  def assertNoOrphanCompaction(s: org.apache.spark.sql.SparkSession,
+      table: String, exceptJobId: Option[String]): Unit = {
     val loc = new org.apache.hadoop.fs.Path(
       s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
     assertNoOrphanCompaction(loc.getFileSystem(s.sparkContext.hadoopConfiguration),
-      loc, table)
-    s.table(table)
+      loc, table, exceptJobId)
   }
 
   /** Retention GC for [[idempotentAppend]]'s bookkeeping — the markers

@@ -152,7 +152,7 @@ object CdcQueries {
     // the argmax flush (the q89 wave pattern, on the SOURCE side via the
     // log itself). Oracle: closed-form argmax over the same version set. ---
     "q92_cdc_temporal_enrich" -> ((s, dir) => {
-      val root = writeTemporalProviderTable(s, dir, statsSnapshot = true)
+      val root = writeTemporalProviderTable(s, dir)
       val st = StreamFixtures.arm(q92Stage(s, dir))
       val ss = StreamFixtures.streamSession(s)
       val probes = ss.readStream.schema(q92Probes(s, dir).schema)
@@ -428,8 +428,7 @@ object CdcQueries {
     // arithmetic.
     "q141_sharded_log_catchup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val root = writeTemporalProviderTable(s, dir, sentinels = false,
-        statsSnapshot = true)
+      val root = writeTemporalProviderTable(s, dir, sentinels = false)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q141_ckpt_")
       tmp.toFile.deleteOnExit()
       val stream = s.readStream.format("cdc-log").option("path", root)
@@ -541,14 +540,16 @@ object CdcQueries {
     * far-future watermark waves — for consumers with no event-time state
     * (q99's SCD2 run), where the waves would stretch the offset span and
     * turn offset-capped micro-batching into hundreds of empty batches.
-    * `statsSnapshot = true` additionally writes the base rows to
-    * snapshot.jsonl — NOT as data (earliest-mode replays ignore the
-    * snapshot) but as the provider's KEY-STATISTICS source, which is what
-    * the catch-up shard planner probes (q141; a pure event log has no key
-    * stats and correctly stays serial). */
+    * Both variants write the base rows to snapshot.jsonl — NOT as data
+    * (the earliest-mode replays these gates run never read the snapshot)
+    * but as the provider's KEY-STATISTICS source, which is what the
+    * catch-up shard planner probes (q92/q141; a pure event log has no key
+    * stats and correctly stays serial). One snapshot per root instead of
+    * a third fixture root keyed on a stats flag: the multi-million-row
+    * log build is the expensive half and must not run twice. */
   private[graft] def writeTemporalProviderTable(s: SparkSession, dir: String,
-      sentinels: Boolean = true, statsSnapshot: Boolean = false): String =
-    temporalFixtureCache.computeIfAbsent(s"$dir|$sentinels|$statsSnapshot", _ => {
+      sentinels: Boolean = true): String =
+    temporalFixtureCache.computeIfAbsent(s"$dir|$sentinels", _ => {
       import java.nio.file.{Files, Paths}
       import s.implicits._
       val root = Files.createTempDirectory("graft_cdctemporal_").toString
@@ -557,17 +558,14 @@ object CdcQueries {
       Files.writeString(d.resolve("meta.json"),
         """{"db":"db","table":"orders","primaryKey":["k"],
           |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
-      Files.writeString(d.resolve("snapshot.jsonl"), "")
       def js(k: Long, price: Double, st: String): String =
         s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
       val rows = t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
           col("o_orderstatus").as("st"))
         .orderBy("k").as[(Long, Double, String)]
-      if (statsSnapshot) {
-        val snapLines = rows.mapPartitions(_.map { case (k, p0, st) => js(k, p0, st) })
-        concatText(snapLines, Paths.get(root, "_snap_parts"), d.resolve("snapshot.jsonl"))
-      }
+      val snapLines = rows.mapPartitions(_.map { case (k, p0, st) => js(k, p0, st) })
+      concatText(snapLines, Paths.get(root, "_snap_parts"), d.resolve("snapshot.jsonl"))
       // offsets are 1-based (3k+1/3k+2/3k+3): log reads are resume-AFTER
       // (logPos, end], so an event at offset 0 = baseOffset would be
       // unreadable from `earliest`
@@ -636,9 +634,8 @@ object CdcQueries {
   /** Pre-builds q92's fixture + probe stage (untimed in the bench — the
     * same ingest-scaffolding rule as the other staged streams). */
   private[graft] def ensureTemporalFixtures(s: SparkSession, dir: String): Unit = {
-    writeTemporalProviderTable(s, dir, statsSnapshot = true) // q92
-    writeTemporalProviderTable(s, dir, sentinels = false) // q99/q100/q106
-    writeTemporalProviderTable(s, dir, sentinels = false, statsSnapshot = true) // q141
+    writeTemporalProviderTable(s, dir) // q92
+    writeTemporalProviderTable(s, dir, sentinels = false) // q99/q100/q106/q141
     q92Stage(s, dir)
     // q101's ingest layout (the bucketed changelog) — an index build paid
     // once at ingest, same rule as q87's bucketed tables

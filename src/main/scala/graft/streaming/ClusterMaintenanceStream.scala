@@ -223,11 +223,7 @@ object ClusterMaintenanceStream {
     // compaction mid-phase-B re-triggers through compactIfDue below with
     // the exempt jobId.
     Seq(idxTable, assignTable).foreach { t =>
-      val loc = new org.apache.hadoop.fs.Path(
-        s.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
-      graft.operators.BucketedOps.assertNoOrphanCompaction(
-        loc.getFileSystem(s.sparkContext.hadoopConfiguration), loc, t,
+      graft.operators.BucketedOps.assertNoOrphanCompaction(s, t,
         exceptJobId = Some("compact:" + jobId +
           (if (t == idxTable) ".cidx" else ".cassign")))
     }

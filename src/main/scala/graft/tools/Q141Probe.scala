@@ -18,7 +18,7 @@ object Q141Probe {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = graft.queries.CdcQueries.writeTemporalProviderTable(
-      spark, dir, sentinels = false, statsSnapshot = true)
+      spark, dir, sentinels = false)
 
     def run(shards: Int): Double = {
       import org.apache.spark.sql.streaming.Trigger
@@ -39,6 +39,12 @@ object Q141Probe {
       val n = graft.streaming.UpsertSink
         .readState(spark, tmp.resolve("state").toString).count()
       println(f"shards=$shards%d: $dt%.2fs ($n rows materialized)")
+      // the count above is the state's only use — drop the run's tree
+      // (six multi-million-row states per invocation otherwise pile up)
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+        .forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
       dt
     }
 

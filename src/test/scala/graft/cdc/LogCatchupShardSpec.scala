@@ -183,6 +183,42 @@ class LogCatchupShardSpec extends SparkSpec {
       "a non-key-indexed provider must keep the serial reader")
   }
 
+  test("per-table backlog, not the global offset window, sizes each table's shards") {
+    // hot table db.t: 200 events; cold table db.zcold: SAME snapshot size
+    // (so key stats alone cannot explain a serial plan) but only 3 events
+    // riding the same global offset window — sharding it would buy 4
+    // near-empty tasks per batch, the exact hot-table-among-many overhead
+    // the logEventsApprox probe exists to avoid
+    val root = writeFixture()
+    val cold = java.nio.file.Paths.get(root, "db.zcold")
+    java.nio.file.Files.createDirectories(cold)
+    java.nio.file.Files.writeString(cold.resolve("meta.json"),
+      """{"db":"db","table":"zcold","primaryKey":["id"],"schema":"id BIGINT, name STRING","baseOffset":0}""")
+    java.nio.file.Files.writeString(cold.resolve("snapshot.jsonl"),
+      (1L to 80L).map(k => s"""{"id":$k,"name":"c$k"}""").mkString("\n") + "\n")
+    java.nio.file.Files.writeString(cold.resolve("log.jsonl"),
+      (198L to 200L).map(o =>
+        s"""{"offset":$o,"op":"c","tsMs":$o,"before":null,"after":{"id":$o,"name":"z$o"}}""")
+        .mkString("\n") + "\n")
+    val coldMeta = TableMeta(TableId("db", "zcold"), schema, Seq("id"))
+    val opts = CdcOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "scan.startup.mode" -> "earliest",
+      "metadata.columns" -> "op_offset",
+      "scan.log.catchup.shards" -> "4",
+      "scan.log.catchup.min-offsets-per-shard" -> "25").asJava))
+    val stream = new CdcMicroBatchStream(opts, schema,
+      CdcOptions.producedSchema(schema, Seq(CdcOptions.MetaOffset)),
+      Seq(meta, coldMeta))
+    val o0 = stream.initialOffset().asInstanceOf[CdcOffset]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+    val byTable = stream.planInputPartitions(o0, o1).toSeq
+      .collect { case p: LogPartition => p }.groupBy(_.table.table)
+    assert(byTable("t").size >= 2 && byTable("t").forall(_.shard.isDefined),
+      s"hot table must shard: ${byTable("t")}")
+    assert(byTable("zcold").size == 1 && byTable("zcold").head.shard.isEmpty,
+      "a 3-event backlog must stay serial even inside a 200-offset window")
+  }
+
   test("composite provider routes keyIndexedLog and logForRange to the owning part") {
     val root = writeFixture()
     val filePart = new graft.cdc.provider.FileChangeLogProvider(root)
