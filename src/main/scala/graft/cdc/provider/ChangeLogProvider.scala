@@ -82,6 +82,20 @@ trait ChangeLogProvider extends Serializable {
     * Override to `true` together with a real [[logForRange]]. */
   def keyIndexedLog(table: TableId): Boolean = false
 
+  /** Interior boundary keys splitting this table's log window
+    * `(fromExclusive, toInclusive]` into up to `n` key ranges of ~equal
+    * EVENT COUNT — the catch-up shard planner's preferred boundary source:
+    * snapshot-equalized boundaries (its fallback) degrade to serial when
+    * the backlog concentrates in one key range, the exact skew case
+    * sharding exists for. Contract: strictly-ascending distinct keys,
+    * at most n-1 of them; a key's events must land entirely in one shard
+    * (ranges are half-open on keys, so any key vector satisfies this);
+    * empty = unknown / can't answer cheaply (planner falls back). A
+    * key-indexed provider answers from its (key, offset) index with
+    * in-memory passes — no IO. */
+  def logShardBoundaries(table: TableId, fromExclusive: Long,
+      toInclusive: Long, n: Int): Seq[ChunkKey.Key] = Seq.empty
+
   /** Schema-change (DDL) events with offset in (fromExclusive, toInclusive]
     * — the reference records these into split state and optionally emits
     * them (MySqlRecordEmitter.java:85-97, FlinkJsonTableChangeSerializer).
@@ -226,6 +240,8 @@ final class CompositeChangeLogProvider(parts: Seq[ChangeLogProvider]) extends Ch
   override def keyIndexedLog(t: TableId): Boolean = owner(t).keyIndexedLog(t)
   override def logEventsApprox(t: TableId, from: Long, to: Long): Long =
     owner(t).logEventsApprox(t, from, to)
+  override def logShardBoundaries(t: TableId, from: Long, to: Long, n: Int): Seq[ChunkKey.Key] =
+    owner(t).logShardBoundaries(t, from, to, n)
 }
 
 /** Cross-JVM-safe registry so tests and demos can hand a live provider to

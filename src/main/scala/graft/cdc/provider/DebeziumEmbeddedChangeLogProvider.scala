@@ -143,6 +143,10 @@ final class DebeziumEmbeddedChangeLogProvider(
       toInclusive: Long): Long = {
     checkFailure(); delegate.logEventsApprox(table, fromExclusive, toInclusive)
   }
+  override def logShardBoundaries(table: TableId, fromExclusive: Long,
+      toInclusive: Long, n: Int): Seq[ChunkKey.Key] = {
+    checkFailure(); delegate.logShardBoundaries(table, fromExclusive, toInclusive, n)
+  }
   override def schemaChanges(fromExclusive: Long,
       toInclusive: Long): Iterator[(Long, TableId, String)] = {
     checkFailure(); delegate.schemaChanges(fromExclusive, toInclusive)

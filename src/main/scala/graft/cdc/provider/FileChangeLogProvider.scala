@@ -4,10 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.cdc._
 import org.apache.spark.sql.types._
 
-import java.io.{BufferedInputStream, FileInputStream, RandomAccessFile}
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
-import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 /** Append-only change-log-on-files provider (SURVEY.md §7.2
@@ -35,63 +32,10 @@ import scala.jdk.CollectionConverters._
   * real store instead.
   *
   * Log files may grow between micro-batches (a live tail appending while
-  * a stream runs): indexes are keyed by file length and rebuilt from
-  * scratch when the file has grown — append-only is the file contract. */
-object FileChangeLogProvider {
-
-  /** Parallel arrays: entry i spans file bytes [starts(i), starts(i)+lens(i))
-    * and sorts by key (chunk key for snapshots, offset for logs). */
-  private final class FileIndex[K](val fileLen: Long, val fileMtime: Long,
-      val keys: Array[AnyRef], val starts: Array[Long], val lens: Array[Int]) {
-    def size: Int = starts.length
-    @volatile var lastUsed: Long = 0L
-  }
-
-  /** JVM-WIDE index cache keyed by absolute file path. Each partition task
-    * deserializes its own provider instance, so a per-instance cache would
-    * rebuild the index once per CHUNK — exactly the O(chunks × file) this
-    * index exists to remove. Per-JVM means: one build on the driver for
-    * planning, at most one per executor for reads. Entries self-invalidate
-    * when the file length OR mtime changes — length alone would serve stale
-    * keys for a fixture rewritten in place to the same byte count. The
-    * cache is bounded to stop long-lived JVMs (test suites over many tmp
-    * fixtures) accumulating dead indexes; when full it evicts the
-    * least-recently-used entry, not the whole cache (hot entries survive). */
-  private val idxCache = TrieMap.empty[String, FileIndex[_]]
-  private val MaxCachedFiles = 64
-  private val useStamp = new java.util.concurrent.atomic.AtomicLong()
-
-  private def cachedIndex[K](path: String, variant: String,
-      scan: String => Iterator[(String, Long, Int)], keyOf: String => K)
-      (implicit ord: Ordering[K]): FileIndex[K] = {
-    val abs = Paths.get(path).toAbsolutePath.toString + "#" + variant
-    val p = Paths.get(path)
-    val exists = Files.exists(p)
-    val curLen = if (exists) Files.size(p) else 0L
-    val curMtime = if (exists) Files.getLastModifiedTime(p).toMillis else 0L
-    idxCache.get(abs) match {
-      case Some(idx) if idx.fileLen == curLen && idx.fileMtime == curMtime =>
-        idx.lastUsed = useStamp.incrementAndGet()
-        idx.asInstanceOf[FileIndex[K]]
-      case _ =>
-        val entries = scan(path)
-          .filter(_._1.nonEmpty)
-          .map { case (line, start, len) => (keyOf(line), start, len) }
-          .toArray
-        java.util.Arrays.sort(entries,
-          Ordering.by[(K, Long, Int), K](_._1): java.util.Comparator[(K, Long, Int)])
-        val idx = new FileIndex[K](curLen, curMtime,
-          entries.map(_._1.asInstanceOf[AnyRef]),
-          entries.map(_._2), entries.map(_._3))
-        idx.lastUsed = useStamp.incrementAndGet()
-        if (!idxCache.contains(abs) && idxCache.size >= MaxCachedFiles)
-          idxCache.toSeq.minByOption(_._2.lastUsed).foreach(e => idxCache.remove(e._1))
-        idxCache.put(abs, idx)
-        idx
-    }
-  }
-}
-
+  * a stream runs): indexes are keyed by file length+mtime and rebuilt from
+  * scratch when the file has grown — append-only is the file contract.
+  * The index machinery itself lives in [[JsonlIndex]] (shared with the
+  * Debezium-envelope provider). */
 final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
   private val mapper = new ObjectMapper()
 
@@ -144,46 +88,19 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     }
   }
 
-  // ---- byte-offset indexes ------------------------------------------------
+  // ---- byte-offset indexes (machinery in JsonlIndex) ----------------------
 
-  import FileChangeLogProvider.{FileIndex, cachedIndex}
-
-  /** One streaming pass over a JSONL file: (line, byteStart, byteLen) per
-    * line. Byte-accurate (multi-byte UTF-8, optional trailing newline). */
-  private def scanLines(path: String): Iterator[(String, Long, Int)] = {
-    if (!Files.exists(Paths.get(path))) return Iterator.empty
-    val in = new BufferedInputStream(new FileInputStream(path), 1 << 16)
-    val buf = new java.io.ByteArrayOutputStream(256)
-    var pos = 0L
-    new Iterator[(String, Long, Int)] {
-      private var nextEntry: (String, Long, Int) = advance()
-      private def advance(): (String, Long, Int) = {
-        buf.reset()
-        val start = pos
-        var b = in.read()
-        while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
-        if (b == '\n') pos += 1
-        if (buf.size() == 0 && b == -1) { in.close(); null }
-        else (new String(buf.toByteArray, StandardCharsets.UTF_8), start, buf.size())
-      }
-      def hasNext: Boolean = nextEntry != null
-      def next(): (String, Long, Int) = {
-        val v = nextEntry
-        nextEntry = if (v == null) null else advance()
-        v
-      }
-    }
-  }
+  import JsonlIndex.{FileIndex, cachedIndex, lowerBound, readEntries, scanLines, upperBound}
 
   private def snapIdx(tf: TableFiles): FileIndex[ChunkKey.Key] = {
     import ChunkKey.ordering
-    cachedIndex[ChunkKey.Key](s"${tf.dir}/snapshot.jsonl", "key", scanLines,
-      line => keyOf(tf, row(tf.meta.schema, mapper.readTree(line))))
+    cachedIndex[ChunkKey.Key](s"${tf.dir}/snapshot.jsonl", "key",
+      line => Some(keyOf(tf, row(tf.meta.schema, mapper.readTree(line)))))
   }
 
   private def logIdx(tf: TableFiles): FileIndex[Long] =
-    cachedIndex[Long](s"${tf.dir}/log.jsonl", "off", scanLines,
-      line => mapper.readTree(line).get("offset").asLong())
+    cachedIndex[Long](s"${tf.dir}/log.jsonl", "off",
+      line => Some(mapper.readTree(line).get("offset").asLong()))
 
   private implicit val keyOffOrd: Ordering[(ChunkKey.Key, Long)] =
     Ordering.Tuple2(ChunkKey.ordering, implicitly[Ordering[Long]])
@@ -193,47 +110,12 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     * scanning the full slice — the difference between O(chunks × log) and
     * O(log) total fold work when many chunks share one long slice. */
   private def logKeyIdx(tf: TableFiles): FileIndex[(ChunkKey.Key, Long)] =
-    cachedIndex[(ChunkKey.Key, Long)](s"${tf.dir}/log.jsonl", "bykey", scanLines,
+    cachedIndex[(ChunkKey.Key, Long)](s"${tf.dir}/log.jsonl", "bykey",
       { line =>
         val n = mapper.readTree(line)
         val img = if (n.get("op").asText() == "d") n.get("before") else n.get("after")
-        (keyOf(tf, row(tf.meta.schema, img)), n.get("offset").asLong())
+        Some((keyOf(tf, row(tf.meta.schema, img)), n.get("offset").asLong()))
       })
-
-  /** First index in [0, n) whose key is >= `key` under `cmp` (lower bound). */
-  private def lowerBound[K](idx: FileIndex[K], key: K, cmp: (K, K) => Int): Int = {
-    var lo = 0
-    var hi = idx.size
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (cmp(idx.keys(mid).asInstanceOf[K], key) < 0) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
-
-  /** Seek-read the given index entries (in file order) and decode each line.
-    * Contiguous runs — the common case for key-sorted snapshot files — read
-    * sequentially through one RandomAccessFile. */
-  private def readEntries[T](path: String, picks: Array[Int], idx: FileIndex[_])
-      (f: String => T): CloseableIterator[T] = {
-    if (picks.isEmpty) return new CloseableIterator[T](Iterator.empty, () => ())
-    val byPos = picks.sortBy(idx.starts(_))
-    val raf = new RandomAccessFile(path, "r")
-    val inner = byPos.iterator
-    val it = new Iterator[T] {
-      // close on exhaustion too (RandomAccessFile#close is idempotent), so
-      // non-reader callers that drain the iterator don't leak the fd
-      def hasNext: Boolean = { val h = inner.hasNext; if (!h) raf.close(); h }
-      def next(): T = {
-        val i = inner.next()
-        raf.seek(idx.starts(i))
-        val bytes = new Array[Byte](idx.lens(i))
-        raf.readFully(bytes)
-        f(new String(bytes, StandardCharsets.UTF_8))
-      }
-    }
-    new CloseableIterator(it, () => raf.close())
-  }
 
   // ---- JSON decode --------------------------------------------------------
 
@@ -301,7 +183,7 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
     val hi = range.end.map(lowerBound[ChunkKey.Key](idx, _, ChunkKey.compare)).getOrElse(idx.size)
     (tf.baseOffset,
       readEntries(s"${tf.dir}/snapshot.jsonl", (lo until hi).toArray, idx)(
-        line => row(tf.meta.schema, mapper.readTree(line))))
+        (line, _) => row(tf.meta.schema, mapper.readTree(line))))
   }
 
   /** Optional `<table dir>/schema_log.jsonl`:
@@ -318,10 +200,11 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
   override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] = {
     val tf = files(table)
     val idx = logIdx(tf)
-    // offsets are unique per record; (from, to] = [from+1, to+1) as lower bounds
-    val lo = lowerBound[Long](idx, fromExclusive + 1, java.lang.Long.compare(_, _))
-    val hi = lowerBound[Long](idx, toInclusive + 1, java.lang.Long.compare(_, _))
-    readEntries(s"${tf.dir}/log.jsonl", (lo until hi).toArray, idx)(decodeLog(tf))
+    // (from, to] via strict upper bounds — no +1 that could wrap at
+    // Long.MaxValue (ADVICE_r16 #3)
+    val lo = upperBound[Long](idx, fromExclusive, java.lang.Long.compare(_, _))
+    val hi = upperBound[Long](idx, toInclusive, java.lang.Long.compare(_, _))
+    readEntries(s"${tf.dir}/log.jsonl", (lo until hi).toArray, idx)((line, _) => decodeLog(tf)(line))
   }
 
   /** Key-indexed slice read: binary-search the (key, offset) index to the
@@ -334,10 +217,18 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
   override def logEventsApprox(table: TableId, fromExclusive: Long,
       toInclusive: Long): Long = {
     val idx = logIdx(files(table))
-    val lo = lowerBound[Long](idx, fromExclusive + 1, java.lang.Long.compare(_, _))
-    val hi = lowerBound[Long](idx, toInclusive + 1, java.lang.Long.compare(_, _))
+    val lo = upperBound[Long](idx, fromExclusive, java.lang.Long.compare(_, _))
+    val hi = upperBound[Long](idx, toInclusive, java.lang.Long.compare(_, _))
     (hi - lo).toLong
   }
+
+  /** Event-count-weighted shard boundaries from the (key, offset) index —
+    * two in-memory passes, no IO (see JsonlIndex.shardBoundaries). Closes
+    * the hot-RANGE skew case snapshot-equalized boundaries degrade on: the
+    * planner splits the window by where the LOG's events actually are. */
+  override def logShardBoundaries(table: TableId, fromExclusive: Long,
+      toInclusive: Long, n: Int): Seq[ChunkKey.Key] =
+    JsonlIndex.shardBoundaries(logKeyIdx(files(table)), fromExclusive, toInclusive, n)
 
   override def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
       range: SnapshotSplit): Iterator[LogRecord] = {
@@ -354,7 +245,7 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
       val (key, off) = idx.keys(i).asInstanceOf[(ChunkKey.Key, Long)]
       off > fromExclusive && off <= toInclusive && range.contains(key)
     }.toArray
-    readEntries(s"${tf.dir}/log.jsonl", picks, idx)(decodeLog(tf))
+    readEntries(s"${tf.dir}/log.jsonl", picks, idx)((line, _) => decodeLog(tf)(line))
   }
 
   private def decodeLog(tf: TableFiles)(line: String): LogRecord = {

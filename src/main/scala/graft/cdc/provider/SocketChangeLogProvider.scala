@@ -77,6 +77,16 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
   /** (record, stream byte position AFTER its line) in append order. */
   @transient private val spool =
     scala.collection.mutable.ArrayBuffer.empty[(LogRecord, Long)]
+  /** Key-sorted view of the spool — the live-wire analogue of the file
+    * providers' (chunk key, offset) secondary index: O(log n) insert on
+    * append, O(range) range reads, so [[keyIndexedLog]] is TRUE and a hot
+    * backlog spooled off the wire can drain through parallel key-range
+    * catch-up shards. Deletes key on the before-image, everything else on
+    * the after-image — the sharded LogReader's routing. Guarded by the same
+    * lock as the spool. */
+  @transient private val byKey =
+    scala.collection.mutable.TreeMap.empty[(ChunkKey.Key, Long), LogRecord](
+      Ordering.Tuple2(ChunkKey.ordering, implicitly[Ordering[Long]]))
   @transient @volatile private var failure: Throwable = null
   @transient @volatile private var closed = false
 
@@ -160,6 +170,8 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
                 require(spool.isEmpty || rec.offset > spool.last._1.offset,
                   s"socket log must be append-ordered: got ${rec.offset} after ${spool.last._1.offset}")
                 spool += ((rec, after))
+                byKey.put((keyOf(
+                  if (rec.op == ChangeOp.Delete) rec.before else rec.after), rec.offset), rec)
               }
             }
           }
@@ -239,7 +251,9 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
     }
   }
 
-  private val keyIdxs = meta.primaryKey.map(meta.schema.fieldIndex)
+  // lazy: the client thread starts during construction and may append (and
+  // key) an event before the constructor reaches this declaration
+  private lazy val keyIdxs = meta.primaryKey.map(meta.schema.fieldIndex)
   private def keyOf(r: Array[Any]): ChunkKey.Key = ChunkKey.of(keyIdxs.map(r): _*)
 
   /** Log-only by default (empty base at offset 0; the chunk fold replays
@@ -288,6 +302,49 @@ final class SocketChangeLogProvider(host: String, port: Int, meta: TableMeta,
         .filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
         .toSeq.iterator
     }
+
+  /** TRUE: [[byKey]] serves a range read in O(range + log n) — in local
+    * mode readers share this JVM (ProviderRegistry), so a spooled hot
+    * backlog shards exactly like the file providers'. */
+  override def keyIndexedLog(table: TableId): Boolean = true
+
+  override def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
+      range: SnapshotSplit): Iterator[LogRecord] = synchronized {
+    checkFailure()
+    // TreeMap range is KEY-ordered; re-sort the (bounded) shard slice to
+    // honor the ascending-OFFSET contract. Materialized under the lock.
+    byKey.rangeImpl(range.start.map((_, Long.MinValue)), range.end.map((_, Long.MinValue)))
+      .valuesIterator
+      .filter(r => r.offset > fromExclusive && r.offset <= toInclusive)
+      .toSeq.sortBy(_.offset).iterator
+  }
+
+  /** Exact count via two binary searches over the append-ordered spool. */
+  override def logEventsApprox(table: TableId, fromExclusive: Long,
+      toInclusive: Long): Long = synchronized {
+    checkFailure()
+    // first index with offset strictly greater than x (overflow-free)
+    def ub(x: Long): Int = {
+      var lo = 0
+      var hi = spool.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (spool(mid)._1.offset <= x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    (ub(toInclusive) - ub(fromExclusive)).toLong
+  }
+
+  /** Event-count-weighted shard boundaries from [[byKey]] (see
+    * JsonlIndex.shardBoundaries — the TreeMap's key iterator is the
+    * (key, offset)-ascending entry source). Computed under the lock;
+    * boundaries are immutable values once returned. */
+  override def logShardBoundaries(table: TableId, fromExclusive: Long,
+      toInclusive: Long, n: Int): Seq[ChunkKey.Key] = synchronized {
+    checkFailure()
+    JsonlIndex.shardBoundaries(() => byKey.keysIterator, fromExclusive, toInclusive, n)
+  }
 
   override def validate(): Unit = {
     checkFailure()

@@ -1187,12 +1187,20 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     * distributed keys — driver-side index lookups, the same probes chunk
     * planning already issues.
     *
-    * Known limit: boundaries equalize the SNAPSHOT key distribution, so a
-    * log whose events concentrate inside one range still drains that
-    * range serially (shard skew). That is the right default — range
-    * sharding is what a key-indexed log can serve O(range) — and the
-    * skewed-hot-RANGE case degrades to the reference's serial behavior,
-    * never below it. */
+    * Boundary source, in preference order:
+    *  1. EVENT-WEIGHTED ([[graft.cdc.provider.ChangeLogProvider.logShardBoundaries]]):
+    *     the provider splits the window by where the LOG's events actually
+    *     are (its (key, offset) index answers with in-memory passes) — a
+    *     backlog concentrated in one key range still gets ~equal-sized
+    *     shards. This closes the hot-RANGE skew case the snapshot-equalized
+    *     fallback degrades on.
+    *  2. SNAPSHOT-EQUALIZED fallback (the same ChunkSplitter math as
+    *     snapshot chunks, chunkSize ≈ count/n), merged down to the
+    *     configured ceiling: right when the provider can't weight by
+    *     events, and never worse than serial — a log whose events
+    *     concentrate inside one range drains that range serially.
+    * Either way the planned shard count never exceeds
+    * `scan.log.catchup.shards` (the option's documented ceiling). */
   private def catchupShards(tm: TableMeta, fromExclusive: Long,
       toInclusive: Long): Seq[SnapshotSplit] = {
     val maxShards = opts.logCatchupShards
@@ -1208,14 +1216,41 @@ final class CdcMicroBatchStream(opts: CdcOptions, physical: StructType,
     val n = math.min(maxShards.toLong,
       math.max(1L, basis / opts.logCatchupMinOffsetsPerShard)).toInt
     if (n <= 1) return Seq.empty
+    val weighted = provider.logShardBoundaries(tm.id, fromExclusive, toInclusive, n)
+    if (weighted.nonEmpty) {
+      // a malformed boundary sequence would leave keys covered by NO shard
+      // (dropped events) — refuse loudly rather than plan a lossy cover
+      val bs = weighted.take(n - 1)
+      require(bs.sliding(2).forall(p => p.size < 2 || ChunkKey.compare(p(0), p(1)) < 0),
+        s"logShardBoundaries for ${tm.id} must be strictly ascending, got $bs")
+      val starts = None +: bs.map(Option(_))
+      val ends = bs.map(Option(_)) :+ None
+      return starts.zip(ends).zipWithIndex.map {
+        case ((s0, e0), i) => SnapshotSplit(tm.id, i, s0, e0)
+      }
+    }
     val (mn, mx, cnt) = provider.keyBounds(tm.id)
     if (cnt <= 0) return Seq.empty // no key stats (pure event log): serial
     val cfg = ChunkSplitter.Config(
       chunkSize = math.max(1L, (cnt + n - 1) / n).min(Int.MaxValue).toInt,
       distributionFactorUpper = opts.distributionFactorUpper,
       distributionFactorLower = opts.distributionFactorLower)
-    ChunkSplitter.plan(tm.id, mn, mx, cnt, cfg, boundaryProbe(tm.id))
+    capShards(ChunkSplitter.plan(tm.id, mn, mx, cnt, cfg, boundaryProbe(tm.id)), n)
   }
+
+  /** Merge adjacent planned ranges down to at most `maxShards`:
+    * ChunkSplitter.plan with chunkSize = ceil(cnt/n) can emit MORE ranges
+    * than n (uneven boundary probes round down), and
+    * `scan.log.catchup.shards` documents a strict ceiling (ADVICE_r16 #1).
+    * Planned ranges are contiguous in key order, so group-wise merging
+    * preserves the disjoint cover (first start / last end stay unbounded). */
+  private def capShards(planned: Seq[SnapshotSplit], maxShards: Int): Seq[SnapshotSplit] =
+    if (planned.size <= maxShards) planned
+    else (0 until maxShards).map { g =>
+      val lo = g * planned.size / maxShards
+      val hi = (g + 1) * planned.size / maxShards
+      SnapshotSplit(planned.head.tableId, g, planned(lo).start, planned(hi - 1).end)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     CdcReaderFactory(produced, Some(observedHwAcc), hwDir,

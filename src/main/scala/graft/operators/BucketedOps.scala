@@ -699,18 +699,21 @@ object BucketedOps {
       // compactManifest would no-op on its commit marker while this call
       // reports success — generations then accumulate unboundedly behind an
       // API that claims the cadence ran (a caller reusing one constant
-      // jobId every week). Fail loudly instead: cadence callers must mint
-      // a fresh jobId per due compaction (closeDay's per-day jobIds do).
+      // jobId every week). Return FALSE instead: honest ("this id's cadence
+      // already ran; nothing ran now"), and — unlike the r16 loud refusal —
+      // it keeps the documented replay contract intact: a killed closeDay
+      // REPLAYED with the same jobId after a foreign append landed between
+      // the committed compaction and the replay must converge, not throw
+      // (ADVICE_r16 #2). The constant-jobId abuser sees false every day —
+      // a signal, not a silent success; accumulated generations compact
+      // under the next fresh (e.g. date-stamped) jobId.
       val loc = new org.apache.hadoop.fs.Path(
         s.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      require(!fs.exists(new org.apache.hadoop.fs.Path(loc,
-        s"_graft_compact_$jobId.commit")),
-        s"compactIfDue on $table is due by generation count, but jobId " +
-          s"'$jobId' already committed a compaction — the call would no-op " +
-          "on its commit marker while generations keep accumulating. Pass a " +
-          "fresh jobId (e.g. date-stamped) per due compaction.")
+      if (fs.exists(new org.apache.hadoop.fs.Path(loc,
+          s"_graft_compact_$jobId.commit")))
+        return false
     }
     if (due) compactManifest(s, table, key, buckets, jobId, resolve)
     due

@@ -251,7 +251,18 @@ object TextStats {
     // action of the composed plan is the wrong place to discover a
     // day-one misconfiguration). Columns resolve by POSITION — the
     // manifest contract is (span, count) in that order, whatever the
-    // caller named them.
+    // caller named them. EXACTLY two, distinctly named: a wider frame
+    // (e.g. after an ADD-COLUMN migration) would silently take whatever
+    // sits at position 1 as the count, and duplicate names would make the
+    // later by-name col() selects ambiguous (ADVICE_r16 #5) — both are
+    // caller bugs to surface, not guess through.
+    require(spanManifest.columns.length == 2,
+      s"span manifest must be exactly (span, count), got " +
+        s"${spanManifest.columns.mkString("(", ", ", ")")} — project the " +
+        "2-column manifest before passing it")
+    require(spanManifest.columns.distinct.length == 2,
+      s"span manifest column names must be distinct, got " +
+        s"${spanManifest.columns.mkString("(", ", ", ")")}")
     val spanC = spanManifest.columns(0)
     val countC = spanManifest.columns(1)
     val sampled = spanManifest.select(col(spanC)).limit(8).collect()

@@ -90,7 +90,7 @@ object CdcQueries {
     "q43_streaming_materialize" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("graft_q43_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val in = tmp.resolve("in").toString
       val cl = changelog(s, dir)
       cl.repartition(4).write.mode("overwrite").parquet(in)
@@ -121,7 +121,7 @@ object CdcQueries {
     "q78_upsert_sink_state" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("graft_q78_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val in = tmp.resolve("in").toString
       val out = tmp.resolve("state").toString
       val cl = changelog(s, dir)
@@ -317,7 +317,7 @@ object CdcQueries {
         .agg(sum(col("sp")).cast("double").as("total"),
           sum(col("sn")).as("n"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q100_ckpt_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val qname = "q100_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname)
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
@@ -359,7 +359,7 @@ object CdcQueries {
         .agg(sum(col("sp")).cast("double").as("total"),
           sum(col("sn")).as("n"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q106_ckpt_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val state = tmp.resolve("state").toString
       val q = graft.streaming.UpsertSink.upsertAggregate(agg, Seq("st"), state,
           numBuckets = 4)
@@ -395,7 +395,7 @@ object CdcQueries {
       import org.apache.spark.sql.streaming.Trigger
       val root = writeFileProviderTable(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q74_ckpt_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val stream = s.readStream.format("cdc-log").option("path", root)
         .option("metadata.columns", "op_offset,row_kind")
         .option("scan.incremental.snapshot.chunk.size", "12000")
@@ -430,7 +430,7 @@ object CdcQueries {
       import org.apache.spark.sql.streaming.Trigger
       val root = writeTemporalProviderTable(s, dir, sentinels = false)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q141_ckpt_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val stream = s.readStream.format("cdc-log").option("path", root)
         .option("scan.startup.mode", "earliest")
         .option("metadata.columns", "op_offset,row_kind")

@@ -119,7 +119,7 @@ object DataQueries {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_q83_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       // staged id-ordered part files, mtime arrival order (q61 harness
       // pattern), cached per JVM like the other stream stages; only the
@@ -229,7 +229,7 @@ object DataQueries {
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q111_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val resDir = tmp.resolve("res").toString
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -479,7 +479,7 @@ object DataQueries {
           Seq("band", "bhv"), "left")
         .select(col("doc_id"), coalesce(col("__hit"), lit(0L)).as("hit"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_q108_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val qname = "q108_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
@@ -621,10 +621,15 @@ object DataQueries {
     "q123_stream_cluster_maintenance" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val (atbl, itbl) = ensureClusterState(s, dir)
-      // static sides read once and persisted (the q108 lesson: an inline
-      // static side re-executes per micro-batch)
-      val priorIdx = mt(s, itbl).persist()
-      val priorAssign = mt(s, atbl).persist()
+      // open the day through the PRODUCTION entry point (round-16 verdict
+      // ask #7): openDay = readMaintained on both stored tables, so the
+      // orphan-compaction guard runs at stream START under this gate, not
+      // only in StreamEntryGuardSpec. Static sides read once and persisted
+      // (the q108 lesson: an inline static side re-executes per micro-batch)
+      val (dayIdx, dayAssign) =
+        graft.streaming.ClusterMaintenanceStream.openDay(s, itbl, atbl)
+      val priorIdx = dayIdx.persist()
+      val priorAssign = dayAssign.persist()
       priorIdx.count(); priorAssign.count()
       val st = StreamFixtures.arm(q123Stage(s, dir))
       val schema = s.read.parquet(st.in).schema

@@ -52,9 +52,35 @@ private[graft] object Fixtures {
     * before the append. */
   def snapshot(s: SparkSession, df: DataFrame, tag: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_snap_${tag}_")
-    dir.toFile.deleteOnExit()
+    deleteTreeOnExit(dir)
     val p = dir.resolve("d").toString
     df.write.parquet(p)
     s.read.parquet(p)
+  }
+
+  /** deleteOnExit for a TREE: `File.deleteOnExit` removes only EMPTY
+    * directories, so a fixture dir that later grows parquet state or a
+    * checkpoint never actually deletes — each battery run leaked those
+    * trees in /tmp (ADVICE_r16 #4). One JVM-wide shutdown hook deletes
+    * every registered root recursively; registration (not eager deletion)
+    * is required because query fixtures return LAZY frames over the tree.
+    * Failures are swallowed — cleanup must never mask a real exit. */
+  private val exitTrees = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      exitTrees.forEach { root =>
+        try {
+          import java.nio.file.Files
+          import scala.jdk.CollectionConverters._
+          if (Files.exists(root)) {
+            val all = Files.walk(root).iterator().asScala.toSeq
+            all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+          }
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-fixture-tree-cleanup"))
+  def deleteTreeOnExit(p: java.nio.file.Path): Unit = {
+    exitHookInstalled
+    exitTrees.add(p)
   }
 }

@@ -953,7 +953,7 @@ object RelQueries {
   private def q52(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q52_ckpt_")
-    tmp.toFile.deleteOnExit()
+    Fixtures.deleteTreeOnExit(tmp)
     val st = StreamFixtures.arm(q52Stage(s, dir))
     // bounded run, tiny state → few state partitions, scoped to the
     // stream's own session (see the streamSession note)
@@ -1011,7 +1011,7 @@ object RelQueries {
     import s.implicits._
     val gapMs = q54GapMs
     val tmp = java.nio.file.Files.createTempDirectory("graft_q54_ckpt_")
-    tmp.toFile.deleteOnExit()
+    Fixtures.deleteTreeOnExit(tmp)
     val st = StreamFixtures.arm(q54Stage(s, dir))
     val ss = StreamFixtures.streamSession(s)
     val stream = ss.readStream.schema(q54Events(s, dir).schema)
@@ -1053,7 +1053,7 @@ object RelQueries {
   private def q61(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_q61_ckpt_")
-    tmp.toFile.deleteOnExit()
+    Fixtures.deleteTreeOnExit(tmp)
     val st = StreamFixtures.arm(q61Stage(s, dir))
     val ss = StreamFixtures.streamSession(s)
     val stream = ss.readStream.schema(q61Events(s, dir).schema)

@@ -61,7 +61,7 @@ private[graft] object StreamFixtures {
       build: String => Seq[(Seq[java.io.File], Long)]): Stage =
     cache.computeIfAbsent(s"$kind|$dir", { _ =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_${kind}_")
-      tmp.toFile.deleteOnExit()
+      Fixtures.deleteTreeOnExit(tmp)
       val in = tmp.resolve("in").toString
       Stage(in, build(in))
     })
@@ -127,7 +127,7 @@ private[graft] object StreamFixtures {
       prefix: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory(prefix + "_ckpt_")
-    tmp.toFile.deleteOnExit()
+    Fixtures.deleteTreeOnExit(tmp)
     val qname = prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = df.writeStream.outputMode("append").format("memory").queryName(qname)
       .option("checkpointLocation", tmp.resolve("ckpt").toString)

@@ -36,7 +36,7 @@ object Q104Probe {
         ncells = 8, iters = 1)
       val cells = Similarity.assignCellsPortable(prior, "vec_id", "embedding", cents)
       val base = java.nio.file.Files.createTempDirectory(s"q104probe_$tag")
-      base.toFile.deleteOnExit()
+      graft.queries.Fixtures.deleteTreeOnExit(base)
       cents.write.mode("overwrite").parquet(s"$base/cent")
       cells.write.mode("overwrite").parquet(s"$base/idx")
       (spark.read.parquet(s"$base/cent"), spark.read.parquet(s"$base/idx"))

@@ -31,7 +31,7 @@ object ScaleKnobProbe {
     val root = graft.queries.CdcQueries.writeFileProviderTable(spark, dir)
     val times = (1 to reps).map { run =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_knobprobe_")
-      tmp.toFile.deleteOnExit()
+      graft.queries.Fixtures.deleteTreeOnExit(tmp)
       val stream = spark.readStream.format("cdc-log").option("path", root)
         .option("metadata.columns", "op_offset,row_kind")
         .option("scan.incremental.snapshot.chunk.size", chunkSize)

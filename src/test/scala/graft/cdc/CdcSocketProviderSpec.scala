@@ -219,6 +219,47 @@ class CdcSocketProviderSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("spooled tail is key-indexed: logForRange/logEventsApprox/logShardBoundaries from the live spool") {
+    val server = new ResumableServer()
+    // hot-range backlog: 90 of 100 events on keys 90..99, 10 scattered
+    (1L to 100L).foreach { o =>
+      val k = if (o % 10 == 0) o % 80 + 1 else 90 + o % 10
+      server.publish(ev(o, if (o % 3 == 0) "u" else "c", k, s"v$o"))
+    }
+    val p = new SocketChangeLogProvider("localhost", server.port, meta)
+    try {
+      awaitOffset(p, 100L)
+      val id = meta.id
+      assert(p.keyIndexedLog(id), "the spooled tail must declare its key index")
+      assert(p.logEventsApprox(id, 0L, 100L) === 100L)
+      assert(p.logEventsApprox(id, 30L, 70L) === 40L)
+      assert(p.logEventsApprox(id, Long.MaxValue, Long.MaxValue) === 0L)
+      // range read: only the range's events, ascending offset
+      val r = SnapshotSplit(id, 0, Some(ChunkKey.of(90L)), Some(ChunkKey.of(95L)))
+      val got = p.logForRange(id, 0L, 100L, r).toSeq
+      val expected = p.log(id, 0L, 100L).toSeq.filter { rec =>
+        val k = (if (rec.op == ChangeOp.Delete) rec.before else rec.after)(0).asInstanceOf[Long]
+        k >= 90L && k < 95L
+      }
+      assert(got.map(_.offset) === expected.map(_.offset),
+        "range read must equal the filtered serial read in ascending offset order")
+      assert(got.nonEmpty)
+      // weighted boundaries split the hot range instead of draining it in
+      // one shard (the log-only socket source has NO snapshot stats at all,
+      // so weighted boundaries are the ONLY way its backlog can shard)
+      val bs = p.logShardBoundaries(id, 0L, 100L, 4)
+      assert(bs.nonEmpty && bs.size <= 3, s"expected interior boundaries, got $bs")
+      val starts = None +: bs.map(Option(_))
+      val ends = bs.map(Option(_)) :+ None
+      val counts = starts.zip(ends).zipWithIndex.map { case ((s0, e0), i) =>
+        val rr = SnapshotSplit(id, i, s0, e0)
+        p.logForRange(id, 0L, 100L, rr).size
+      }
+      assert(counts.sum === 100, s"shards must cover the spool, got $counts")
+      assert(counts.max <= 60, s"the hot range must split, got $counts")
+    } finally { p.close(); server.close() }
+  }
+
   test("socket client failure propagates loudly on the next SPI call") {
     val server = new ServerSocket(0)
     new Thread(() => { server.accept() }).start()

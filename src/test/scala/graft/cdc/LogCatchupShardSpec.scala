@@ -27,6 +27,12 @@ import scala.jdk.CollectionConverters._
   *      window is below shards × min-offsets-per-shard, or when the
   *      provider's log is not key-indexed (the default full-slice
   *      logForRange would multiply read bandwidth by N).
+  *   4. BOUNDARIES (round 17) — the planner prefers the provider's
+  *      EVENT-WEIGHTED boundaries (logShardBoundaries: split by where the
+  *      log's events are), so a hot-RANGE backlog drains in balanced
+  *      shards; the snapshot-equalized fallback is strictly capped at
+  *      `scan.log.catchup.shards` (ADVICE_r16 #1 — ChunkSplitter could
+  *      over-plan by one-ish range on rounding).
   *
   * The end-to-end state equivalence (sharded catch-up through the real
   * streaming path + UpsertSink vs the closed-form oracle) is gated as
@@ -217,6 +223,115 @@ class LogCatchupShardSpec extends SparkSpec {
       s"hot table must shard: ${byTable("t")}")
     assert(byTable("zcold").size == 1 && byTable("zcold").head.shard.isEmpty,
       "a 3-event backlog must stay serial even inside a 200-offset window")
+  }
+
+  /** Parameterized fixture for the round-17 cells: custom snapshot keys and
+    * log key placement, same file layout as [[writeFixture]]. */
+  private def writeFixtureWith(snapKeys: Seq[Long], events: Int,
+      keyAt: Long => Long): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_shardfix2_")
+    root.toFile.deleteOnExit()
+    val d = root.resolve("db.t")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("meta.json"),
+      """{"db":"db","table":"t","primaryKey":["id"],"schema":"id BIGINT, name STRING","baseOffset":0}""")
+    java.nio.file.Files.writeString(d.resolve("snapshot.jsonl"),
+      snapKeys.map(k => s"""{"id":$k,"name":"base$k"}""").mkString("", "\n", "\n"))
+    val log = (1L to events.toLong).map { o =>
+      val k = keyAt(o)
+      o % 3 match {
+        case 0 => s"""{"offset":$o,"op":"d","tsMs":$o,"before":{"id":$k,"name":"v$o"},"after":null}"""
+        case 1 => s"""{"offset":$o,"op":"c","tsMs":$o,"before":null,"after":{"id":$k,"name":"v$o"}}"""
+        case _ => s"""{"offset":$o,"op":"u","tsMs":$o,"before":{"id":$k,"name":"old$o"},"after":{"id":$k,"name":"v$o"}}"""
+      }
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(d.resolve("log.jsonl"), log)
+    root.toString
+  }
+
+  /** Delegates everything to the file provider but INHERITS the default
+    * (empty) logShardBoundaries — forces the planner's snapshot-equalized
+    * fallback so its strict cap is observable in isolation. */
+  private final class NoWeights(under: graft.cdc.provider.ChangeLogProvider)
+    extends graft.cdc.provider.ChangeLogProvider {
+    override def tables: Seq[TableMeta] = under.tables
+    override def currentOffset: Long = under.currentOffset
+    override def keyBounds(t: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = under.keyBounds(t)
+    override def nextChunkEnd(t: TableId, from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] =
+      under.nextChunkEnd(t, from, n)
+    override def snapshotBase(t: TableId, r: SnapshotSplit): (Long, Iterator[Array[Any]]) =
+      under.snapshotBase(t, r)
+    override def log(t: TableId, from: Long, to: Long): Iterator[LogRecord] =
+      under.log(t, from, to)
+    override def logForRange(t: TableId, from: Long, to: Long,
+        r: SnapshotSplit): Iterator[LogRecord] = under.logForRange(t, from, to, r)
+    override def keyIndexedLog(t: TableId): Boolean = under.keyIndexedLog(t)
+    override def logEventsApprox(t: TableId, from: Long, to: Long): Long =
+      under.logEventsApprox(t, from, to)
+  }
+
+  test("strict cap: the snapshot-equalized fallback never plans more than scan.log.catchup.shards (ADVICE_r16 #1)") {
+    // 100 keys spanning 105 (5 gaps): the even arithmetic path rounds its
+    // dynamic chunk size DOWN (factor 1.05 × 25 → 26 over span 105) and
+    // emits 5 ranges for shards=4 — the uncapped over-plan the option doc
+    // forbids. Prove the raw plan over-shoots, then that the planner caps.
+    val snapKeys = (1L to 105L).filterNot(k => k % 20 == 0 && k <= 100)
+    val root = writeFixtureWith(snapKeys, events = 200, keyAt = o => (o * 37) % 105 + 1)
+    val under = new graft.cdc.provider.FileChangeLogProvider(root)
+    val id = TableId("db", "t")
+    val (mn, mx, cnt) = under.keyBounds(id)
+    val raw = ChunkSplitter.plan(id, mn, mx, cnt,
+      ChunkSplitter.Config(chunkSize = ((cnt + 3) / 4).toInt),
+      (from, n) => under.nextChunkEnd(id, from, n))
+    assert(raw.size > 4, s"precondition: the raw plan must over-shoot 4, got ${raw.size}")
+    graft.cdc.provider.ProviderRegistry.register("shard-noweights", new NoWeights(under))
+    val opts = CdcOptions.from(new CaseInsensitiveStringMap(Map(
+      "provider.name" -> "shard-noweights", "scan.startup.mode" -> "earliest",
+      "metadata.columns" -> "op_offset",
+      "scan.log.catchup.shards" -> "4",
+      "scan.log.catchup.min-offsets-per-shard" -> "25").asJava))
+    val stream = new CdcMicroBatchStream(opts, schema,
+      CdcOptions.producedSchema(schema, Seq(CdcOptions.MetaOffset)), Seq(meta))
+    val parts = planOneBatch(stream)
+    val logs = parts.collect { case p: LogPartition => p }
+    assert(logs.size == 4, s"fallback plan must merge down to the 4-shard ceiling, got ${logs.size}")
+    val ranges = logs.flatMap(_.shard).sortBy(_.splitId)
+    assert(ranges.head.start.isEmpty && ranges.last.end.isEmpty)
+    ranges.sliding(2).foreach { case Seq(a, b) => assert(a.end == b.start) }
+    // merged cover still reads exactly the serial slice
+    val serial = readParts(mkStream(root, Map.empty),
+      planOneBatch(mkStream(root, Map.empty))).flatten
+    val union = readParts(stream, parts).flatten // earliest: all parts are log shards
+    assert(union.groupBy(identity).view.mapValues(_.size).toMap ==
+      serial.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("event-weighted boundaries: a hot-RANGE backlog drains in balanced shards, not one") {
+    // 90% of the log's events land on keys 90..99 — under the
+    // snapshot-equalized fallback (stats: uniform keys 1..100) the last
+    // shard would drain ~180 of 200 events serially; the provider's
+    // (key, offset) index weights the boundaries by LOG density instead
+    val root = writeFixtureWith((1L to 100L), events = 200,
+      keyAt = o => if (o % 10 == 0) (o * 37) % 80 + 1 else 90 + o % 10)
+    val stream = mkStream(root, Map(
+      "scan.log.catchup.shards" -> "4",
+      "scan.log.catchup.min-offsets-per-shard" -> "25"))
+    val parts = planOneBatch(stream)
+    val logs = parts.collect { case p: LogPartition => p }
+    assert(logs.size >= 2 && logs.size <= 4,
+      s"weighted plan must stay within the ceiling, got ${logs.size}")
+    val perShard = readParts(stream, logs)
+    val counts = perShard.map(_.size) // ROWS (updates emit -U/+U pairs)
+    val serial = readParts(mkStream(root, Map.empty),
+      planOneBatch(mkStream(root, Map.empty))).flatten
+    assert(counts.sum == serial.size,
+      s"shards must cover the whole backlog (${serial.size} rows), got $counts")
+    assert(counts.max <= (serial.size * 45) / 100,
+      s"the hot range must be SPLIT across shards (the snapshot-equalized " +
+        s"fallback would give one shard ~90% of ${serial.size}), got $counts")
+    // equivalence still holds under weighted boundaries
+    assert(perShard.flatten.groupBy(identity).view.mapValues(_.size).toMap ==
+      serial.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
   test("composite provider routes keyIndexedLog and logForRange to the owning part") {

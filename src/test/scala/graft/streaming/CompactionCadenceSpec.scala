@@ -95,7 +95,7 @@ class CompactionCadenceSpec extends SparkSpec {
       "the resumed swap must converge and lift the read guard")
   }
 
-  test("compactIfDue due-by-count with an already-committed jobId fails loudly instead of silently no-opping") {
+  test("compactIfDue due-by-count with an already-committed jobId returns false (replay-safe, not a silent success)") {
     val tbl = freshDf("reuse")
     // commit a compaction under 'wk1', then let a new generation accumulate
     BucketedOps.compactManifest(spark, tbl, "term", buckets = 4,
@@ -105,15 +105,16 @@ class CompactionCadenceSpec extends SparkSpec {
       tbl, "term", buckets = 4, jobId = "day4")
     assert(BucketedOps.appendGenerations(spark, tbl) == 1)
     // due by count, but 'wk1' already committed: compactManifest would
-    // no-op on its marker while compactIfDue reports the cadence ran —
-    // generations accumulating unboundedly behind a green API
-    val ex = intercept[IllegalArgumentException] {
-      BucketedOps.compactIfDue(spark, tbl, "term", buckets = 4,
-        jobId = "wk1", resolve = sumResolve, every = 1)
-    }
-    assert(ex.getMessage.contains("fresh jobId"), ex.getMessage)
+    // no-op on its marker while a `true` return reports the cadence ran.
+    // The honest-and-replay-safe answer is FALSE (ADVICE_r16 #2): a killed
+    // closeDay replayed with the SAME jobId after a foreign append landed
+    // must converge, not throw — and the constant-jobId abuser sees false
+    // every day instead of a green API over unbounded generations.
+    assert(!BucketedOps.compactIfDue(spark, tbl, "term", buckets = 4,
+      jobId = "wk1", resolve = sumResolve, every = 1),
+      "an already-committed jobId's cadence must report false, not re-run")
     assert(BucketedOps.appendGenerations(spark, tbl) == 1,
-      "the refused call must not have touched the table")
+      "the false-returning call must not have touched the table")
     // a fresh jobId compacts as the policy intends
     assert(BucketedOps.compactIfDue(spark, tbl, "term", buckets = 4,
       jobId = "wk2", resolve = sumResolve, every = 1))
