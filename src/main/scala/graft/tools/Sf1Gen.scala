@@ -35,12 +35,15 @@ import org.apache.spark.sql.functions._
   * tables don't scale with fact data in a real warehouse either; nation
   * FKs on customer/supplier stay valid unchanged).
   *
-  * Usage: runMain graft.tools.Sf1Gen [srcDir] [dstDir] [factor] */
+  * Usage: runMain graft.tools.Sf1Gen [srcDir] [dstDir] [factor] [tables]
+  * `tables` (comma-separated, default all) restricts generation — e.g. the
+  * sf10 q141 probe needs only `orders` and skips the 60M-row lineitem. */
 object Sf1Gen {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -72,7 +75,10 @@ object Sf1Gen {
     val partSpan = spanOf("part", "p_partkey")
     val ordSpan = spanOf("orders", "o_orderkey")
 
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
     def write(name: String, out: DataFrame): Unit = {
+      if (!wanted(name)) return
       // spread over many files so the probe reads multi-split inputs like
       // a real warehouse table (not one 5 MB file = one task)
       out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -80,6 +86,7 @@ object Sf1Gen {
     }
 
     def replicate(name: String)(remap: (DataFrame, Int) => DataFrame): Unit = {
+      if (!wanted(name)) return
       val base = spark.read.parquet(s"$src/$name.parquet")
       write(name, (0 until factor).map(i => remap(base, i)).reduce(_.unionAll(_)))
     }
@@ -129,8 +136,8 @@ object Sf1Gen {
             t => concat(lit(s"r$i"), t))))
     }
 
-    val vecSpan = spanOf("embeddings", "vec_id")
-    val dim = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecSpan = if (wanted("embeddings")) spanOf("embeddings", "vec_id") else 0L
+    val dim = if (!wanted("embeddings")) 0 else spark.read.parquet(s"$src/embeddings.parquet")
       .select(size(col("embedding"))).head().getInt(0)
     replicate("embeddings") { (df, i) =>
       val d = df.withColumn("vec_id", col("vec_id") + lit(i * vecSpan))

@@ -260,6 +260,55 @@ class CdcSocketProviderSpec extends SparkSpec {
     } finally { p.close(); server.close() }
   }
 
+  test("log-only socket source shards its catch-up through the planner (weighted boundaries, no snapshot stats)") {
+    // before round 17 a log-only source could NEVER shard: the planner's
+    // only boundary source was snapshot key stats (keyBounds), and the
+    // socket's log-only keyBounds is empty. Weighted boundaries come from
+    // the spool's own (key, offset) index, so the wire path now shards.
+    import graft.cdc.source.{CdcMicroBatchStream, CdcOffset, CdcOptions, LogPartition}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val server = new ResumableServer()
+    (1L to 120L).foreach { o => server.publish(ev(o, "c", (o * 7) % 40 + 1, s"v$o")) }
+    val p = new SocketChangeLogProvider("localhost", server.port, meta)
+    try {
+      awaitOffset(p, 120L)
+      graft.cdc.provider.ProviderRegistry.register("sock-shard", p)
+      def drain(extra: Map[String, String]): (Int, Seq[(Long, String, Long)]) = {
+        val opts = CdcOptions.from(new CaseInsensitiveStringMap((Map(
+          "provider.name" -> "sock-shard", "scan.startup.mode" -> "earliest",
+          "metadata.columns" -> "op_offset") ++ extra).asJava))
+        val stream = new CdcMicroBatchStream(opts, schema,
+          CdcOptions.producedSchema(schema, Seq(CdcOptions.MetaOffset)), Seq(meta))
+        val o0 = stream.initialOffset().asInstanceOf[CdcOffset]
+        val o1 = stream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+        val parts = stream.planInputPartitions(o0, o1).toSeq
+        val factory = stream.createReaderFactory()
+        val rows = parts.flatMap { part =>
+          val r = factory.createReader(part)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+          try while (r.next()) {
+            val ir = r.get()
+            buf += ((ir.getLong(0), ir.getUTF8String(2).toString, ir.getLong(3)))
+          } finally r.close()
+          buf.toSeq
+        }
+        (parts.count { case lp: LogPartition => lp.shard.isDefined; case _ => false }, rows)
+      }
+      val (serialShards, serial) = drain(Map.empty)
+      assert(serialShards == 0 && serial.size == 120)
+      val (shards, union) = drain(Map(
+        "scan.log.catchup.shards" -> "4",
+        "scan.log.catchup.min-offsets-per-shard" -> "25"))
+      assert(shards >= 2 && shards <= 4,
+        s"the log-only spool must shard via weighted boundaries, got $shards")
+      assert(union.groupBy(identity).view.mapValues(_.size).toMap ==
+        serial.groupBy(identity).view.mapValues(_.size).toMap,
+        "shard union must equal the serial wire read")
+    } finally { p.close(); server.close() }
+  }
+
   test("socket client failure propagates loudly on the next SPI call") {
     val server = new ServerSocket(0)
     new Thread(() => { server.accept() }).start()
