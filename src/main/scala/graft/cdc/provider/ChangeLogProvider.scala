@@ -242,6 +242,14 @@ final class CompositeChangeLogProvider(parts: Seq[ChangeLogProvider]) extends Ch
     owner(t).logEventsApprox(t, from, to)
   override def logShardBoundaries(t: TableId, from: Long, to: Long, n: Int): Seq[ChunkKey.Key] =
     owner(t).logShardBoundaries(t, from, to, n)
+  // union, not default-empty: a composite of file parts would otherwise
+  // silently LOSE schema_log.jsonl DDL events (the same inherit-the-default
+  // downgrade class as logForRange above)
+  override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
+    parts.iterator.flatMap(_.schemaChanges(fromExclusive, toInclusive))
+  // every part's planning-time prerequisites, not the no-op default — a
+  // misconfigured shard must fail the union's planning loudly
+  override def validate(): Unit = parts.foreach(_.validate())
 }
 
 /** Cross-JVM-safe registry so tests and demos can hand a live provider to

@@ -168,6 +168,25 @@ final class JdbcChangeLogProvider(
   override def log(table: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] =
     logTail.log(table, fromExclusive, toInclusive)
 
+  // Route the RANGE-read capability to the tail too — inheriting the
+  // defaults would silently downgrade a key-indexed tail (file log,
+  // Debezium spool) to full-slice serial reads on the hybrid path: chunk
+  // catch-up folds would rescan the slice per chunk and the catch-up
+  // shard planner would refuse to shard, exactly the degradation the
+  // CompositeChangeLogProvider comment names (the realistic hybrid
+  // deployment IS a JDBC snapshot + a spooled change stream).
+  override def keyIndexedLog(table: TableId): Boolean = logTail.keyIndexedLog(table)
+  override def logForRange(table: TableId, fromExclusive: Long, toInclusive: Long,
+      range: SnapshotSplit): Iterator[LogRecord] =
+    logTail.logForRange(table, fromExclusive, toInclusive, range)
+  override def logEventsApprox(table: TableId, fromExclusive: Long,
+      toInclusive: Long): Long = logTail.logEventsApprox(table, fromExclusive, toInclusive)
+  override def logShardBoundaries(table: TableId, fromExclusive: Long,
+      toInclusive: Long, n: Int): Seq[ChunkKey.Key] =
+    logTail.logShardBoundaries(table, fromExclusive, toInclusive, n)
+
+  override def resumeToken(upTo: Long): Option[String] = logTail.resumeToken(upTo)
+
   override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
     logTail.schemaChanges(fromExclusive, toInclusive)
 }

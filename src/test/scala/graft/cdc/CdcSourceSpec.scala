@@ -136,6 +136,34 @@ class CdcSourceSpec extends SparkSpec {
     assert(got === Set((1L, "user_1"), (2L, "user_2")))
   }
 
+  test("composite unions schemaChanges and validates every part (no inherit-the-default losses)") {
+    val m1 = TableMeta(TableId("db", "user_1"), meta.schema, meta.primaryKey)
+    val m2 = TableMeta(TableId("db", "user_2"), meta.schema, meta.primaryKey)
+    // parts whose control streams both carry DDL — the union must surface
+    // every part's events, not the base trait's empty default
+    final class WithDdl(m: TableMeta, ddlOffset: Long) extends graft.cdc.provider.ChangeLogProvider {
+      override def tables: Seq[TableMeta] = Seq(m)
+      override def currentOffset: Long = 10L
+      override def keyBounds(t: TableId): (ChunkKey.Key, ChunkKey.Key, Long) =
+        (ChunkKey.of(0L), ChunkKey.of(-1L), 0L)
+      override def nextChunkEnd(t: TableId, from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] = None
+      override def snapshotBase(t: TableId, r: SnapshotSplit): (Long, Iterator[Array[Any]]) =
+        (0L, Iterator.empty)
+      override def log(t: TableId, from: Long, to: Long): Iterator[LogRecord] = Iterator.empty
+      override def schemaChanges(from: Long, to: Long): Iterator[(Long, TableId, String)] =
+        Iterator((ddlOffset, m.id, s"ALTER TABLE ${m.id} ADD COLUMN x INT"))
+          .filter(e => e._1 > from && e._1 <= to)
+      override def validate(): Unit =
+        if (ddlOffset < 0) throw new graft.cdc.provider.ValidationException(s"bad part ${m.id}")
+    }
+    val good = new CompositeChangeLogProvider(Seq(new WithDdl(m1, 5L), new WithDdl(m2, 9L)))
+    assert(good.schemaChanges(0L, 10L).map(_._2.table).toSet === Set("user_1", "user_2"))
+    assert(good.schemaChanges(6L, 10L).map(_._2.table).toSeq === Seq("user_2"))
+    good.validate()
+    val broken = new CompositeChangeLogProvider(Seq(new WithDdl(m1, 5L), new WithDdl(m2, -1L)))
+    intercept[graft.cdc.provider.ValidationException] { broken.validate() }
+  }
+
   test("column pruning reaches the reader (ReadSchema)") {
     val p = new InMemoryChangeLogProvider(meta, base, Seq.empty)
     ProviderRegistry.register("prune", p)

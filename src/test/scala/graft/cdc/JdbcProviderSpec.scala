@@ -140,4 +140,40 @@ class JdbcProviderSpec extends SparkSpec {
       assert(all.filter(_._3 == "d").map(_._1).toSeq === Seq(3L), "delete carries before-image")
     } finally q.stop()
   }
+
+  test("hybrid provider routes the tail's key-index capability (no silent serial downgrade)") {
+    // the realistic hybrid deployment: JDBC snapshot + a key-indexed
+    // SPOOLED change stream. Inheriting the SPI defaults would downgrade
+    // chunk catch-up folds to full-slice rescans and make the catch-up
+    // shard planner refuse to shard — the hybrid must route all four
+    // range-read methods to its tail.
+    val root = java.nio.file.Files.createTempDirectory("graft_jdbctail_")
+    root.toFile.deleteOnExit()
+    val d = root.resolve("APP.ROUTED")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("meta.json"),
+      """{"db":"APP","table":"ROUTED","primaryKey":["ID"],"schema":"ID BIGINT, NAME STRING, WEIGHT DOUBLE","baseOffset":0}""")
+    java.nio.file.Files.writeString(d.resolve("snapshot.jsonl"), "")
+    java.nio.file.Files.writeString(d.resolve("log.jsonl"),
+      (1L to 60L).map { o =>
+        val k = (o * 13) % 30 + 1
+        s"""{"offset":$o,"op":"u","tsMs":$o,"before":{"ID":$k,"NAME":"?","WEIGHT":0.0},"after":{"ID":$k,"NAME":"v$o","WEIGHT":1.0}}"""
+      }.mkString("", "\n", "\n"))
+    val fileTail = new graft.cdc.provider.FileChangeLogProvider(root.toString)
+    mkTable("ROUTED", Seq(1L, 2L, 3L))
+    val m = meta("ROUTED")
+    val hybrid = new JdbcChangeLogProvider(url, props, m, fileTail)
+    assert(hybrid.keyIndexedLog(m.id), "key-indexed tail must route through the hybrid")
+    assert(hybrid.logEventsApprox(m.id, 10L, 40L) === 30L)
+    val r = SnapshotSplit(m.id, 0, Some(ChunkKey.of(5L)), Some(ChunkKey.of(15L)))
+    val got = hybrid.logForRange(m.id, 0L, 60L, r).toSeq
+    assert(got.nonEmpty && got.forall { rec =>
+      val k = rec.after(0).asInstanceOf[Long]; k >= 5L && k < 15L
+    }, "range read must hit the tail's key index")
+    val bs = hybrid.logShardBoundaries(m.id, 0L, 60L, 4)
+    assert(bs.nonEmpty && bs.size <= 3, s"weighted boundaries must route, got $bs")
+    // an in-memory tail (no key index) keeps the honest default
+    val memTail = new InMemoryChangeLogProvider(m, Seq.empty, Seq.empty)
+    assert(!new JdbcChangeLogProvider(url, props, m, memTail).keyIndexedLog(m.id))
+  }
 }
