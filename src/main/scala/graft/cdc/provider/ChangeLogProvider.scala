@@ -214,6 +214,54 @@ final class InMemoryChangeLogProvider(
       .toSeq.sortBy(_.offset).iterator
 }
 
+/** Forwarding base for WRAPPER providers: every SPI member delegates to
+  * [[delegate]] after [[beforeCall]] (a hook for async-failure
+  * propagation, the Handover error contract). A wrapper extends this and
+  * overrides ONLY what it changes, so a future SPI addition — whose
+  * forwarding override is added here, next to the SPI — can never
+  * silently downgrade a wrapper to the base trait's default. That
+  * inherit-the-default class bit twice in round 17 (the JDBC hybrid's
+  * range reads and the composite's schemaChanges/validate were
+  * hand-delegation gaps, found by inspection); this makes the wrapper
+  * shape structural instead of a per-method discipline. */
+abstract class ForwardingChangeLogProvider extends ChangeLogProvider {
+  protected def delegate: ChangeLogProvider
+  /** Runs before EVERY forwarded call — e.g. rethrow a captured engine
+    * failure so it surfaces on the next SPI contact. Default: nothing. */
+  protected def beforeCall(): Unit = ()
+  override def tables: Seq[TableMeta] = { beforeCall(); delegate.tables }
+  override def currentOffset: Long = { beforeCall(); delegate.currentOffset }
+  override def keyBounds(t: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = {
+    beforeCall(); delegate.keyBounds(t)
+  }
+  override def nextChunkEnd(t: TableId, from: ChunkKey.Key, chunkSize: Int): Option[ChunkKey.Key] = {
+    beforeCall(); delegate.nextChunkEnd(t, from, chunkSize)
+  }
+  override def snapshotBase(t: TableId, range: SnapshotSplit): (Long, Iterator[Array[Any]]) = {
+    beforeCall(); delegate.snapshotBase(t, range)
+  }
+  override def log(t: TableId, fromExclusive: Long, toInclusive: Long): Iterator[LogRecord] = {
+    beforeCall(); delegate.log(t, fromExclusive, toInclusive)
+  }
+  override def logForRange(t: TableId, fromExclusive: Long, toInclusive: Long,
+      range: SnapshotSplit): Iterator[LogRecord] = {
+    beforeCall(); delegate.logForRange(t, fromExclusive, toInclusive, range)
+  }
+  override def keyIndexedLog(t: TableId): Boolean = { beforeCall(); delegate.keyIndexedLog(t) }
+  override def logEventsApprox(t: TableId, fromExclusive: Long, toInclusive: Long): Long = {
+    beforeCall(); delegate.logEventsApprox(t, fromExclusive, toInclusive)
+  }
+  override def logShardBoundaries(t: TableId, fromExclusive: Long,
+      toInclusive: Long, n: Int): Seq[ChunkKey.Key] = {
+    beforeCall(); delegate.logShardBoundaries(t, fromExclusive, toInclusive, n)
+  }
+  override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] = {
+    beforeCall(); delegate.schemaChanges(fromExclusive, toInclusive)
+  }
+  override def resumeToken(upTo: Long): Option[String] = { beforeCall(); delegate.resumeToken(upTo) }
+  override def validate(): Unit = { beforeCall(); delegate.validate() }
+}
+
 /** Routes per-table calls across several single-table providers — the
   * multi-table / sharding-union capture path (reference regex table
   * discovery, mysql/source/utils/TableDiscoveryUtils.java; ITCase

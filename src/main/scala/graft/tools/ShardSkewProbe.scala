@@ -34,21 +34,11 @@ object ShardSkewProbe {
 
   /** Delegates everything but hides the weighted-boundary probe — forces
     * the planner's snapshot-equalized fallback (variant B). */
-  private final class NoWeights(under: ChangeLogProvider) extends ChangeLogProvider {
-    override def tables: Seq[TableMeta] = under.tables
-    override def currentOffset: Long = under.currentOffset
-    override def keyBounds(t: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = under.keyBounds(t)
-    override def nextChunkEnd(t: TableId, from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] =
-      under.nextChunkEnd(t, from, n)
-    override def snapshotBase(t: TableId, r: SnapshotSplit): (Long, Iterator[Array[Any]]) =
-      under.snapshotBase(t, r)
-    override def log(t: TableId, from: Long, to: Long): Iterator[LogRecord] =
-      under.log(t, from, to)
-    override def logForRange(t: TableId, from: Long, to: Long,
-        r: SnapshotSplit): Iterator[LogRecord] = under.logForRange(t, from, to, r)
-    override def keyIndexedLog(t: TableId): Boolean = under.keyIndexedLog(t)
-    override def logEventsApprox(t: TableId, from: Long, to: Long): Long =
-      under.logEventsApprox(t, from, to)
+  private final class NoWeights(under: ChangeLogProvider)
+    extends graft.cdc.provider.ForwardingChangeLogProvider {
+    override protected val delegate: ChangeLogProvider = under
+    override def logShardBoundaries(t: TableId, from: Long, to: Long,
+        n: Int): Seq[ChunkKey.Key] = Seq.empty
   }
 
   def main(args: Array[String]): Unit = {

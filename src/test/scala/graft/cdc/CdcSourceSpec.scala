@@ -164,6 +164,22 @@ class CdcSourceSpec extends SparkSpec {
     intercept[graft.cdc.provider.ValidationException] { broken.validate() }
   }
 
+  test("ForwardingChangeLogProvider overrides EVERY SPI member (a future SPI addition must forward)") {
+    // the structural pin behind the round-17 hardening: hand-written
+    // wrapper delegation silently inherited base-trait defaults twice
+    // (the JDBC hybrid's range reads, the composite's schemaChanges /
+    // validate). Any method added to the SPI without a forwarding
+    // override here fails this cell, not a production read path.
+    def members(c: Class[_]) = c.getDeclaredMethods.toSeq
+      .filterNot(m => m.getName.contains("$") || m.isSynthetic)
+      .map(m => (m.getName, m.getParameterCount)).toSet
+    val spi = members(classOf[graft.cdc.provider.ChangeLogProvider])
+    val fwd = members(classOf[graft.cdc.provider.ForwardingChangeLogProvider]) -
+      (("beforeCall", 0)) - (("delegate", 0))
+    val missing = spi -- fwd
+    assert(missing.isEmpty, s"SPI members not forwarded by ForwardingChangeLogProvider: $missing")
+  }
+
   test("column pruning reaches the reader (ReadSchema)") {
     val p = new InMemoryChangeLogProvider(meta, base, Seq.empty)
     ProviderRegistry.register("prune", p)

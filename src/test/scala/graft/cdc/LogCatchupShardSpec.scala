@@ -249,25 +249,14 @@ class LogCatchupShardSpec extends SparkSpec {
     root.toString
   }
 
-  /** Delegates everything to the file provider but INHERITS the default
-    * (empty) logShardBoundaries — forces the planner's snapshot-equalized
+  /** Delegates everything to the file provider but REFUSES the
+    * weighted-boundary probe — forces the planner's snapshot-equalized
     * fallback so its strict cap is observable in isolation. */
   private final class NoWeights(under: graft.cdc.provider.ChangeLogProvider)
-    extends graft.cdc.provider.ChangeLogProvider {
-    override def tables: Seq[TableMeta] = under.tables
-    override def currentOffset: Long = under.currentOffset
-    override def keyBounds(t: TableId): (ChunkKey.Key, ChunkKey.Key, Long) = under.keyBounds(t)
-    override def nextChunkEnd(t: TableId, from: ChunkKey.Key, n: Int): Option[ChunkKey.Key] =
-      under.nextChunkEnd(t, from, n)
-    override def snapshotBase(t: TableId, r: SnapshotSplit): (Long, Iterator[Array[Any]]) =
-      under.snapshotBase(t, r)
-    override def log(t: TableId, from: Long, to: Long): Iterator[LogRecord] =
-      under.log(t, from, to)
-    override def logForRange(t: TableId, from: Long, to: Long,
-        r: SnapshotSplit): Iterator[LogRecord] = under.logForRange(t, from, to, r)
-    override def keyIndexedLog(t: TableId): Boolean = under.keyIndexedLog(t)
-    override def logEventsApprox(t: TableId, from: Long, to: Long): Long =
-      under.logEventsApprox(t, from, to)
+    extends graft.cdc.provider.ForwardingChangeLogProvider {
+    override protected val delegate: graft.cdc.provider.ChangeLogProvider = under
+    override def logShardBoundaries(t: TableId, from: Long, to: Long,
+        n: Int): Seq[ChunkKey.Key] = Seq.empty
   }
 
   test("strict cap: the snapshot-equalized fallback never plans more than scan.log.catchup.shards (ADVICE_r16 #1)") {
