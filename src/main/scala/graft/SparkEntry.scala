@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Battery: q01–q143, `queries.size` entries in total (no q66, and no
+  * Battery: q01–q145, `queries.size` entries in total (no q66, and no
   * q33/q34 — the xxhash64 fast paths
   * were folded into their oracle-checked md5 twins q42/q82 in round 11:
   * identical band/vote pipelines, portable base hash, so the twins ARE

@@ -174,17 +174,6 @@ final class DebeziumJsonChangeLogProvider(root: String,
     case other => throw new IllegalArgumentException(s"no plain decoder for $other")
   }
 
-  /** Stream JSON lines; O(1) memory, file closed on exhaustion or close(). */
-  private def rawLines(path: String): CloseableIterator[JsonNode] = {
-    if (!Files.exists(Paths.get(path)))
-      return new CloseableIterator[JsonNode](Iterator.empty, () => ())
-    val br = new BufferedReader(new FileReader(path))
-    val it = Iterator.continually(br.readLine())
-      .takeWhile { l => if (l == null) br.close(); l != null }
-      .filter(_.trim.nonEmpty).map(mapper.readTree)
-    new CloseableIterator(it, () => br.close())
-  }
-
   /** The `after` struct schemas of EVERY envelope schema block in capture
     * order — the archived-topic half of the reference's continuous schema
     * tracking (MySqlSchema evolving from DDL events, history via
@@ -192,12 +181,27 @@ final class DebeziumJsonChangeLogProvider(root: String,
     * producer added a column mid-stream carries a fresh schema block on the
     * first envelope after the change. One streaming pass; the iterator is
     * exhausted, so the fd closes on exhaustion. */
-  private def allAfterSchemas(dir: String): Seq[JsonNode] =
-    rawLines(s"$dir/events.jsonl").flatMap { node =>
-      Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
-        sch.get("fields").elements().asScala.find(f => f.get("field").asText() == "after")
-      }
-    }.toSeq
+  private def allAfterSchemas(dir: String): Seq[JsonNode] = {
+    // cheap substring prefilter before the Jackson parse: a line without
+    // the literal "schema" anywhere cannot carry a top-level schema block,
+    // and a dumped topic's bare-payload lines (the overwhelming majority)
+    // don't — this pass stays one full READ of the file but parses only
+    // the handful of block-bearing lines. False positives (a user column
+    // named schema) just pay one parse and filter out below.
+    val path = Paths.get(s"$dir/events.jsonl")
+    if (!Files.exists(path)) return Seq.empty
+    val br = new BufferedReader(new FileReader(path.toFile))
+    try {
+      Iterator.continually(br.readLine()).takeWhile(_ != null)
+        .filter(l => l.contains("\"schema\""))
+        .map(mapper.readTree)
+        .flatMap { node =>
+          Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
+            sch.get("fields").elements().asScala.find(f => f.get("field").asText() == "after")
+          }
+        }.toSeq
+    } finally br.close()
+  }
 
   /** Union the after-struct fields across all schema blocks: fields keep
     * first-seen ORDER (old rows stay positionally stable), a field's codec
@@ -368,38 +372,75 @@ final class DebeziumJsonChangeLogProvider(root: String,
   // provider delegates here, so a real tail's backlog can catch up in
   // key-range shards instead of one serial reader.
 
-  import JsonlIndex.{FileIndex, cachedIndex, lowerBound, readEntries, upperBound}
+  import JsonlIndex.{FileIndex, lowerBound, readEntries, upperBound}
 
   private implicit val keyOffOrd: Ordering[(ChunkKey.Key, Long)] =
     Ordering.Tuple2(ChunkKey.ordering, implicitly[Ordering[Long]])
 
+  /** Everything one parse of events.jsonl can answer: the three byte
+    * indexes (snapshot by chunk key, log by offset, log by (key, offset))
+    * plus the schema-block TRANSITIONS (offset of the first data event at
+    * or after each changed block, with the block's after-struct JSON).
+    * Built in ONE streaming pass — each line is Jackson-parsed once —
+    * where the round-17-open code paid one full parse pass PER VARIANT
+    * plus another full pass per batch for schemaChanges: 4-5× the spool's
+    * bytes where 1× suffices (q145 measured the difference at sf0.1). */
+  private final class SpoolIdx(
+      val snap: FileIndex[ChunkKey.Key],
+      val log: FileIndex[Long],
+      val byKey: FileIndex[(ChunkKey.Key, Long)],
+      val schemaEv: Array[(Long, String)])
+
+  private def spoolIdx(t: TableDir): SpoolIdx =
+    JsonlIndex.cachedBlob(s"${t.dir}/events.jsonl", "spool") { (len, mtime) =>
+      val assigner = new OffsetAssigner(t)
+      val snapB = Array.newBuilder[(ChunkKey.Key, Long, Int)]
+      val logB = Array.newBuilder[(Long, Long, Int)]
+      val keyB = Array.newBuilder[((ChunkKey.Key, Long), Long, Int)]
+      val schemaB = Array.newBuilder[(Long, String)]
+      // schema-transition state machine — the initial block is the table's
+      // schema, not an event; a transition stays pending across tombstone/
+      // control lines and stamps the next DATA event's offset
+      var lastBlock: String = null
+      var pending: String = null
+      JsonlIndex.scanLines(s"${t.dir}/events.jsonl").foreach { case (line, start, blen) =>
+        if (line.trim.nonEmpty) {
+          val node = mapper.readTree(line)
+          Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
+            sch.get("fields").elements().asScala.find(_.get("field").asText() == "after")
+          }.map(_.toString).foreach { b =>
+            if (lastBlock == null) lastBlock = b
+            else if (b != lastBlock) { lastBlock = b; pending = b }
+          }
+          evOf(t, assigner, node).foreach { e =>
+            if (pending != null) { schemaB += ((e.offset, pending)); pending = null }
+            if (e.op == ChangeOp.Read) snapB += ((keyOf(t, e.after), start, blen))
+            else {
+              logB += ((e.offset, start, blen))
+              keyB += (((keyOf(t, if (e.op == ChangeOp.Delete) e.before else e.after),
+                e.offset), start, blen))
+            }
+          }
+        }
+      }
+      import ChunkKey.ordering
+      new SpoolIdx(
+        JsonlIndex.packIndex(len, mtime, snapB.result()),
+        JsonlIndex.packIndex(len, mtime, logB.result()),
+        JsonlIndex.packIndex(len, mtime, keyB.result()),
+        schemaB.result())
+    }
+
   /** Snapshot phase: op='r' events sorted by chunk key. */
-  private def snapIdx(t: TableDir): FileIndex[ChunkKey.Key] = {
-    import ChunkKey.ordering
-    val assigner = new OffsetAssigner(t)
-    cachedIndex[ChunkKey.Key](s"${t.dir}/events.jsonl", "snap",
-      line => evOf(t, assigner, mapper.readTree(line))
-        .filter(_.op == ChangeOp.Read).map(e => keyOf(t, e.after)))
-  }
+  private def snapIdx(t: TableDir): FileIndex[ChunkKey.Key] = spoolIdx(t).snap
 
   /** Log phase: non-'r' data events sorted by offset. */
-  private def logIdx(t: TableDir): FileIndex[Long] = {
-    val assigner = new OffsetAssigner(t)
-    cachedIndex[Long](s"${t.dir}/events.jsonl", "off",
-      line => evOf(t, assigner, mapper.readTree(line))
-        .filter(_.op != ChangeOp.Read).map(_.offset))
-  }
+  private def logIdx(t: TableDir): FileIndex[Long] = spoolIdx(t).log
 
   /** Secondary log index sorted by (chunk key, offset) — deletes keyed on
     * the before-image (the documentKey for the mongo shape), everything
     * else on the after-image, matching the sharded LogReader's routing. */
-  private def logKeyIdx(t: TableDir): FileIndex[(ChunkKey.Key, Long)] = {
-    val assigner = new OffsetAssigner(t)
-    cachedIndex[(ChunkKey.Key, Long)](s"${t.dir}/events.jsonl", "bykey",
-      line => evOf(t, assigner, mapper.readTree(line))
-        .filter(_.op != ChangeOp.Read)
-        .map(e => (keyOf(t, if (e.op == ChangeOp.Delete) e.before else e.after), e.offset)))
-  }
+  private def logKeyIdx(t: TableDir): FileIndex[(ChunkKey.Key, Long)] = spoolIdx(t).byKey
 
   /** Decode one PICKED line with its index-known offset (the numbering is
     * ordinal, so it cannot be recomputed from a single line). */
@@ -430,26 +471,13 @@ final class DebeziumJsonChangeLogProvider(root: String,
     * already the table's schema in [[tables]]. */
   override def schemaChanges(fromExclusive: Long, toInclusive: Long): Iterator[(Long, TableId, String)] =
     tableDirs.iterator.flatMap { t =>
-      val assigner = new OffsetAssigner(t) // SAME numbering as events()
-      var lastBlock: String = null
-      var pending: String = null
-      rawLines(s"${t.dir}/events.jsonl").flatMap { node =>
-        val payload = if (node.has("payload")) node.get("payload") else node
-        // note the schema-block transition (if any) on this line first
-        Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
-          sch.get("fields").elements().asScala.find(_.get("field").asText() == "after")
-        }.map(_.toString).foreach { b =>
-          if (lastBlock == null) lastBlock = b // initial schema: not an event
-          else if (b != lastBlock) { lastBlock = b; pending = b }
-        }
-        val op = assigner.opOf(payload)
-        if (op == null) None // tombstone/control line consumes no offset; transition stays pending
-        else {
-          val offset = assigner.offsetOf(payload, op)
-          if (pending != null) { val b = pending; pending = null; Some((offset, t.meta.id, b)) }
-          else None
-        }
-      }.filter(e => e._1 > fromExclusive && e._1 <= toInclusive)
+      // transitions come from the SAME single parse pass that builds the
+      // byte indexes (spoolIdx) — numbering identical to events() by
+      // construction; the per-batch probe is an in-memory filter, not a
+      // file rescan
+      spoolIdx(t).schemaEv.iterator
+        .filter(e => e._1 > fromExclusive && e._1 <= toInclusive)
+        .map(e => (e._1, t.meta.id, e._2))
     }
 
   /** Planning-time prerequisites (ChangeLogProvider.validate): root layout,

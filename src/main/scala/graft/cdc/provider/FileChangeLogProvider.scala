@@ -98,24 +98,41 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
       line => Some(keyOf(tf, row(tf.meta.schema, mapper.readTree(line)))))
   }
 
-  private def logIdx(tf: TableFiles): FileIndex[Long] =
-    cachedIndex[Long](s"${tf.dir}/log.jsonl", "off",
-      line => Some(mapper.readTree(line).get("offset").asLong()))
-
   private implicit val keyOffOrd: Ordering[(ChunkKey.Key, Long)] =
     Ordering.Tuple2(ChunkKey.ordering, implicitly[Ordering[Long]])
 
-  /** Secondary log index sorted by (chunk key, offset): lets a snapshot
-    * chunk's catch-up fold read ONLY its own key range's events instead of
-    * scanning the full slice — the difference between O(chunks × log) and
-    * O(log) total fold work when many chunks share one long slice. */
+  /** Both log indexes — by offset, and by (chunk key, offset) — from ONE
+    * parse pass over log.jsonl (the Jackson parse dominates the build;
+    * the pre-round-17-close code scanned the file once per variant). The
+    * (key, offset) secondary lets a snapshot chunk's catch-up fold read
+    * ONLY its own key range's events instead of scanning the full slice —
+    * the difference between O(chunks × log) and O(log) total fold work
+    * when many chunks share one long slice. */
+  private final class LogIdxPair(val off: FileIndex[Long],
+      val byKey: FileIndex[(ChunkKey.Key, Long)])
+
+  private def logPair(tf: TableFiles): LogIdxPair =
+    JsonlIndex.cachedBlob(s"${tf.dir}/log.jsonl", "logpair") { (len, mtime) =>
+      val offB = Array.newBuilder[(Long, Long, Int)]
+      val keyB = Array.newBuilder[((ChunkKey.Key, Long), Long, Int)]
+      scanLines(s"${tf.dir}/log.jsonl").foreach { case (line, start, blen) =>
+        if (line.nonEmpty) {
+          val n = mapper.readTree(line)
+          val off = n.get("offset").asLong()
+          offB += ((off, start, blen))
+          val img = if (n.get("op").asText() == "d") n.get("before") else n.get("after")
+          keyB += (((keyOf(tf, row(tf.meta.schema, img)), off), start, blen))
+        }
+      }
+      import ChunkKey.ordering
+      new LogIdxPair(JsonlIndex.packIndex(len, mtime, offB.result()),
+        JsonlIndex.packIndex(len, mtime, keyB.result()))
+    }
+
+  private def logIdx(tf: TableFiles): FileIndex[Long] = logPair(tf).off
+
   private def logKeyIdx(tf: TableFiles): FileIndex[(ChunkKey.Key, Long)] =
-    cachedIndex[(ChunkKey.Key, Long)](s"${tf.dir}/log.jsonl", "bykey",
-      { line =>
-        val n = mapper.readTree(line)
-        val img = if (n.get("op").asText() == "d") n.get("before") else n.get("after")
-        Some((keyOf(tf, row(tf.meta.schema, img)), n.get("offset").asLong()))
-      })
+    logPair(tf).byKey
 
   // ---- JSON decode --------------------------------------------------------
 

@@ -447,6 +447,69 @@ object CdcQueries {
       q.awaitTermination()
       graft.streaming.UpsertSink.readState(s, state)
         .select("k", "price", "st").orderBy("k")
+    }),
+
+    // SKEWED catch-up under the hash gate (round-17: event-weighted shard
+    // boundaries): the backlog concentrates ~62% of its events in the top
+    // 10% of the keyspace (every hot key carries 19 updates), the exact
+    // shape whose snapshot-equalized plan drains one shard serially
+    // (ShardSkewProbe measured that plan WORSE than serial). The planner's
+    // weighted boundaries (logShardBoundaries over the provider's
+    // (key, offset) index) split it evenly; the materialized state must
+    // hash-match the closed form whatever the shard shapes were —
+    // disjoint-cover equivalence under skew, end-to-end through the
+    // stream + upsert sink.
+    "q144_skewed_catchup_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = writeSkewedProviderTable(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q144_ckpt_")
+      Fixtures.deleteTreeOnExit(tmp)
+      val stream = s.readStream.format("cdc-log").option("path", root)
+        .option("scan.startup.mode", "earliest")
+        .option("metadata.columns", "op_offset,row_kind")
+        .option("scan.log.catchup.shards", "8")
+        .option("scan.log.catchup.min-offsets-per-shard", "256")
+        .load()
+      val state = tmp.resolve("state").toString
+      val q = graft.streaming.UpsertSink
+        .upsertParquet(stream, Seq("k"), state, numBuckets = 16)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.UpsertSink.readState(s, state)
+        .select("k", "price", "st").orderBy("k")
+    }),
+
+    // SHARDED CATCH-UP ON THE LIVE-DATABASE WIRE FORMAT (round-17): the
+    // same q141 closed form, but the table is a spool of standard Debezium
+    // change-event envelopes (`path.format=debezium-json` — the exact
+    // format the embedded live engine spools and a Kafka topic dump
+    // carries), so the gate proves the 3× catch-up lever is DELIVERABLE on
+    // a real tail, not only on the engine's own file layout: the spool's
+    // (key, offset) index plans event-weighted key-range shards, 8
+    // parallel LogPartitions drain the backlog, and the materialized state
+    // must hash-match the closed form. The r16 gap this closes: the spool
+    // provider inherited keyIndexedLog=false and stayed serial forever.
+    "q145_spool_catchup_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = writeDebeziumSpoolTable(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q145_ckpt_")
+      Fixtures.deleteTreeOnExit(tmp)
+      val stream = s.readStream.format("cdc-log").option("path", root)
+        .option("path.format", "debezium-json")
+        .option("scan.startup.mode", "earliest")
+        .option("metadata.columns", "op_offset,row_kind")
+        .option("scan.log.catchup.shards", "8")
+        .option("scan.log.catchup.min-offsets-per-shard", "256")
+        .load()
+      val state = tmp.resolve("state").toString
+      val q = graft.streaming.UpsertSink
+        .upsertParquet(stream, Seq("k"), state, numBuckets = 16)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.streaming.UpsertSink.readState(s, state)
+        .select("k", "price", "st").orderBy("k")
     })
   )
 
@@ -597,6 +660,123 @@ object CdcQueries {
       root
     })
 
+  /** q144's SKEWED changelog (the hot-range shape the weighted shard
+    * boundaries exist for): snapshot = all orders rows; log per key k —
+    * insert at offset k·24+1, then for HOT keys (k ≥ maxK − maxK/10, the
+    * top decile of the keyspace) NINETEEN updates at k·24+1+j with price
+    * p0·(100+j)/100 (final p0·1.19), for cold keys the q141 rule (k%5==2 →
+    * one ×1.1 update at k·24+2), and k%7==3 → delete at k·24+23 keyed on
+    * the final image. ~62% of all events land in 10% of the keyspace.
+    * Key order IS offset order (offsets k·24+j, monotone in k), so the
+    * distributed render + streaming concat applies unchanged. The closed
+    * form stays SQL-expressible: hot keys end at price·1.19 (both engines
+    * compute the same correctly-rounded double: 119/100.0 here, the 1.19
+    * literal in DuckDB), everything else exactly as q141/q78. */
+  private[graft] def writeSkewedProviderTable(s: SparkSession, dir: String): String =
+    temporalFixtureCache.computeIfAbsent(s"$dir|skewed", _ => {
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_cdcskewed_").toString
+      val d = Paths.get(root, "db.orders")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"),
+        """{"db":"db","table":"orders","primaryKey":["k"],
+          |"schema":"k BIGINT, price DOUBLE, st STRING","baseOffset":0}""".stripMargin)
+      def js(k: Long, price: Double, st: String): String =
+        s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("st"))
+        .orderBy("k").as[(Long, Double, String)]
+      val snapLines = rows.mapPartitions(_.map { case (k, p0, st) => js(k, p0, st) })
+      concatText(snapLines, Paths.get(root, "_snap_parts"), d.resolve("snapshot.jsonl"))
+      val maxK = t(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0)
+      val hotStart = maxK - maxK / 10
+      val logLines = rows.mapPartitions(_.flatMap { case (k, p0, st) =>
+        val hot = k >= hotStart
+        val ins = Iterator(
+          s"""{"offset":${k * 24 + 1},"op":"c","tsMs":0,"before":null,"after":${js(k, p0, st)}}""")
+        val us =
+          if (hot) (1 to 19).iterator.map { j =>
+            // factor-first, SINGLE multiply: p0 * (119/100.0) is the same
+            // IEEE op as DuckDB's o_totalprice * 1.19 — the two-op
+            // p0*119/100.0 can differ by 1 ulp and break the hash gate
+            val pb = if (j == 1) p0 else p0 * ((100 + j - 1) / 100.0)
+            val pa = p0 * ((100 + j) / 100.0)
+            s"""{"offset":${k * 24 + 1 + j},"op":"u","tsMs":$j,"before":${js(k, pb, st)},"after":${js(k, pa, st)}}"""
+          }
+          else if (k % 5 == 2) Iterator(
+            s"""{"offset":${k * 24 + 2},"op":"u","tsMs":100,"before":${js(k, p0, st)},"after":${js(k, p0 * 1.1, st)}}""")
+          else Iterator.empty
+        val pFinal =
+          if (hot) p0 * (119 / 100.0)
+          else if (k % 5 == 2) p0 * 1.1
+          else p0
+        val dl = if (k % 7 == 3) Iterator(
+          s"""{"offset":${k * 24 + 23},"op":"d","tsMs":200,"before":${js(k, pFinal, st)},"after":null}""")
+        else Iterator.empty
+        ins ++ us ++ dl
+      })
+      concatText(logLines, Paths.get(root, "_log_parts"), d.resolve("log.jsonl"))
+      root
+    })
+
+  /** q145's table as a spool of STANDARD Debezium change-event envelopes
+    * (events.jsonl — the wire format every Debezium connector emits to
+    * Kafka and the embedded live engine archives;
+    * DebeziumJsonChangeLogProvider decodes it, the reference's analogue
+    * being RowDataDebeziumDeserializeSchema.java:264-623): a leading
+    * op='r' snapshot block, then the q141 business log (insert per key;
+    * ×1.1 update for k%5==2; k%7==3 deleted, before-image = the current
+    * version) as bare-payload envelopes in key order. Offsets are LINE
+    * INDICES (no offsetField in meta.json — the dumped-topic default), so
+    * append order IS offset order whatever the key order; the render still
+    * sorts by key for deterministic file bytes. Same closed form as
+    * q141/q73. */
+  private[graft] def writeDebeziumSpoolTable(s: SparkSession, dir: String): String =
+    temporalFixtureCache.computeIfAbsent(s"$dir|dbzspool", _ => {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_cdcdbzspool_").toString
+      val d = Paths.get(root, "db.orders")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("meta.json"),
+        """{"db":"db","table":"orders","primaryKey":["k"],
+          |"schema":"k BIGINT, price DOUBLE, st STRING"}""".stripMargin)
+      def js(k: Long, price: Double, st: String): String =
+        s"""{"k":$k,"price":${java.lang.Double.toString(price)},"st":"$st"}"""
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("st"))
+        .orderBy("k").as[(Long, Double, String)]
+      val snapLines = rows.mapPartitions(_.map { case (k, p0, st) =>
+        s"""{"before":null,"after":${js(k, p0, st)},"op":"r","ts_ms":0}"""
+      })
+      val logLines = rows.mapPartitions(_.flatMap { case (k, p0, st) =>
+        val upd = k % 5 == 2
+        val p2 = if (upd) p0 * 1.1 else p0
+        val ins = Iterator(
+          s"""{"before":null,"after":${js(k, p0, st)},"op":"c","ts_ms":1}""")
+        val u = if (upd) Iterator(
+          s"""{"before":${js(k, p0, st)},"after":${js(k, p2, st)},"op":"u","ts_ms":2}""")
+        else Iterator.empty
+        val dl = if (k % 7 == 3) Iterator(
+          s"""{"before":${js(k, p2, st)},"after":null,"op":"d","ts_ms":3}""")
+        else Iterator.empty
+        ins ++ u ++ dl
+      })
+      // one events.jsonl: r block first, log appended at the byte level
+      // (both halves rendered distributed, same as the file-layout tables)
+      concatText(snapLines, Paths.get(root, "_snap_parts"), d.resolve("events.jsonl"))
+      val logTmp = Paths.get(root, "_log_concat.jsonl")
+      concatText(logLines, Paths.get(root, "_log_parts"), logTmp)
+      val out = Files.newOutputStream(d.resolve("events.jsonl"),
+        StandardOpenOption.APPEND)
+      try Files.copy(logTmp, out) finally out.close()
+      Files.delete(logTmp)
+      root
+    })
+
   /** Probes for every 11th order key: one 500 µs before the key's update
     * offset-instant, one 500 µs before its delete offset-instant — each
     * must bind to the version in force at ITS OWN timestamp (insert image
@@ -718,6 +898,26 @@ object CdcQueries {
     "q141_sharded_log_catchup" ->
       """SELECT o_orderkey AS k,
         |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+        |  o_orderstatus AS st
+        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+
+    // q145: the q141 closed form reached through the Debezium-envelope
+    // spool (the live-database wire format) + 8 weighted catch-up shards
+    "q145_spool_catchup_shards" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1 ELSE o_totalprice END AS price,
+        |  o_orderstatus AS st
+        |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
+
+    // q144: hot keys (top decile of the keyspace) end at price×1.19 (their
+    // 19th update's after-image — both engines do the single multiply by
+    // the correctly-rounded 1.19); cold keys follow the q141 rules
+    "q144_skewed_catchup_shards" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey >= (SELECT max(o_orderkey) - max(o_orderkey)//10 FROM orders)
+        |       THEN o_totalprice*1.19
+        |       WHEN o_orderkey % 5 = 2 THEN o_totalprice*1.1
+        |       ELSE o_totalprice END AS price,
         |  o_orderstatus AS st
         |FROM orders WHERE o_orderkey % 7 <> 3 ORDER BY k""".stripMargin,
 

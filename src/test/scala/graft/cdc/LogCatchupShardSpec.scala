@@ -346,4 +346,30 @@ class LogCatchupShardSpec extends SparkSpec {
       k >= 10L && k < 20L
     }, "composite must serve the owner's key-indexed range read")
   }
+
+  test("the q145 gate shape actually shards: Debezium-envelope spool + the gate's options plan parallel catch-up") {
+    // guards the battery gate against silent de-activation: q145 would
+    // still HASH-MATCH through the serial fallback (disjoint-cover
+    // equivalence is exactly the point), so only a planner pin can detect
+    // the spool path quietly losing its key index (the r16 state). Uses
+    // the REAL q145 fixture at sf0.001 and the gate's exact options.
+    val root = graft.queries.CdcQueries.writeDebeziumSpoolTable(spark, "/root/testdata/sf0.001")
+    val opts = CdcOptions.from(new CaseInsensitiveStringMap(Map(
+      "path" -> root, "path.format" -> "debezium-json",
+      "scan.startup.mode" -> "earliest",
+      "scan.log.catchup.shards" -> "8",
+      "scan.log.catchup.min-offsets-per-shard" -> "256").asJava))
+    val p = opts.resolveProvider()
+    val metas = opts.matchedTables(p)
+    assert(metas.size == 1 && p.keyIndexedLog(metas.head.id),
+      "the spool provider must be key-indexed (round-17 live-path port)")
+    val stream = new CdcMicroBatchStream(opts, metas.head.schema,
+      CdcOptions.producedSchema(metas.head.schema, Seq.empty), metas)
+    val o0 = stream.initialOffset().asInstanceOf[CdcOffset]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[CdcOffset]
+    val sharded = stream.planInputPartitions(o0, o1).toSeq
+      .collect { case lp: LogPartition if lp.shard.isDefined => lp }
+    assert(sharded.size >= 2 && sharded.size <= 8,
+      s"the q145 option set must plan 2..8 key-range shards over the spool, got ${sharded.size}")
+  }
 }
