@@ -181,27 +181,25 @@ final class DebeziumJsonChangeLogProvider(root: String,
     * producer added a column mid-stream carries a fresh schema block on the
     * first envelope after the change. One streaming pass; the iterator is
     * exhausted, so the fd closes on exhaustion. */
-  private def allAfterSchemas(dir: String): Seq[JsonNode] = {
-    // cheap substring prefilter before the Jackson parse: a line without
-    // the literal "schema" anywhere cannot carry a top-level schema block,
-    // and a dumped topic's bare-payload lines (the overwhelming majority)
-    // don't — this pass stays one full READ of the file but parses only
-    // the handful of block-bearing lines. False positives (a user column
+  private def allAfterSchemas(dir: String): Seq[JsonNode] =
+    // incremental like the byte indexes (a live tail re-resolves schemas
+    // every planning probe — without resumption that is a full file read
+    // per batch), with a cheap substring prefilter before the Jackson
+    // parse: a line without the literal "schema" anywhere cannot carry a
+    // top-level schema block, and a dumped topic's bare-payload lines
+    // (the overwhelming majority) don't. False positives (a user column
     // named schema) just pay one parse and filter out below.
-    val path = Paths.get(s"$dir/events.jsonl")
-    if (!Files.exists(path)) return Seq.empty
-    val br = new BufferedReader(new FileReader(path.toFile))
-    try {
-      Iterator.continually(br.readLine()).takeWhile(_ != null)
-        .filter(l => l.contains("\"schema\""))
-        .map(mapper.readTree)
-        .flatMap { node =>
-          Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
-            sch.get("fields").elements().asScala.find(f => f.get("field").asText() == "after")
+    JsonlIndex.cachedAppendOnly(s"$dir/events.jsonl", "schemas") {
+      (prev: Option[Vector[JsonNode]], lines, _, _) =>
+        prev.getOrElse(Vector.empty) ++ lines.iterator
+          .filter(_._1.contains("\"schema\""))
+          .map(l => mapper.readTree(l._1))
+          .flatMap { node =>
+            Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
+              sch.get("fields").elements().asScala.find(f => f.get("field").asText() == "after")
+            }
           }
-        }.toSeq
-    } finally br.close()
-  }
+    }
 
   /** Union the after-struct fields across all schema blocks: fields keep
     * first-seen ORDER (old rows stay positionally stable), a field's codec
@@ -300,8 +298,11 @@ final class DebeziumJsonChangeLogProvider(root: String,
     * — including MongoDB change-stream lines (operationType, no 'op') and
     * the offsetField-missing error. One instance per pass (carries the
     * line-index counter). */
-  private final class OffsetAssigner(t: TableDir) {
-    private var logIdx = 0L
+  private final class OffsetAssigner(t: TableDir, start: Long = 0L) {
+    private var logIdx = start
+    /** Events numbered so far — persisted by the incremental spool index
+      * so an extension leg resumes the ordinal numbering exactly. */
+    def count: Long = logIdx
     def opOf(payload: JsonNode): String = DebeziumJsonChangeLogProvider.this.opOf(payload)
     /** Offset of a data-event line (op != null): 0 for snapshot reads,
       * else `offsetField` (source block first, event root second, missing
@@ -384,16 +385,27 @@ final class DebeziumJsonChangeLogProvider(root: String,
     * Built in ONE streaming pass — each line is Jackson-parsed once —
     * where the round-17-open code paid one full parse pass PER VARIANT
     * plus another full pass per batch for schemaChanges: 4-5× the spool's
-    * bytes where 1× suffices (q145 measured the difference at sf0.1). */
+    * bytes where 1× suffices (q145 measured the difference at sf0.1).
+    *
+    * INCREMENTAL on a live tail: the build resumes from the bytes the
+    * previous build consumed ([[JsonlIndex.cachedAppendOnly]]) — the
+    * line-index offset counter, the schema state machine, and a pending
+    * un-stamped transition all carry across legs, and the sorted index
+    * runs extend by an O(n + m) merge. A growing spool therefore costs
+    * each planning probe O(appended bytes), not O(file): the full-rebuild
+    * cache was quadratic over a stream's life. */
   private final class SpoolIdx(
       val snap: FileIndex[ChunkKey.Key],
       val log: FileIndex[Long],
       val byKey: FileIndex[(ChunkKey.Key, Long)],
-      val schemaEv: Array[(Long, String)])
+      val schemaEv: Array[(Long, String)],
+      val logCount: Long,      // resumes the line-index OffsetAssigner
+      val lastBlock: String,   // schema machine: last block seen
+      val pending: String)     // schema machine: transition awaiting a data event
 
   private def spoolIdx(t: TableDir): SpoolIdx =
-    JsonlIndex.cachedBlob(s"${t.dir}/events.jsonl", "spool") { (len, mtime) =>
-      val assigner = new OffsetAssigner(t)
+    JsonlIndex.cachedAppendOnly[SpoolIdx](s"${t.dir}/events.jsonl", "spool") { (prev, lines, len, mtime) =>
+      val assigner = new OffsetAssigner(t, prev.map(_.logCount).getOrElse(0L))
       val snapB = Array.newBuilder[(ChunkKey.Key, Long, Int)]
       val logB = Array.newBuilder[(Long, Long, Int)]
       val keyB = Array.newBuilder[((ChunkKey.Key, Long), Long, Int)]
@@ -401,9 +413,9 @@ final class DebeziumJsonChangeLogProvider(root: String,
       // schema-transition state machine — the initial block is the table's
       // schema, not an event; a transition stays pending across tombstone/
       // control lines and stamps the next DATA event's offset
-      var lastBlock: String = null
-      var pending: String = null
-      JsonlIndex.scanLines(s"${t.dir}/events.jsonl").foreach { case (line, start, blen) =>
+      var lastBlock: String = prev.map(_.lastBlock).orNull
+      var pending: String = prev.map(_.pending).orNull
+      lines.foreach { case (line, start, blen) =>
         if (line.trim.nonEmpty) {
           val node = mapper.readTree(line)
           Option(node.get("schema")).filter(!_.isNull).flatMap { sch =>
@@ -424,11 +436,18 @@ final class DebeziumJsonChangeLogProvider(root: String,
         }
       }
       import ChunkKey.ordering
-      new SpoolIdx(
-        JsonlIndex.packIndex(len, mtime, snapB.result()),
-        JsonlIndex.packIndex(len, mtime, logB.result()),
-        JsonlIndex.packIndex(len, mtime, keyB.result()),
-        schemaB.result())
+      prev match {
+        case Some(p) => new SpoolIdx(
+          JsonlIndex.mergeIndex(p.snap, snapB.result(), len, mtime),
+          JsonlIndex.mergeIndex(p.log, logB.result(), len, mtime),
+          JsonlIndex.mergeIndex(p.byKey, keyB.result(), len, mtime),
+          p.schemaEv ++ schemaB.result(), assigner.count, lastBlock, pending)
+        case None => new SpoolIdx(
+          JsonlIndex.packIndex(len, mtime, snapB.result()),
+          JsonlIndex.packIndex(len, mtime, logB.result()),
+          JsonlIndex.packIndex(len, mtime, keyB.result()),
+          schemaB.result(), assigner.count, lastBlock, pending)
+      }
     }
 
   /** Snapshot phase: op='r' events sorted by chunk key. */

@@ -103,19 +103,22 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
 
   /** Both log indexes — by offset, and by (chunk key, offset) — from ONE
     * parse pass over log.jsonl (the Jackson parse dominates the build;
-    * the pre-round-17-close code scanned the file once per variant). The
-    * (key, offset) secondary lets a snapshot chunk's catch-up fold read
-    * ONLY its own key range's events instead of scanning the full slice —
-    * the difference between O(chunks × log) and O(log) total fold work
-    * when many chunks share one long slice. */
+    * the pre-round-17-close code scanned the file once per variant), and
+    * INCREMENTAL under append ([[JsonlIndex.cachedAppendOnly]]): a growing
+    * log extends the sorted runs by an O(n + m) merge of just the appended
+    * suffix instead of re-parsing the file each probe. The (key, offset)
+    * secondary lets a snapshot chunk's catch-up fold read ONLY its own key
+    * range's events instead of scanning the full slice — the difference
+    * between O(chunks × log) and O(log) total fold work when many chunks
+    * share one long slice. */
   private final class LogIdxPair(val off: FileIndex[Long],
       val byKey: FileIndex[(ChunkKey.Key, Long)])
 
   private def logPair(tf: TableFiles): LogIdxPair =
-    JsonlIndex.cachedBlob(s"${tf.dir}/log.jsonl", "logpair") { (len, mtime) =>
+    JsonlIndex.cachedAppendOnly[LogIdxPair](s"${tf.dir}/log.jsonl", "logpair") { (prev, lines, len, mtime) =>
       val offB = Array.newBuilder[(Long, Long, Int)]
       val keyB = Array.newBuilder[((ChunkKey.Key, Long), Long, Int)]
-      scanLines(s"${tf.dir}/log.jsonl").foreach { case (line, start, blen) =>
+      lines.foreach { case (line, start, blen) =>
         if (line.nonEmpty) {
           val n = mapper.readTree(line)
           val off = n.get("offset").asLong()
@@ -125,8 +128,14 @@ final class FileChangeLogProvider(root: String) extends ChangeLogProvider {
         }
       }
       import ChunkKey.ordering
-      new LogIdxPair(JsonlIndex.packIndex(len, mtime, offB.result()),
-        JsonlIndex.packIndex(len, mtime, keyB.result()))
+      prev match {
+        case Some(p) => new LogIdxPair(
+          JsonlIndex.mergeIndex(p.off, offB.result(), len, mtime),
+          JsonlIndex.mergeIndex(p.byKey, keyB.result(), len, mtime))
+        case None => new LogIdxPair(
+          JsonlIndex.packIndex(len, mtime, offB.result()),
+          JsonlIndex.packIndex(len, mtime, keyB.result()))
+      }
     }
 
   private def logIdx(tf: TableFiles): FileIndex[Long] = logPair(tf).off

@@ -22,7 +22,7 @@ import scala.collection.concurrent.TrieMap
   * Files may grow between micro-batches (a live tail appending while a
   * stream runs): indexes self-invalidate when the file length OR mtime
   * changes — append-only is the file contract. */
-private[provider] object JsonlIndex {
+private[cdc] object JsonlIndex {
 
   /** Parallel arrays: entry i spans file bytes [starts(i), starts(i)+lens(i))
     * and sorts by key (chunk key for snapshots, offset for logs). */
@@ -86,16 +86,37 @@ private[provider] object JsonlIndex {
     * the difference between reading a spool once and reading it four
     * times. Same self-invalidation (append-only file growth) and LRU
     * discipline as the index cache. */
-  final class Blob(val fileLen: Long, val fileMtime: Long, val value: AnyRef) {
+  final class Blob(val fileLen: Long, val fileMtime: Long, val endPos: Long,
+      val cleanEnd: Boolean, val value: AnyRef) {
     @volatile var lastUsed: Long = 0L
   }
   private val blobCache = TrieMap.empty[String, Blob]
 
-  /** Build-or-fetch a composite value over `path`. `build` receives the
-    * file's (length, mtime) snapshot taken BEFORE the scan — the same
-    * ordering [[cachedIndex]] uses, so a concurrent append invalidates the
-    * entry on the next probe rather than corrupting it. */
-  def cachedBlob[T <: AnyRef](path: String, variant: String)(build: (Long, Long) => T): T = {
+  /** Bytes actually scanned by [[cachedAppendOnly]] builds — test
+    * observability for the incremental contract (a tail append must scan
+    * ~the appended suffix, not the whole file). */
+  private[cdc] val scannedBytes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Build-or-extend a composite value over an APPEND-ONLY `path`.
+    *
+    * `build(prev, lines, fileLen, fileMtime)` receives the previous cached
+    * value and a scan of ONLY the bytes it has not seen: on first touch
+    * (or any non-append change — shrink, same-length mtime change,
+    * growth after a newline-less final line) `prev` is None and `lines`
+    * covers [0, len); on growth after a cleanly-terminated scan `prev` is
+    * the cached value and `lines` covers just the appended suffix. This is
+    * what keeps a LIVE tail's per-batch planning cost O(append): the
+    * (len,mtime)-keyed full rebuild re-parsed the whole spool every
+    * micro-batch — quadratic over the stream's life.
+    *
+    * The scan is BOUNDED at the length snapshot taken before it starts, so
+    * lines appended mid-scan are left for the next probe instead of being
+    * double-counted by a later extension. Append-only is the file contract
+    * (same as [[cachedIndex]]); a rewritten-in-place file that happens to
+    * keep growing is detected only via mtime when the length did not grow
+    * — the contract violation the scaladoc has always excluded. */
+  def cachedAppendOnly[T <: AnyRef](path: String, variant: String)
+      (build: (Option[T], Iterator[(String, Long, Int)], Long, Long) => T): T = {
     val abs = Paths.get(path).toAbsolutePath.toString + "#" + variant
     val p = Paths.get(path)
     val exists = Files.exists(p)
@@ -105,15 +126,97 @@ private[provider] object JsonlIndex {
       case Some(b) if b.fileLen == curLen && b.fileMtime == curMtime =>
         b.lastUsed = useStamp.incrementAndGet()
         b.value.asInstanceOf[T]
-      case _ =>
-        val v = build(curLen, curMtime)
-        val b = new Blob(curLen, curMtime, v)
+      case cached =>
+        val (prev, from) = cached match {
+          case Some(b) if curLen > b.fileLen && b.cleanEnd && b.endPos <= b.fileLen =>
+            (Some(b.value.asInstanceOf[T]), b.endPos)
+          case _ => (None, 0L)
+        }
+        val scan = new BoundedScan(path, from, curLen)
+        val v = build(prev, scan.lines, curLen, curMtime)
+        scannedBytes.addAndGet(scan.endPos - from)
+        val b = new Blob(curLen, curMtime, scan.endPos, scan.cleanEnd, v)
         b.lastUsed = useStamp.incrementAndGet()
         if (!blobCache.contains(abs) && blobCache.size >= MaxCachedFiles)
           blobCache.toSeq.minByOption(_._2.lastUsed).foreach(e => blobCache.remove(e._1))
         blobCache.put(abs, b)
         v
     }
+  }
+
+  /** [[scanLines]] restricted to byte window [from, until): yields the
+    * window's lines; after drain, `endPos` is the byte after the last
+    * newline consumed and `cleanEnd` says whether the window ended ON a
+    * newline (the precondition for a later extension to resume at
+    * `endPos` — a newline-less final line is still yielded, matching the
+    * full scan, but marks the scan non-resumable). */
+  private final class BoundedScan(path: String, from: Long, until: Long) {
+    var endPos: Long = from
+    var cleanEnd: Boolean = true
+    def lines: Iterator[(String, Long, Int)] = {
+      if (!Files.exists(Paths.get(path)) || from >= until) return Iterator.empty
+      val fis = new FileInputStream(path)
+      fis.getChannel.position(from)
+      val in = new BufferedInputStream(fis, 1 << 16)
+      val buf = new java.io.ByteArrayOutputStream(256)
+      var pos = from
+      new Iterator[(String, Long, Int)] {
+        private var nextEntry: (String, Long, Int) = advance()
+        private def advance(): (String, Long, Int) = {
+          buf.reset()
+          val start = pos
+          var b = if (pos < until) in.read() else -1
+          while (b != -1 && b != '\n') {
+            buf.write(b); pos += 1
+            b = if (pos < until) in.read() else -1
+          }
+          if (b == '\n') {
+            pos += 1; endPos = pos; cleanEnd = true
+            (new String(buf.toByteArray, StandardCharsets.UTF_8), start, buf.size())
+          } else if (buf.size() == 0) { in.close(); null }
+          else {
+            endPos = pos; cleanEnd = false
+            (new String(buf.toByteArray, StandardCharsets.UTF_8), start, buf.size())
+          }
+        }
+        def hasNext: Boolean = nextEntry != null
+        def next(): (String, Long, Int) = {
+          val v = nextEntry
+          nextEntry = if (v == null) null else advance()
+          v
+        }
+      }
+    }
+  }
+
+  /** Merge a sorted [[FileIndex]] with a (then-sorted) delta — the
+    * extension half of [[packIndex]]: O(n + m) with no re-sort of the old
+    * run. Stable (old entries first on equal keys). */
+  def mergeIndex[K](old: FileIndex[K], delta: Array[(K, Long, Int)], fileLen: Long,
+      fileMtime: Long)(implicit ord: Ordering[K]): FileIndex[K] = {
+    if (old == null || old.size == 0) return packIndex(fileLen, fileMtime, delta)
+    if (delta.isEmpty)
+      return new FileIndex[K](fileLen, fileMtime, old.keys, old.starts, old.lens)
+    java.util.Arrays.sort(delta,
+      Ordering.by[(K, Long, Int), K](_._1): java.util.Comparator[(K, Long, Int)])
+    val n = old.size
+    val m = delta.length
+    val keys = new Array[AnyRef](n + m)
+    val starts = new Array[Long](n + m)
+    val lens = new Array[Int](n + m)
+    var i = 0; var j = 0; var o = 0
+    while (i < n && j < m) {
+      if (ord.compare(old.key(i), delta(j)._1) <= 0) {
+        keys(o) = old.keys(i); starts(o) = old.starts(i); lens(o) = old.lens(i); i += 1
+      } else {
+        keys(o) = delta(j)._1.asInstanceOf[AnyRef]; starts(o) = delta(j)._2
+        lens(o) = delta(j)._3; j += 1
+      }
+      o += 1
+    }
+    while (i < n) { keys(o) = old.keys(i); starts(o) = old.starts(i); lens(o) = old.lens(i); i += 1; o += 1 }
+    while (j < m) { keys(o) = delta(j)._1.asInstanceOf[AnyRef]; starts(o) = delta(j)._2; lens(o) = delta(j)._3; j += 1; o += 1 }
+    new FileIndex[K](fileLen, fileMtime, keys, starts, lens)
   }
 
   /** Sort-and-pack (key, byteStart, byteLen) entries into a [[FileIndex]]

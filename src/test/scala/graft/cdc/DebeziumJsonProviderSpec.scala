@@ -593,4 +593,64 @@ class DebeziumJsonProviderSpec extends SparkSpec {
     assert(counts.max <= 120,
       s"weighted boundaries must split the hot range, got $counts")
   }
+
+  test("live-tail appends extend the index INCREMENTALLY: a probe after growth scans ~the appended bytes, not the file") {
+    // the full-rebuild cache read the whole spool on every planning probe
+    // of a growing tail — O(file) per micro-batch, quadratic over the
+    // stream's life. cachedAppendOnly resumes from the consumed byte.
+    val root = Files.createTempDirectory("dbzinc")
+    val dir = writeSpool(root, events = 300)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    val id = TableId("shop", "hot")
+    assert(p.currentOffset === 300L) // leg 1: full build
+    val fileLen = Files.size(dir.resolve("events.jsonl"))
+    val base = graft.cdc.provider.JsonlIndex.scannedBytes.get()
+    val tail = (301L to 310L).map(o =>
+      s"""{"before":null,"after":{"id":${(o * 37) % 100 + 1},"name":"v$o"},"op":"c","ts_ms":$o}""")
+      .mkString("", "\n", "\n")
+    Files.writeString(dir.resolve("events.jsonl"), tail,
+      java.nio.file.StandardOpenOption.APPEND)
+    // leg 2: extension — numbering resumes, new events visible
+    assert(p.currentOffset === 310L)
+    assert(p.logEventsApprox(id, 300L, 310L) === 10L)
+    assert(p.log(id, 300L, 310L).map(_.offset).toSeq === (301L to 310L))
+    val scanned = graft.cdc.provider.JsonlIndex.scannedBytes.get() - base
+    assert(scanned > 0 && scanned < fileLen / 4,
+      s"extension scanned $scanned bytes for a ${tail.length}-byte append " +
+        s"over a $fileLen-byte spool — the incremental path did not engage")
+  }
+
+  test("schema machine state carries across incremental legs: a block arriving with no data event stamps the NEXT leg's event") {
+    val root = Files.createTempDirectory("dbzinctr")
+    val dir = writeSpool(root, events = 20)
+    val p = new DebeziumJsonChangeLogProvider(root.toString)
+    val id = TableId("shop", "hot")
+    def block(extra: Boolean): String = {
+      val note = """,{"type":"string","optional":true,"field":"note"}"""
+      val fields = """{"type":"int64","optional":false,"field":"id"},""" +
+        """{"type":"string","optional":true,"field":"name"}""" + (if (extra) note else "")
+      s"""{"type":"struct","fields":[{"type":"struct","optional":true,"field":"after","fields":[$fields]}]}"""
+    }
+    assert(p.schemaChanges(0L, 1000L).isEmpty) // leg 1: no blocks at all
+    // leg 2: the INITIAL block (not a transition) + one data event
+    Files.writeString(dir.resolve("events.jsonl"),
+      s"""{"schema":${block(extra = false)},"payload":{"before":null,"after":{"id":1,"name":"a"},"op":"u","ts_ms":1}}""" + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(p.schemaChanges(0L, 1000L).isEmpty,
+      "the first block ever seen is the table's schema, not a transition")
+    // leg 3: a CHANGED block on a tombstone line — no data event to stamp
+    Files.writeString(dir.resolve("events.jsonl"),
+      s"""{"schema":${block(extra = true)},"payload":null}""" + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(p.schemaChanges(0L, 1000L).isEmpty,
+      "a transition with no data event yet stays pending")
+    // leg 4: the next data event stamps the pending transition
+    Files.writeString(dir.resolve("events.jsonl"),
+      """{"before":null,"after":{"id":2,"name":"b"},"op":"c","ts_ms":2}""" + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val ev = p.schemaChanges(0L, 1000L).toSeq
+    assert(ev.map(e => (e._1, e._2)) === Seq((22L, id)),
+      s"the pending transition must stamp the next data event's offset, got $ev")
+    assert(ev.head._3.contains("note"), "the stamped block is the NEW schema")
+  }
 }

@@ -347,6 +347,29 @@ class LogCatchupShardSpec extends SparkSpec {
     }, "composite must serve the owner's key-indexed range read")
   }
 
+  test("file provider log indexes extend incrementally under append: new events visible, old bytes not re-parsed") {
+    val root = writeFixture()
+    val p = new graft.cdc.provider.FileChangeLogProvider(root)
+    assert(p.logEventsApprox(meta.id, 0L, 200L) === 200L) // full build
+    val logPath = java.nio.file.Paths.get(root, "db.t", "log.jsonl")
+    val fileLen = java.nio.file.Files.size(logPath)
+    val base = graft.cdc.provider.JsonlIndex.scannedBytes.get()
+    val tail = (201L to 205L).map(o =>
+      s"""{"offset":$o,"op":"c","tsMs":$o,"before":null,"after":{"id":${o % 100},"name":"v$o"}}""")
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(logPath, tail,
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(p.logEventsApprox(meta.id, 0L, 205L) === 205L)
+    val r = SnapshotSplit(meta.id, 0, Some(ChunkKey.of(1L)), Some(ChunkKey.of(6L)))
+    val got = p.logForRange(meta.id, 200L, 205L, r).toSeq
+    assert(got.map(_.offset) === Seq(201L, 202L, 203L, 204L, 205L).filter { o =>
+      val k = o % 100; k >= 1 && k < 6
+    }, "appended events must be served from the extended (key, offset) index")
+    val scanned = graft.cdc.provider.JsonlIndex.scannedBytes.get() - base
+    assert(scanned > 0 && scanned < fileLen / 4,
+      s"extension scanned $scanned bytes for a ${tail.length}-byte append over $fileLen")
+  }
+
   test("the q145 gate shape actually shards: Debezium-envelope spool + the gate's options plan parallel catch-up") {
     // guards the battery gate against silent de-activation: q145 would
     // still HASH-MATCH through the serial fallback (disjoint-cover
