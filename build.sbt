@@ -39,3 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (GC pressure in broadcast-join + dedup stages); container has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// A/B experiment hook: extra -D flags for the forked run JVM (e.g.
+// SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.enabled=false").
+// Unset in normal/driver runs — contributes nothing.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

@@ -29,17 +29,42 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count bound under which [[components]] solves on the driver
+    * (one collect + union-find) instead of the distributed star loop —
+    * the same size-dispatch a broadcast join makes. Rationale: below the
+    * bound the star loop's O(log n) rounds of (2 shuffles + 2 actions)
+    * each cost far more than one driver pass (measured: q123's per-batch
+    * graphs spend ~30 jobs/batch in the loop); above it the distributed
+    * path runs unchanged, so a 100 TB edge set never lands on the driver.
+    * 200k edges ≈ a few MB collected — well under broadcast-sized. */
+  private def localEdgeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localEdgeThreshold")
+      .map(_.toLong).getOrElse(200000L)
+
   /** (node, component) for every node in `edges`, component = min node id
     * reachable. Input: two columns (src, dst), any integral type; self
     * loops and duplicates tolerated. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 25): DataFrame = {
     val spark = edges.sparkSession
-    // canonical undirected edge set (u < v), bigint nodes
-    var e = edges
+    // canonical undirected edges (u < v), bigint nodes — not yet distinct:
+    // the local path tolerates duplicates, so it skips that shuffle too
+    val canon = edges
       .select(col(srcCol).cast("bigint").as("u"), col(dstCol).cast("bigint").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+    // size dispatch via a LIMIT probe — one upstream execution decides the
+    // path AND delivers the edges when small (a count-then-collect pair
+    // would execute an expensive pair-gen upstream twice). If the probe
+    // overflows, the distributed path re-executes upstream once more —
+    // the big-input case, where that cost is already amortized; set the
+    // threshold to 0 to skip probing entirely.
+    val threshold = localEdgeThreshold(spark)
+    val probe = if (threshold > 0 && threshold < Int.MaxValue - 1)
+      canon.limit(threshold.toInt + 1).collect() else Array.empty[org.apache.spark.sql.Row]
+    if (threshold > 0 && probe.length <= threshold)
+      return localComponents(spark, probe)
+    var e = canon
       .distinct()
       .localCheckpoint()
 
@@ -60,6 +85,43 @@ object ConnectedComponents {
     e.select(col("v").as("node"), col("u").as("component"))
       .union(e.select(col("u").as("node"), col("u").as("component")))
       .distinct()
+  }
+
+  /** Driver-side union-find over a collected small edge set — the exact
+    * labeling [[components]]' star loop converges to (component = min
+    * reachable node id; every node of the edge set gets a row, centers a
+    * self row), computed in one pass. Duplicate edges are harmless. */
+  private def localComponents(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    val nodes = mutable.LongMap.empty[Unit] // insertion set of all endpoints
+    var i = 0
+    while (i < rows.length) {
+      val u = rows(i).getLong(0); val v = rows(i).getLong(1)
+      nodes(u) = (); nodes(v) = ()
+      val ru = find(u); val rv = find(v)
+      // union by MIN root: the root IS the component's running min, so no
+      // second min pass is needed and find() yields the final label directly
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+    nodes.foreachKey { n => out.add(org.apache.spark.sql.Row(n, find(n))) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(out, schema)
   }
 
   /** Cluster assignment for near-dup pairs: (id, cluster_id, keep) where
@@ -103,11 +165,17 @@ object ConnectedComponents {
       todayEdges: DataFrame, aCol: String, bCol: String,
       crossEdges: DataFrame, todayCol: String, priorCol: String,
       priorAssign: DataFrame): DataFrame = {
+    // crossEdges feeds TWO legs (the contracted graph and `attached`), and
+    // each leg's action re-executes its upstream — often an expensive
+    // pair-gen join. Persist for the call; idempotent if the caller
+    // already persisted (same canonicalized plan), and the caller may
+    // unpersist once the output is materialized.
+    val ceP = crossEdges.persist()
     val pa = priorAssign.select(col("doc_id").cast("bigint").as("pid"),
       col("cluster_id").cast("bigint").as("plbl"))
     val e1 = todayEdges.select(col(aCol).cast("bigint").as("cu"),
       col(bCol).cast("bigint").as("cv"))
-    val ce = crossEdges
+    val ce = ceP
       .join(pa, col(priorCol) === col("pid"), "left")
       .select(col(todayCol).cast("bigint").as("cu"),
         coalesce(col("plbl"), col(priorCol).cast("bigint")).as("cv"))
@@ -121,7 +189,7 @@ object ConnectedComponents {
       .filter(col("nlbl") =!= col("plbl"))
       .select(col("pid").as("doc_id"), col("nlbl").as("cluster_id"),
         lit("prior").as("scope"))
-    val attached = crossEdges.select(col(priorCol).cast("bigint").as("doc_id")).distinct()
+    val attached = ceP.select(col(priorCol).cast("bigint").as("doc_id")).distinct()
       .join(pa, col("doc_id") === col("pid"), "left_anti")
       .join(mm, col("doc_id") === col("lbl"))
       .filter(col("nlbl") =!= col("doc_id"))

@@ -91,18 +91,24 @@ object ClusterMaintenanceStream {
           .map(_.select("h", "doc_id", "n_sh"))
           .getOrElse(mine.limit(0)))
         .unionByName(mine)
+      // persisted: incrementalClusters consumes the pair-gen join twice
+      // (contracted graph + attached leg); released below once the delta
+      // write has materialized the output
       val ce = Dedup.ngramJaccardPairsVsIndex(b, "doc_id", "text",
           idx, n = n, minJaccard = minJaccard)
         .filter(col("today_id") =!= col("prior_id"))
-      ConnectedComponents.incrementalClusters(
-          b.select("doc_id"), "doc_id",
-          ce.limit(0).select(col("today_id").as("id_a"),
-            col("prior_id").as("id_b")), "id_a", "id_b",
-          ce, "today_id", "prior_id",
-          resolvedAssignment(s, priorAssign, spoolDelta,
-            excludeBatch = Some(batchId)))
-        .select("doc_id", "cluster_id")
-        .write.mode("overwrite").parquet(s"$spoolDelta/batch=$batchId")
+        .persist()
+      try {
+        ConnectedComponents.incrementalClusters(
+            b.select("doc_id"), "doc_id",
+            ce.limit(0).select(col("today_id").as("id_a"),
+              col("prior_id").as("id_b")), "id_a", "id_b",
+            ce, "today_id", "prior_id",
+            resolvedAssignment(s, priorAssign, spoolDelta,
+              excludeBatch = Some(batchId)))
+          .select("doc_id", "cluster_id")
+          .write.mode("overwrite").parquet(s"$spoolDelta/batch=$batchId")
+      } finally { ce.unpersist(); () }
     } finally { b.unpersist(); () }
   }
 

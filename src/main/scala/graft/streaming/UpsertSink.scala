@@ -153,8 +153,15 @@ object UpsertSink {
     * forgotten the moment the row leaves the state file. [[readState]]
     * filters them; [[compact]] purges them once the caller knows no
     * lower-offset stragglers remain. */
-  def mergeBatch(batch: DataFrame, pkCols: Seq[String], path: String,
+  def mergeBatch(batch0: DataFrame, pkCols: Seq[String], path: String,
       numBuckets: Int = DefaultBuckets): Unit = {
+    // Two actions consume the batch (the touched-bucket probe and the
+    // merge write). Inside foreachBatch each action RE-EXECUTES the whole
+    // micro-batch plan — source decode plus any upstream stateful
+    // aggregate ran twice per batch (measured: q106's addBatch dropped
+    // ~25% with the barrier). Persist for the merge's duration only.
+    val batch = batch0.persist()
+    try {
     val spark = batch.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -215,6 +222,7 @@ object UpsertSink {
     fs.delete(tmp, true)
     }
     }
+    } finally { batch0.unpersist(); () }
   }
 
   /** Purge tombstone rows from every bucket — run when the caller knows no

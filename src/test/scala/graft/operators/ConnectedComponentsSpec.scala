@@ -62,6 +62,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comps(edges) == expected)
   }
 
+  test("local union-find path ≡ distributed star loop (size dispatch)") {
+    // the optimization seam: below spark.graft.cc.localEdgeThreshold the
+    // solve runs on the driver; force BOTH paths over the same random
+    // graphs and require identical (node → component) maps
+    for (seed <- Seq(2, 13, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      val df = edges.toDF("a", "b")
+      def run(): Map[Long, Long] =
+        ConnectedComponents.components(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.graft.cc.localEdgeThreshold", "0") // distributed
+      val dist = try run() finally
+        spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+      val local = run() // default threshold: local path
+      assert(local == dist, s"seed=$seed")
+      assert(local.nonEmpty)
+    }
+  }
+
   test("incrementalClusters ≡ from-scratch labels + exact delta (random splits)") {
     for (seed <- Seq(1, 7, 23)) {
       val rnd = new scala.util.Random(seed)
