@@ -131,7 +131,10 @@ object Curation {
     // of failing the job on a vanished checkpoint block — the
     // fault-tolerance a 1000-executor run needs from a barrier that holds
     // the whole corpus. (A/B at sf0.1: within noise of localCheckpoint.)
-    val base = docs.select(
+    // widen a narrow scan first (Par.widen): the quality/lang/token/md5
+    // expressions below fuse into their input stage, and a single-split
+    // file would run ALL of them in one task regardless of cores
+    val base = Par.widen(docs.select(col(idCol), col(textCol)), col(idCol)).select(
       col(idCol).cast("bigint").as("doc_id"),
       col(textCol).as("text"),
       qualityScore(col(textCol)).as("quality"),

@@ -45,8 +45,12 @@ object Dedup {
     * corpora, df-cap the join input and verify surviving candidates
     * exactly (same output; the cap only prunes pairs already above the
     * shared-count bound). */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double): DataFrame = {
+    // widen a narrow scan before the per-row shingle hashing (Par.widen);
+    // the two derived legs below then share ONE exchange (ReuseExchange)
+    // instead of re-scanning the text twice
+    val df = Par.widen(df0.select(col(idCol), col(textCol)), col(idCol))
     // native one-pass shingle hashing (codegen'd WordShingleHashes) — same
     // values as xxhash64 over the HOF shingle pipeline, ~10× cheaper
     val sh = df.select(col(idCol).as("id"),
@@ -75,12 +79,14 @@ object Dedup {
     * needs no second lookup. Persist it bucketed on `h`
     * ([[BucketedOps.ensureBucketed]]) and the daily probe's index side
     * plans zero exchanges — the scan's bucketing IS the distribution. */
-  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  def shingleIndex(df0: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val df = Par.widen(df0.select(col(idCol), col(textCol)), col(idCol))
     df.select(col(idCol).as("doc_id"),
         ShingleExpressions.wordShingleHashes(col(textCol), n).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_sh"),
         explode(col("hs")).as("h"))
       .select("h", "doc_id", "n_sh")
+  }
 
   /** Exact n-gram Jaccard pairs between `today` and a PRIOR corpus read
     * through its stored [[shingleIndex]] — the cross-day leg of
@@ -92,8 +98,9 @@ object Dedup {
     * the union of the two pair sets is exactly what a from-scratch run
     * over (prior ∪ today) would emit for pairs touching today. Returns
     * (today_id, prior_id, jaccard). */
-  def ngramJaccardPairsVsIndex(today: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairsVsIndex(today0: DataFrame, idCol: String, textCol: String,
       index: DataFrame, n: Int = 3, minJaccard: Double = 0.3): DataFrame = {
+    val today = Par.widen(today0.select(col(idCol), col(textCol)), col(idCol))
     val sh = today.select(col(idCol).as("tid"),
       explode(ShingleExpressions.wordShingleHashes(col(textCol), n)).as("h"))
     val sizes = today.select(col(idCol).as("tid"),
@@ -126,8 +133,9 @@ object Dedup {
   /** MinHash signature column: array<bigint> of length k for the document's
     * shingle set. One explode + one groupBy(id) with k min() partials —
     * map-side combined, no shuffle of raw text. */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+  def minHashSignatures(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
+    val df = Par.widen(df0.select(col(idCol), col(textCol)), col(idCol))
     // native murmur3 shingle hashes == hash(shingle).cast(long) (parity
     // spec-verified) — the HOF shingle pipeline never materializes
     val sh = df.select(col(idCol).as("id"),
@@ -159,18 +167,10 @@ object Dedup {
       n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    // NB: the signature pipeline DOES re-execute per plan leg (both band
-    // self-join sides + both verify joins — 4 Scan→Generate→HashAggregate
-    // subtrees in the audited sf0.1 plan: the legs resolve to broadcast
-    // joins, so there is no identical shuffle for ReuseExchange to
-    // collapse). Measured at the gate SF this is CHEAPER than a
-    // localCheckpoint barrier (q42 A/B: 2.63 s vs 2.94 s) — the
-    // signature aggregation is fast relative to materializing it, and the
-    // broadcast legs run concurrently. At corpus scale the trade flips
-    // exactly like Curation's funnel barriers: persist the signatures at
-    // the fan-out when the corpus is large enough that recomputing the
-    // shingle explode dominates.
-    val sigs = minHashSignatures(df, idCol, textCol, n, k)
+    // Barrier the signature fan-out (same rationale as the md5 twin
+    // below): four plan legs consume it, and with the widened signature
+    // pipeline each re-execution pays an exchange — persist wins.
+    val sigs = minHashSignatures(df, idCol, textCol, n, k).persist()
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * r + 1, lit(r)))))
@@ -232,7 +232,8 @@ object Dedup {
     * than clear. All-integer votes → 56 codegen'd hash-aggregates with
     * map-side combine, one shuffle keyed on the doc id; DuckDB replays the
     * identical arithmetic from `md5_number_upper(t) >> 8`. */
-  def md5SimHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def md5SimHashSignatures(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = Par.widen(df0.select(col(idCol), col(textCol)), col(idCol))
     val tok = df.select(col(idCol).as("id"),
         explode(shingleStrings(col(textCol), 1)).as("t"))
       .select(col("id"), portableH56(col("t")).as("h"))
@@ -253,8 +254,9 @@ object Dedup {
     * would fall back to SortAggregate — measured 40× slower end-to-end),
     * and unlike the xxhash64 variant this one sits under the DuckDB-oracle
     * hash gate. */
-  def md5MinHashSignatures(df: DataFrame, idCol: String, textCol: String,
+  def md5MinHashSignatures(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16): DataFrame = {
+    val df = Par.widen(df0.select(col(idCol), col(textCol)), col(idCol))
     val sh = df.select(col(idCol).as("id"),
         explode(shingleStrings(col(textCol), n)).as("s"))
       .select(col("id"), portableH31(col("s")).as("h0"))
@@ -272,9 +274,10 @@ object Dedup {
     * grouped [[md5MinHashSignatures]] (min over the same shingle set).
     * Output: (idCol, band, bhv) — same band keys as
     * [[md5MinHashLshCandidates]]. Docs with no shingles emit no rows. */
-  def md5BandsPerRow(df: DataFrame, idCol: String, textCol: String,
+  def md5BandsPerRow(df0: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
     require(k == bands * 2, "portable LSH uses r=2 (band key = one packed long)")
+    val df = Par.widen(df0, org.apache.spark.sql.functions.col(idCol)) // no-op on streams
     // materialize the shingle-hash array once per row (it feeds all k
     // mins; multi-referenced non-cheap expressions stay un-collapsed)
     val withHs = df.filter(size(split(col(textCol), " ")) >= n)
@@ -298,7 +301,16 @@ object Dedup {
   def md5MinHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
     require(k == bands * 2, "portable LSH uses r=2 (band key = one packed long)")
-    val sig = md5MinHashSignatures(df, idCol, textCol, n, k)
+    // Barrier the signature table: FOUR plan legs consume it (both band
+    // self-join sides + both verify joins). The round-11 A/B that kept the
+    // legs un-barriered predates the widened (parallel) signature pipeline
+    // — with the Par.widen exchange in each leg, re-executing the md5
+    // shingle pass 4x measurably loses to materializing it once (q42
+    // in-battery 4.9 s un-barriered vs 2.0 s barriered). The handle is
+    // operator-internal; the battery's per-query clearCache releases it,
+    // and at corpus scale this is exactly the persist-the-fan-out rule the
+    // old comment already named as the expected flip.
+    val sig = md5MinHashSignatures(df, idCol, textCol, n, k).persist()
     val banded = sig.select(col("id"), posexplode(array((0 until bands).map(b =>
         col(s"m${2 * b}") * P31 + col(s"m${2 * b + 1}")): _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bhv"))
@@ -323,7 +335,8 @@ object Dedup {
   /** 64-bit SimHash per document: for each bit position, sum +1/-1 votes of
     * each distinct token's xxhash64 bit; bit set iff the vote is positive.
     * Computed as 64 codegen'd aggregates after one explode — no UDF. */
-  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashSignatures(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = Par.widen(df0.select(col(idCol), col(textCol)), col(idCol))
     // n=1 shingles = distinct tokens; hashes == xxhash64(token)
     val tok = df.select(col(idCol).as("id"),
       explode(ShingleExpressions.wordShingleHashes(col(textCol), 1)).as("h"))

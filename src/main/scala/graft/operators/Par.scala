@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scan-parallelism repair for CPU-heavy per-row operators (optimization
+  * guide §2.5, "input skew: one huge unsplittable file").
+  *
+  * The expensive text/hash expressions of the dedup/curation family fuse
+  * into the parquet SCAN stage, so their parallelism is the scan's split
+  * count — and a single-row-group file (or any input with fewer splits
+  * than cores) serializes the whole per-row pipeline no matter how many
+  * cores are idle. [[widen]] repartitions UP to the session's default
+  * parallelism only when the input has fewer partitions, shuffling just
+  * the raw (id, text) rows; when the scan is already wide (the 100 TB
+  * case: thousands of row groups) it is a no-op, so this never ADDS a
+  * shuffle at scale. Keyed repartition (hash on the id) avoids the local
+  * sort a round-robin repartition pays and is deterministic under task
+  * retry. Streaming inputs are returned untouched (partitioning is the
+  * source's contract, and `.rdd` is not available on them). */
+object Par {
+  def widen(df: DataFrame, keys: Column*): DataFrame = {
+    if (df.isStreaming) return df
+    // Respect the session's own partitioning policy: a stream-scoped
+    // session pins shuffle.partitions low (4-8) because its per-batch
+    // frames are small — widening past that would undo the tuning and
+    // multiply task overhead. Cap at the session's shuffle width.
+    val spark = df.sparkSession
+    val target = math.min(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+}

@@ -20,6 +20,11 @@ object Profiling {
   def numericProfile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty)
+    // widen a single-split scan first (Par.widen): the count_distinct
+    // battery EXPANDS rows (one projection per distinct column) and the
+    // partial aggregate fuses into the scan stage — on a one-row-group
+    // file all of it ran in a single task
+    val dfW = Par.widen(df.select(cols.map(col): _*))
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
@@ -29,7 +34,7 @@ object Profiling {
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = dfW.agg(aggs.head, aggs.tail: _*)
     // pivot the single wide row to one row per column — `stack` keeps it
     // a pure projection (no second aggregation)
     val stackArgs = cols.map { c =>

@@ -91,17 +91,21 @@ object CdcQueries {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = java.nio.file.Files.createTempDirectory("graft_q43_")
       Fixtures.deleteTreeOnExit(tmp)
-      val in = tmp.resolve("in").toString
-      val cl = changelog(s, dir)
-      cl.repartition(4).write.mode("overwrite").parquet(in)
+      // staged ONCE per (JVM, dir) like every other file-stream gate
+      // (q52/q54/q61/q88-q90): deriving + writing the changelog input is
+      // ingest scaffolding, pre-materialized untimed by Bench — q43 was
+      // the one gate still paying the stage build inside its timed window.
+      // The materialization is arrival-order-free (last-(offset, after)-
+      // wins per key), so all files share one mtime group.
+      val st = StreamFixtures.arm(q43Stage(s, dir))
       // a BOUNDED catch-up run wants few state partitions: per-batch cost is
       // dominated by state-store checkpoint files PER PARTITION, and the
       // state (15k keys at sf0.1) is far too small to need 32. The override
       // rides in the stream's own session (streamSession), never the shared
       // one.
       val ss = StreamFixtures.streamSession(s)
-      val stream = ss.readStream.schema(cl.schema)
-        .option("maxFilesPerTrigger", "2").parquet(in)
+      val stream = ss.readStream.schema(changelog(s, dir).schema)
+        .option("maxFilesPerTrigger", "2").parquet(st.in)
       val qname = "q43_mat_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = ChangelogOps.materializeStreaming(stream, Seq("k"))
         .writeStream.outputMode("complete").format("memory").queryName(qname)
@@ -811,12 +815,22 @@ object CdcQueries {
           (maxOffMs + q92BaseMs + 2 * span) * 1000))
     }
 
+  /** q43's staged stream input (ingest scaffolding, once per JVM+dir):
+    * the changelog landed as 4 part files, all in one arrival group —
+    * the materialization is arrival-order-free. */
+  private[graft] def q43Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
+    StreamFixtures.ensure("q43", dir) { in =>
+      changelog(s, dir).repartition(4).write.mode("overwrite").parquet(in)
+      Seq((StreamFixtures.parts(in), 0L))
+    }
+
   /** Pre-builds q92's fixture + probe stage (untimed in the bench — the
     * same ingest-scaffolding rule as the other staged streams). */
   private[graft] def ensureTemporalFixtures(s: SparkSession, dir: String): Unit = {
     writeTemporalProviderTable(s, dir) // q92
     writeTemporalProviderTable(s, dir, sentinels = false) // q99/q100/q106/q141
     q92Stage(s, dir)
+    q43Stage(s, dir) // q43's staged changelog stream input
     // q101's ingest layout (the bucketed changelog) — an index build paid
     // once at ingest, same rule as q87's bucketed tables
     graft.operators.BucketedOps.ensureBucketed(

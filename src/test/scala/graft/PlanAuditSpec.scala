@@ -81,9 +81,19 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q57 dedup clusters: pair generation joins distributed, no cartesian") {
+    // default path at this SF: components size-dispatches to the driver
+    // union-find, so the FINAL plan is a LocalTableScan over the labels —
+    // still no cartesian anywhere
     val p = plan("q57_dedup_clusters")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("HashAggregate"), p)
+    // the 100 TB shape (distributed star loop) stays pinned: force it via
+    // the dispatch threshold and re-audit
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val pd = plan("q57_dedup_clusters")
+      assert(!pd.contains("CartesianProduct"), pd)
+      assert(pd.contains("HashAggregate"), pd)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
   test("q60 packing: no window operator at all (distributed prefix sum)") {
