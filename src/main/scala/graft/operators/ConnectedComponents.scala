@@ -53,21 +53,38 @@ object ConnectedComponents {
       .select(col(srcCol).cast("bigint").as("u"), col(dstCol).cast("bigint").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-    // size dispatch via a LIMIT probe — one upstream execution decides the
-    // path AND delivers the edges when small (a count-then-collect pair
-    // would execute an expensive pair-gen upstream twice). If the probe
-    // overflows, the distributed path re-executes upstream once more —
-    // the big-input case, where that cost is already amortized; set the
-    // threshold to 0 to skip probing entirely.
+    // size dispatch via ONE wide materialization: persist + count runs
+    // the (possibly expensive pair-gen) upstream exactly once at full
+    // parallelism, and BOTH dispatch paths consume the cached edges. The
+    // r17 LIMIT-probe collect executed the upstream in CollectLimitExec's
+    // incremental waves (1, 4, 16… partitions — near-serial wall-clock on
+    // exactly the expensive stage; r17 verdict: q102 regressed on ground
+    // truth) and, on overflow, the distributed loop re-executed the
+    // upstream from scratch. Set the threshold to 0 to skip probing.
     val threshold = localEdgeThreshold(spark)
-    val probe = if (threshold > 0 && threshold < Int.MaxValue - 1)
-      canon.limit(threshold.toInt + 1).collect() else Array.empty[org.apache.spark.sql.Row]
-    if (threshold > 0 && probe.length <= threshold)
-      return localComponents(spark, probe)
-    var e = canon
-      .distinct()
-      .localCheckpoint()
+    if (threshold <= 0) return starLoop(canon.distinct().localCheckpoint(), maxRounds)
+    val cached = canon.persist()
+    val small: Option[Array[org.apache.spark.sql.Row]] =
+      try { if (cached.count() <= threshold) Some(cached.collect()) else None }
+      catch { case t: Throwable => cached.unpersist(); throw t }
+    small match {
+      case Some(rows) =>
+        cached.unpersist()
+        localComponents(spark, rows)
+      case None =>
+        // big input: seed the star loop from the cache (eager
+        // localCheckpoint copies the blocks), then release the handle so
+        // the loop never holds two copies of a 100 TB edge set.
+        val e0 = cached.distinct().localCheckpoint()
+        cached.unpersist()
+        starLoop(e0, maxRounds)
+    }
+  }
 
+  /** The alternating large-star/small-star fixpoint loop over a
+    * materialized canonical edge set. */
+  private def starLoop(eInit: DataFrame, maxRounds: Int): DataFrame = {
+    var e = eInit
     var sig = signature(e)
     var rounds = 0
     var converged = false

@@ -25,8 +25,23 @@ object Par {
     // frames are small — widening past that would undo the tuning and
     // multiply task overhead. Cap at the session's shuffle width.
     val spark = df.sparkSession
-    val target = math.min(spark.sparkContext.defaultParallelism,
+    val cap = math.min(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // Volume-derived target under the cap (r17 verdict #5): a flat
+    // core-count target over-parallelizes tiny inputs — the 8-core run
+    // beat the 32-core run on the maintenance family because 32-way task
+    // overhead exceeded the work per task. The per-partition byte budget
+    // is deliberately tiny (8 KiB compressed default): these operators
+    // run hundreds of ns of CPU per input byte (128-perm MinHash,
+    // shingling), so 8 KiB is tens of ms of work — enough to amortize a
+    // task, small enough that any real corpus still widens to every core.
+    val bytesPerPart = spark.conf.getOption("spark.graft.widen.bytesPerPartition")
+      .map(_.toLong).getOrElse(8192L)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target =
+      if (!size.isValidLong || size <= 0) cap
+      else math.min(cap.toLong,
+        math.max(1L, (size.toLong + bytesPerPart - 1) / bytesPerPart)).toInt
     if (df.rdd.getNumPartitions >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)

@@ -132,8 +132,13 @@ object DataQueries {
       // min-per-bucket answer holds under ANY doc-ordered batching.
       val st = StreamFixtures.arm(q83Stage(s, dir))
       val ss = StreamFixtures.streamSession(s)
+      // 4 files/trigger → 2 micro-batches: still a REAL multi-batch run
+      // (cross-batch claims exercise the state), at half the per-batch
+      // planning/checkpoint rounds — safe per the stage note above (claim
+      // state is monotone; min-per-bucket holds under any doc-ordered
+      // batching)
       val stream = ss.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "2").parquet(st.in)
+        .option("maxFilesPerTrigger", "4").parquet(st.in)
       val bandStream = Dedup.md5BandsPerRow(stream, "doc_id", "text")
         .as[graft.streaming.BandRow]
       val qname = "q83_lsh_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -226,8 +231,12 @@ object DataQueries {
       // the stream-scoped session pins 4 shuffle partitions for the
       // per-batch screens (batch.sparkSession is a clone of this one)
       val ss = StreamFixtures.streamSession(s)
+      // 4 files/trigger → 2 micro-batches: per-batch screening is
+      // complete (verdicts need only the static index — no cross-batch
+      // state), so the appended union is batch-count-invariant; still
+      // multi-batch, at half the planning + screen invocations
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(st.in)
+        .option("maxFilesPerTrigger", "4").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q111_")
       Fixtures.deleteTreeOnExit(tmp)
       val resDir = tmp.resolve("res").toString
@@ -472,8 +481,12 @@ object DataQueries {
       manifest.count()
       val st = StreamFixtures.arm(q108Stage(s, dir))
       val ss = StreamFixtures.streamSession(s)
+      // 4 files/trigger → 2 micro-batches: the stream-static join is
+      // stateless (each row's verdict depends only on the static
+      // manifest), so the drained union is batch-count-invariant; still
+      // multi-batch, at half the planning rounds
       val stream = ss.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "2").parquet(st.in)
+        .option("maxFilesPerTrigger", "4").parquet(st.in)
       val joined = Dedup.md5BandsPerRow(stream, "doc_id", "text")
         .join(broadcast(manifest.withColumn("__hit", lit(1L))),
           Seq("band", "bhv"), "left")
@@ -708,8 +721,12 @@ object DataQueries {
       // would be pure task overhead; the override rides in the stream's
       // own session, never the shared one
       val ss = StreamFixtures.streamSession(s, parts = 8)
+      // 4 files/trigger → 2 micro-batches: each batch spools ITS OWN
+      // (term, df) delta and df composes by addition over disjoint doc
+      // sets, so the summed manifest is batch-count-invariant; still
+      // multi-batch, at half the planning/spool rounds
       val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(st.in)
+        .option("maxFilesPerTrigger", "4").parquet(st.in)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q127_")
       val spool = tmp.resolve("df").toString
       // snapshot-then-delete inside try/finally: an exception mid-stream

@@ -958,8 +958,12 @@ object RelQueries {
     // bounded run, tiny state → few state partitions, scoped to the
     // stream's own session (see the streamSession note)
     val ss = StreamFixtures.streamSession(s)
+    // no maxFilesPerTrigger: one catch-up batch. The complete-mode
+    // windowed aggregation is arrival-order-free (the stage writes all
+    // files in one mtime group for the same reason), so per-2-file
+    // batching only paid extra planning + checkpoint rounds.
     val stream = ss.readStream.schema(q52Events(s, dir).schema)
-      .option("maxFilesPerTrigger", "2").parquet(st.in)
+      .parquet(st.in)
     val agg = graft.streaming.StreamingOps.windowedCounts(stream, "ets", "10 seconds", "1 hour")
     val qname = "q52_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname)
@@ -1014,8 +1018,15 @@ object RelQueries {
     Fixtures.deleteTreeOnExit(tmp)
     val st = StreamFixtures.arm(q54Stage(s, dir))
     val ss = StreamFixtures.streamSession(s)
+    // no maxFilesPerTrigger: one catch-up batch. sessionize sorts each
+    // key's batch slice by event time inside the invocation, so a single
+    // batch holding the whole (time-ordered) input incl. the sentinel
+    // closes every real session through the ordinary gap path — the same
+    // emissions the 5-batch schedule produced, minus 4 rounds of
+    // per-batch planning + state checkpointing. Sentinel sessions stay
+    // open in state and are never emitted, exactly as before.
     val stream = ss.readStream.schema(q54Events(s, dir).schema)
-      .option("maxFilesPerTrigger", "8").parquet(st.in)
+      .parquet(st.in)
     val qname = "q54_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = graft.streaming.StreamingOps.sessionize(stream.as[graft.streaming.Event], gapMs)
       .writeStream.outputMode("append").format("memory").queryName(qname)
@@ -1092,9 +1103,20 @@ object RelQueries {
 
   private def q88(s: SparkSession, dir: String): DataFrame = {
     val st = StreamFixtures.arm(q88Stage(s, dir))
+    // parts=4 (default) holds even at one big batch: A/B'd parts=16 here
+    // — q88 6.9s vs 2.8s, q89 19.9s vs 13.7s — state-store instance
+    // overhead dwarfs any shuffle-width gain at this state size
     val ss = StreamFixtures.streamSession(s)
+    // no maxFilesPerTrigger: the bounded catch-up drains in ONE
+    // micro-batch. An inner interval join in append mode emits each
+    // qualifying pair exactly once under ANY batching (pairs emit when
+    // both rows are present; the watermark only bounds state), so the
+    // per-2-file batching paid ~16 rounds of per-batch planning +
+    // state-checkpoint choreography for the same answer — the r17
+    // profile's 30-55% driver-only gap (guide §1.2: remove passes that
+    // compute nothing).
     def side(tpe: String, pre: String) = ss.readStream.schema(q88Events(s, dir).schema)
-      .option("maxFilesPerTrigger", "2").parquet(st.in)
+      .parquet(st.in)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
         col("ets").as(s"${pre}ts"), col("value").as(s"${pre}_value"))
@@ -1177,8 +1199,18 @@ object RelQueries {
     val latenessSec = temporalLatenessSec
     val st = StreamFixtures.arm(temporalStage(s, dir))
     val ss = StreamFixtures.streamSession(s)
+    // TWO micro-batches instead of ~18: all real data + the pad + wave 1
+    // in batch 1, wave 2 alone in the last batch. The final answer only
+    // needs (a) every real row processed no later than wave 1 and (b) a
+    // batch AFTER each wave so its watermark advance takes effect — batch
+    // boundaries between real files bought nothing but per-batch planning
+    // + state-store checkpoints (the r17 profile's 0.5 s/batch on this
+    // two-stateful-operator plan). maxFilesPerTrigger = (total − 1) admits
+    // everything except wave 2 into batch 1; wave 2's own batch flushes
+    // the aggregation exactly as before (same mechanism, bigger stride).
+    val totalFiles = st.groups.map(_._1.size).sum
     def side(tpe: String, pre: String) = ss.readStream.schema(temporalEvents(s, dir).schema)
-      .option("maxFilesPerTrigger", "2").parquet(st.in)
+      .option("maxFilesPerTrigger", (totalFiles - 1).toString).parquet(st.in)
       .filter(col("event_type") === tpe)
       .select(col("user_id").as(s"${pre}_user"), col("event_id").as(s"${pre}_id"),
         col("ets").as(s"${pre}ts"), col("value").as(s"${pre}_value"))

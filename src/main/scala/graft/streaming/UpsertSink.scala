@@ -159,8 +159,15 @@ object UpsertSink {
     // merge write). Inside foreachBatch each action RE-EXECUTES the whole
     // micro-batch plan — source decode plus any upstream stateful
     // aggregate ran twice per batch (measured: q106's addBatch dropped
-    // ~25% with the barrier). Persist for the merge's duration only.
-    val batch = batch0.persist()
+    // ~25% with the barrier). But the barrier is CONDITIONAL: for a plain
+    // source-decode upstream the persist's materialization costs more
+    // than the re-execution it saves (r17 driver run: q78 −13%, q141
+    // −12% under an unconditional persist, while q106 — whose upstream
+    // carries a stateful aggregate re-reading the state store — gained
+    // 26%). Persist only when the plan warrants it, for the merge's
+    // duration only.
+    val doPersist = shouldPersistBatch(batch0)
+    val batch = if (doPersist) batch0.persist() else batch0
     try {
     val spark = batch.sparkSession
     val target = new Path(path)
@@ -222,7 +229,28 @@ object UpsertSink {
     fs.delete(tmp, true)
     }
     }
-    } finally { batch0.unpersist(); () }
+    } finally { if (doPersist) batch0.unpersist(); () }
+  }
+
+  /** Whether a micro-batch plan is worth a persist barrier across the
+    * sink's two actions. Auto rule: barrier iff the upstream contains an
+    * aggregation / join / window / dedup / arbitrary-state operator —
+    * those re-execute a shuffle (and, under foreachBatch, a state-store
+    * read) per action, which always costs more than one cache
+    * materialization; a narrow source-decode plan re-executes cheaper
+    * than it caches. Overridable per session via
+    * `spark.graft.upsert.persistBatch` = auto | always | never. */
+  private[graft] def shouldPersistBatch(batch: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    batch.sparkSession.conf.get("spark.graft.upsert.persistBatch", "auto") match {
+      case "always" => true
+      case "never"  => false
+      case _ => batch.queryExecution.analyzed.exists {
+        case _: Aggregate | _: Join | _: Window | _: Deduplicate => true
+        case _: FlatMapGroupsWithState                           => true
+        case _                                                   => false
+      }
+    }
   }
 
   /** Purge tombstone rows from every bucket — run when the caller knows no

@@ -217,4 +217,29 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!fs.exists(lock))
     assert(UpsertSink.readState(spark, out).count() == 2)
   }
+
+  test("conditional batch barrier: persist only when the plan warrants it") {
+    // plain source-decode shape (q78/q141/q144/q145's upstream): a narrow
+    // scan re-executes cheaper than it caches → no barrier
+    val narrow = Seq(row(1L, 1.0, "c", 1, "+I")).toDF(cols: _*)
+      .filter(col("op_offset") >= 0L).select(cols.map(col): _*)
+    assert(!UpsertSink.shouldPersistBatch(narrow))
+
+    // aggregate upstream (q106's retract-agg shape): re-execution repeats
+    // a shuffle (and under foreachBatch a state-store read) → barrier
+    val agg = Seq(row(1L, 1.0, "c", 1, "+I")).toDF(cols: _*)
+      .groupBy("k").agg(sum("v").as("v"))
+    assert(UpsertSink.shouldPersistBatch(agg))
+
+    // join upstream → barrier
+    val joined = narrow.join(agg.select(col("k").as("k2")), col("k") === col("k2"))
+    assert(UpsertSink.shouldPersistBatch(joined))
+
+    // explicit override wins in both directions
+    spark.conf.set("spark.graft.upsert.persistBatch", "always")
+    try assert(UpsertSink.shouldPersistBatch(narrow))
+    finally spark.conf.set("spark.graft.upsert.persistBatch", "never")
+    try assert(!UpsertSink.shouldPersistBatch(agg))
+    finally spark.conf.unset("spark.graft.upsert.persistBatch")
+  }
 }
