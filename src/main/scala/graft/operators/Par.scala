@@ -37,12 +37,38 @@ object Par {
     // task, small enough that any real corpus still widens to every core.
     val bytesPerPart = spark.conf.getOption("spark.graft.widen.bytesPerPartition")
       .map(_.toLong).getOrElse(8192L)
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val size = plan.stats.sizeInBytes
     val target =
       if (!size.isValidLong || size <= 0) cap
       else math.min(cap.toLong,
         math.max(1L, (size.toLong + bytesPerPart - 1) / bytesPerPart)).toInt
-    if (df.rdd.getNumPartitions >= target) df
+    // The no-op check needs the input's partition count. df.rdd answers
+    // exactly — but resolving the RDD of an AQE plan MATERIALIZES its
+    // shuffle/broadcast stages early, running real jobs the actual query
+    // then re-runs (measured on q102: the widen probe executed the
+    // max-id aggregate + broadcast subtree a second time, ~5.5 s of task
+    // time per call steady-state). So: ask the RDD only when the plan is
+    // narrow (leaves/caches under projections/filters/unions — nothing
+    // for AQE to execute); otherwise fall back to estimating the scan
+    // width from bytes / split size, which at scale (thousands of row
+    // groups) exceeds any core count so widen stays a no-op for free.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias =>
+        p.children.forall(narrow)
+      case _ => false
+    }
+    val parts: Long =
+      if (narrow(plan)) df.rdd.getNumPartitions.toLong
+      else {
+        val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        if (!size.isValidLong || size <= 0) Int.MaxValue.toLong
+        else (size.toLong + maxSplit - 1) / math.max(1L, maxSplit)
+      }
+    if (parts >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)
   }

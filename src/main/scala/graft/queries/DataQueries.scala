@@ -1963,7 +1963,7 @@ object DataQueries {
 
   /** q83's staged doc stream: id-range part files in id-mtime order.
     * Part count pinned to 8 (not shuffle parallelism): under
-    * maxFilesPerTrigger=2 that is 4-5 micro-batches — real cross-batch
+    * maxFilesPerTrigger=4 that is 2 micro-batches — real cross-batch
     * state without paying ~17 batches of per-batch fixed cost for a
     * 5k-row gate input. */
   private def q83Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
@@ -2006,8 +2006,8 @@ object DataQueries {
   }
 
   /** q111's staged TODAY stream: [[todayEmbeddings]] as 8 range-
-    * partitioned part files arriving 1 s apart (maxFilesPerTrigger=2 →
-    * 4 micro-batches). */
+    * partitioned part files arriving 1 s apart (maxFilesPerTrigger=4 →
+    * 2 micro-batches). */
   private def q111Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
     StreamFixtures.ensure("q111", dir) { in =>
       todayEmbeddings(s, dir)
@@ -2031,7 +2031,7 @@ object DataQueries {
   /** q127's staged day-2 stream: the df-manifest family's day-2 slice
     * (doc_id % 3 = 2, [[ensureDay2DfManifest]]'s append input) as 8
     * range-partitioned part files arriving 1 s apart
-    * (maxFilesPerTrigger=2 → 4 micro-batches). */
+    * (maxFilesPerTrigger=4 → 2 micro-batches). */
   private def q127Stage(s: SparkSession, dir: String): StreamFixtures.Stage =
     StreamFixtures.ensure("q127", dir) { in =>
       t(s, dir, "documents").select(col("doc_id"), col("text"))
